@@ -1,15 +1,19 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.cdc.model.Changelog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Each entry in [[queries]] is a named batch formulation of one operator
-  * from SURVEY.md §2, over the driver's parquet tables; [[oracleSql]] holds
-  * the DuckDB-equivalent SQL for the correctness gate.
+  * Queries/oracles are contributed by per-module [[QueryPack]]s; each entry
+  * is a named batch formulation of one operator from SURVEY.md §2 over the
+  * driver's parquet tables.
   */
 object SparkEntry {
+
+  private val packs: Seq[QueryPack] = Seq(
+    cdc.model.ModelQueries,
+    cdc.split.ChunkQueries
+  )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hybrid-source materialization: snapshot ∪ changelog → current state
@@ -19,29 +23,12 @@ object SparkEntry {
     queries("changelog_upsert_materialize")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "changelog_upsert_materialize" -> ((s, dir) =>
-      Changelog.upsertMaterialize(
-        Changelog.snapshot(s, dir),
-        Changelog.changelog(s, dir).select("offset", "pk", "op", "ts_ms", "val", "props")
-      ))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
-    "changelog_upsert_materialize" ->
-      s"""${Changelog.changelogSql},
-         |allrows AS (
-         |  SELECT "offset", pk, op, val FROM changelog
-         |  UNION ALL
-         |  SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, c_acctbal AS val FROM customer
-         |)
-         |SELECT pk, max("offset") AS last_offset,
-         |       arg_max(op, "offset") AS last_op,
-         |       arg_max(val, "offset") AS val
-         |FROM allrows GROUP BY pk
-         |HAVING arg_max(op, "offset") <> 'd'""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracles).toMap
 }

@@ -1,0 +1,137 @@
+package graft.cdc.split
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot chunk planning — the reference's statistics-driven split
+  * algebra re-expressed as Spark plans.
+  *
+  * Reference: flink-connector-mysql-cdc/.../source/assigners/MySqlChunkSplitter.java
+  *   - analyzeTable (min/max/approx count)          :157-183
+  *   - evenly-sized arithmetic ranges               :319-353
+  *   - unevenly-sized probe-driven ranges           :188-221,355-376
+  *   - distribution factor (ceil to 4 digits)       :453-478
+  * and .../source/utils/StatementUtils.java:38-130 (MIN/MAX/next-max probes),
+  * RecordUtils.java:302-337 (splitKeyRangeContains).
+  *
+  * Scale notes: min/max/count are single-pass partial aggregations; even
+  * ranges need only the broadcast 1-row stats (no shuffle of the data);
+  * the uneven variant needs a global order — we express it as a window over
+  * DISTINCT keys (fine for planning metadata, same serial nature as the
+  * reference's probe loop) and offer ntile equi-depth buckets (W2) as the
+  * sampling-based scale path.
+  */
+object ChunkPlanner {
+
+  /** A1/A2 — one-row stats frame: min_k, max_k, cnt. */
+  def analyze(df: DataFrame, key: String): DataFrame =
+    df.agg(
+      min(col(key)).as("min_k"),
+      max(col(key)).as("max_k"),
+      count(lit(1)).as("cnt")
+    )
+
+  /** A5 — distribution factor ×10000, exact integer ceiling division:
+    * ceil(10000 * (max-min+1) / cnt). The reference computes BigDecimal with
+    * 4-digit ceiling (MySqlChunkSplitter.java:453-478); scaling by 10^4 keeps
+    * the oracle comparison in exact integer arithmetic.
+    */
+  def distributionFactor(df: DataFrame, key: String): DataFrame =
+    analyze(df, key).select(
+      col("min_k"),
+      col("max_k"),
+      col("cnt"),
+      expr("((max_k - min_k + 1) * 10000 + cnt - 1) div cnt").as("factor_x10000")
+    )
+
+  /** A4/O1 — the next-chunk-end probe: max of the next `chunkSize` keys at or
+    * above `lowerBound` (StatementUtils.java:99-130). orderBy+limit lets
+    * Spark run a TakeOrdered (per-partition top-k, no full sort).
+    */
+  def nextChunkMax(df: DataFrame, key: String, lowerBound: Long, chunkSize: Int): DataFrame =
+    df.where(col(key) >= lowerBound)
+      .select(col(key).as("k"))
+      .orderBy(col("k"))
+      .limit(chunkSize)
+      .agg(max(col("k")).as("next_max"))
+
+  /** Evenly-split chunk assignment (MySqlChunkSplitter.java:319-353): chunk
+    * ranges are pure arithmetic over (min, chunkSize) — only the broadcast
+    * one-row stats join touches the data, so this plan scales to any table
+    * size without a data shuffle (the groupBy is the verification summary).
+    */
+  def evenChunkStats(df: DataFrame, key: String, chunkSize: Int): DataFrame = {
+    val stats = analyze(df, key).select(col("min_k"))
+    df.select(col(key).as("k"))
+      .crossJoin(broadcast(stats))
+      .withColumn("chunk_id", floor((col("k") - col("min_k")) / chunkSize))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("lo"), max(col("k")).as("hi"))
+  }
+
+  /** Unevenly-split ranges (MySqlChunkSplitter.java:188-221): the reference
+    * probes the DB for the max of each next-chunkSize key block; over unique
+    * keys that is exactly "every chunkSize-th distinct key is a boundary".
+    * split_id, split_start (null for first), split_end (null for last).
+    * Planning metadata only — output is ~cnt/chunkSize rows.
+    */
+  def unevenChunkRanges(df: DataFrame, key: String, chunkSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val distinctKeys = df.select(col(key).as("k")).distinct()
+    val w = Window.orderBy(col("k"))
+    val boundaries = distinctKeys
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") % chunkSize === 0)
+      .select(col("k").as("boundary"), (col("rn") / chunkSize).cast("long").as("bid"))
+    val wb = Window.orderBy(col("bid"))
+    boundaries
+      .withColumn("split_start", lag(col("boundary"), 1).over(wb))
+      .select(
+        (col("bid") - 1).as("split_id"),
+        col("split_start"),
+        col("boundary").as("split_end")
+      )
+  }
+
+  /** P4 — composite split-key range containment, exact reference algebra
+    * (RecordUtils.java:302-337). For each component i:
+    *   lower_i = key_i <=> start_i, upper_i = key_i <=> end_i
+    * first split  (start null): any(upper_i < 0) && all(upper_i <= 0)
+    * last  split  (end   null): all(lower_i >= 0)
+    * middle split:              any(lower_i >= 0) && any(upper_i < 0) && all(upper_i <= 0)
+    */
+  def splitKeyRangeContains(
+      key: Seq[Column],
+      start: Option[Seq[Long]],
+      end: Option[Seq[Long]]
+  ): Column = {
+    def anyTrue(cs: Seq[Column]): Column = cs.reduce(_ || _)
+    def allTrue(cs: Seq[Column]): Column = cs.reduce(_ && _)
+    (start, end) match {
+      case (None, None) => lit(true)
+      case (None, Some(e)) =>
+        val lt = key.zip(e).map { case (k, v) => k < v }
+        val le = key.zip(e).map { case (k, v) => k <= v }
+        anyTrue(lt) && allTrue(le)
+      case (Some(s), None) =>
+        allTrue(key.zip(s).map { case (k, v) => k >= v })
+      case (Some(s), Some(e)) =>
+        val ge = key.zip(s).map { case (k, v) => k >= v }
+        val lt = key.zip(e).map { case (k, v) => k < v }
+        val le = key.zip(e).map { case (k, v) => k <= v }
+        anyTrue(ge) && anyTrue(lt) && allTrue(le)
+    }
+  }
+
+  /** W2 — Mongo-style equi-depth buckets via ntile (SampleBucketSplitStrategy
+    * .java:67-168). ntile over a global order; the production-scale variant
+    * samples first (`df.sample`) exactly like the reference's `$sample`.
+    */
+  def sampleBuckets(df: DataFrame, key: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(key).as("k"))
+      .withColumn("bucket", ntile(n).over(Window.orderBy(col("k"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("lo"), max(col("k")).as("hi"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.cdc.split
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.cdc.model.Changelog.table
+
+/** SURVEY.md §2.10 chunk-planner inventory: A1-A5, O1, S2/P4, W2. */
+object ChunkQueries extends QueryPack {
+
+  private val ChunkSize = 256
+  private val NextMaxLo = 100L
+  private val NextMaxN  = 2048
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_min_max" -> ((s, dir) =>
+      ChunkPlanner.analyze(table(s, dir, "customer"), "c_custkey")
+        .select(col("min_k"), col("max_k"))),
+
+    "chunk_row_count" -> ((s, dir) =>
+      table(s, dir, "customer").agg(count(lit(1)).as("cnt"))),
+
+    "chunk_next_max" -> ((s, dir) =>
+      ChunkPlanner.nextChunkMax(table(s, dir, "customer"), "c_custkey", NextMaxLo, NextMaxN)),
+
+    "chunk_ranges_even" -> ((s, dir) =>
+      ChunkPlanner.evenChunkStats(table(s, dir, "customer"), "c_custkey", ChunkSize)),
+
+    "chunk_ranges_uneven" -> ((s, dir) =>
+      ChunkPlanner.unevenChunkRanges(table(s, dir, "customer"), "c_custkey", ChunkSize)),
+
+    "chunk_distribution_factor" -> ((s, dir) =>
+      ChunkPlanner.distributionFactor(table(s, dir, "customer"), "c_custkey")),
+
+    // S2/P4 — snapshot range scans incl. unbounded ends. Plain pushed-down
+    // range filters over the parquet scan.
+    "split_scan_first" -> ((s, dir) =>
+      table(s, dir, "customer").where(col("c_custkey") < 512)),
+
+    "split_scan_mid" -> ((s, dir) =>
+      table(s, dir, "customer").where(col("c_custkey") >= 512 && col("c_custkey") < 1024)),
+
+    "split_scan_last" -> ((s, dir) =>
+      table(s, dir, "customer").where(col("c_custkey") >= 1024)),
+
+    // P4 composite containment, middle-split algebra on (l_orderkey, l_linenumber)
+    "split_key_contains" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        ChunkPlanner.splitKeyRangeContains(
+          Seq(col("l_orderkey"), col("l_linenumber").cast("long")),
+          Some(Seq(1000L, 3L)),
+          Some(Seq(4000L, 2L))
+        ).as("in_range")
+      )
+    }),
+
+    "sample_buckets" -> ((s, dir) =>
+      ChunkPlanner.sampleBuckets(table(s, dir, "customer"), "c_custkey", 8))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "chunk_min_max" ->
+      "SELECT min(c_custkey) AS min_k, max(c_custkey) AS max_k FROM customer",
+
+    "chunk_row_count" ->
+      "SELECT count(*) AS cnt FROM customer",
+
+    "chunk_next_max" ->
+      s"""SELECT max(k) AS next_max FROM (
+         |  SELECT c_custkey AS k FROM customer WHERE c_custkey >= $NextMaxLo
+         |  ORDER BY c_custkey LIMIT $NextMaxN) t""".stripMargin,
+
+    "chunk_ranges_even" ->
+      s"""WITH m AS (SELECT min(c_custkey) AS mn FROM customer)
+         |SELECT (c_custkey - mn) // $ChunkSize AS chunk_id,
+         |       count(*) AS cnt, min(c_custkey) AS lo, max(c_custkey) AS hi
+         |FROM customer CROSS JOIN m GROUP BY 1""".stripMargin,
+
+    "chunk_ranges_uneven" ->
+      s"""WITH d AS (SELECT DISTINCT c_custkey AS k FROM customer),
+         |b AS (SELECT k AS boundary, row_number() OVER (ORDER BY k) AS rn FROM d)
+         |SELECT (rn // $ChunkSize) - 1 AS split_id,
+         |       lag(boundary) OVER (ORDER BY rn) AS split_start,
+         |       boundary AS split_end
+         |FROM b WHERE rn % $ChunkSize = 0""".stripMargin,
+
+    "chunk_distribution_factor" ->
+      """SELECT min(c_custkey) AS min_k, max(c_custkey) AS max_k,
+        |       count(*) AS cnt,
+        |       ((max(c_custkey) - min(c_custkey) + 1) * 10000 + count(*) - 1)
+        |         // count(*) AS factor_x10000
+        |FROM customer""".stripMargin,
+
+    "split_scan_first" ->
+      "SELECT * FROM customer WHERE c_custkey < 512",
+
+    "split_scan_mid" ->
+      "SELECT * FROM customer WHERE c_custkey >= 512 AND c_custkey < 1024",
+
+    "split_scan_last" ->
+      "SELECT * FROM customer WHERE c_custkey >= 1024",
+
+    "split_key_contains" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ((l_orderkey >= 1000 OR l_linenumber >= 3)
+        |        AND (l_orderkey < 4000 OR l_linenumber < 2)
+        |        AND (l_orderkey <= 4000 AND l_linenumber <= 2)) AS in_range
+        |FROM lineitem""".stripMargin,
+
+    "sample_buckets" ->
+      """WITH t AS (SELECT c_custkey AS k,
+        |                  ntile(8) OVER (ORDER BY c_custkey) AS bucket
+        |           FROM customer)
+        |SELECT bucket, count(*) AS cnt, min(k) AS lo, max(k) AS hi
+        |FROM t GROUP BY bucket""".stripMargin
+  )
+}
