@@ -1,0 +1,117 @@
+package graft.cdc.merge
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.cdc.model.Changelog._
+
+/** Changelog algebra — the reference's row-kind expansion, emit filtering
+  * and phase-cutover logic as composable DataFrame transforms.
+  *
+  * Reference anchors:
+  *  - P1/P2 op -> RowKind expansion: RowDataDebeziumDeserializeSchema.java:118-158
+  *  - P3 upsert changelog mode:      DebeziumChangelogMode.java:22-27
+  *  - J2 per-split emit filter:      BinlogSplitReader.java:228-260
+  *  - T2 pure-log cutover:           BinlogSplitReader.java:262-279
+  *  - T3 snapshot ts zeroing:        RecordUtils.java:119-147
+  *  - P8 metadata columns:           MySqlReadableMetadata.java:31-106
+  *  - T9 schema history argmax:      MySqlRecordEmitter.java:109-121
+  *  - T7 resolvedTs flush:           TiKVRichParallelSourceFunction.java:224-260
+  */
+object ChangelogOps {
+
+  /** Virtual table routing for the synthetic changelog: shard by pk like the
+    * reference's sharded `customers_NNN` fixtures.
+    */
+  def tableNameCol: Column = concat(lit("users_"), pmod(col("pk"), lit(3)))
+
+  /** P1/P2 — expand ops to row kinds: c/r -> +I, u -> -U(before)+U(after),
+    * d -> -D(before). Before-images come from lag(val) per key in offset
+    * order (the changelog's own history is the before-image source).
+    * One shuffle (window by pk), then a narrow explode.
+    */
+  def extractRows(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pk")).orderBy(col("offset"))
+    val withPrev = changelog.withColumn("prev_val", lag(col("val"), 1).over(w))
+    val kinds = when(col("op").isin(OpInsert, OpRead),
+        array(struct(lit("+I").as("row_kind"), col("val").as("row_val"))))
+      .when(col("op") === OpUpdate,
+        array(
+          struct(lit("-U").as("row_kind"), col("prev_val").as("row_val")),
+          struct(lit("+U").as("row_kind"), col("val").as("row_val"))))
+      .otherwise(
+        array(struct(lit("-D").as("row_kind"), col("prev_val").as("row_val"))))
+    withPrev
+      .select(col("offset"), col("pk"), explode(kinds).as("k"))
+      .select(col("offset"), col("pk"), col("k.row_kind").as("row_kind"),
+        col("k.row_val").as("row_val"))
+  }
+
+  /** P3 — UPSERT changelog mode suppresses UPDATE_BEFORE rows. */
+  def upsertMode(extracted: DataFrame): DataFrame =
+    extracted.where(col("row_kind") =!= "-U")
+
+  /** P5/T6 — drop heartbeat events (synthetic rule: snapshot-read rows with
+    * val < 50 play heartbeats; the reference filters on a dedicated topic
+    * name, RecordUtils.java:226-230).
+    */
+  def dropHeartbeats(changelog: DataFrame): Column =
+    !(col("op") === OpRead && col("val") < 50)
+
+  /** P8 — metadata projection: database/table/schema name + op_ts (0 for
+    * snapshot rows, T3).
+    */
+  def withMetadata(changelog: DataFrame): DataFrame =
+    changelog.select(
+      col("offset"), col("pk"), col("op"),
+      lit("inventory").as("database_name"),
+      tableNameCol.as("table_name"),
+      lit("public").as("schema_name"),
+      when(col("op") === OpRead, lit(0L)).otherwise(col("ts_ms")).as("op_ts")
+    )
+
+  /** J2 — per-split emit filter: a log event is emitted iff its key falls in
+    * a finished split's range AND its offset is past that split's high
+    * watermark. `splits` is planner metadata (tiny) — broadcast it so the
+    * join is a BroadcastNestedLoop over a handful of rows, never a shuffle.
+    */
+  def emitFilter(changelog: DataFrame, splits: DataFrame): DataFrame = {
+    val cond =
+      (splits("lo").isNull || col("pk") >= splits("lo")) &&
+        (splits("hi").isNull || col("pk") < splits("hi")) &&
+        col("offset") > splits("hwm")
+    changelog.where(col("op") =!= OpRead)
+      .join(broadcast(splits), cond, "left_semi")
+  }
+
+  /** T2 — pure-log cutover: per-table high watermark = max snapshot offset;
+    * events strictly past it stream through unfiltered. Tables with no
+    * snapshot rows cut over immediately (hwm -infinity -> true).
+    */
+  def pureLogFlag(changelog: DataFrame): DataFrame = {
+    val tagged = changelog.withColumn("tbl", tableNameCol)
+    val hwms = tagged.where(col("op") === OpRead)
+      .groupBy(col("tbl")).agg(max(col("offset")).as("hwm"))
+    tagged.where(col("op") =!= OpRead)
+      .join(broadcast(hwms), Seq("tbl"), "left")
+      .select(col("offset"), col("pk"), col("tbl"),
+        coalesce(col("offset") > col("hwm"), lit(true)).as("pure_log"))
+  }
+
+  /** T9 — schema-history latest: argmax per table, one hash aggregation. */
+  def schemaHistoryLatest(changelog: DataFrame): DataFrame =
+    changelog.withColumn("tbl", tableNameCol)
+      .groupBy(col("tbl"))
+      .agg(max(col("offset")).as("last_offset"),
+        max_by(col("props"), col("offset")).as("props"))
+
+  /** T7 — TiDB resolvedTs flush: only events at or before the resolved
+    * timestamp are emitted, ordered by commit ts (ties by offset).
+    */
+  def resolvedTsFlush(changelog: DataFrame, resolvedTsMs: Long): DataFrame = {
+    val w = Window.orderBy(col("ts_ms"), col("offset"))
+    changelog.where(col("ts_ms") <= resolvedTsMs)
+      .select(col("offset"), col("pk"), col("ts_ms"))
+      .withColumn("commit_rank", row_number().over(w))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.cdc.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.cdc.model.Changelog._
+import graft.cdc.offsets.BinlogOffsets
+
+/** SURVEY.md §2.10 changelog-algebra + offset inventory (M2). */
+object MergeQueries extends QueryPack {
+
+  /** 2024-01-10T00:00:00Z — startup/resolvedTs threshold used by the
+    * timestamp-mode queries.
+    */
+  private val TsThreshold = 1704844800000L
+
+  private def splitsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (0L, Option.empty[Long], Option(5L), 300L),
+      (1L, Option(5L), Option(10L), 600L),
+      (2L, Option(10L), Option.empty[Long], 900L)
+    ).toDF("split_id", "lo", "hi", "hwm")
+  }
+
+  private val splitsSql =
+    "(VALUES (0, NULL, 5, 300), (1, 5, 10, 600), (2, 10, NULL, 900)) AS s(split_id, lo, hi, hwm)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "changelog_extract_rows" -> ((s, dir) =>
+      ChangelogOps.extractRows(changelog(s, dir))),
+
+    "changelog_mode_upsert" -> ((s, dir) =>
+      ChangelogOps.upsertMode(ChangelogOps.extractRows(changelog(s, dir)))),
+
+    "heartbeat_filter" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      cl.where(ChangelogOps.dropHeartbeats(cl))
+        .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val"))
+    }),
+
+    "metadata_columns" -> ((s, dir) =>
+      ChangelogOps.withMetadata(changelog(s, dir))),
+
+    "snapshot_ts_zeroing" -> ((s, dir) =>
+      snapshot(s, dir).unionByName(changelog(s, dir))
+        .select(col("offset"), col("pk"), col("op"),
+          when(col("op") === OpRead, lit(0L)).otherwise(col("ts_ms")).as("op_ts"))),
+
+    "emit_filter_watermark" -> ((s, dir) =>
+      ChangelogOps.emitFilter(changelog(s, dir), splitsDf(s))
+        .select(col("offset"), col("pk"), col("op"))),
+
+    "pure_log_phase_cutover" -> ((s, dir) =>
+      ChangelogOps.pureLogFlag(changelog(s, dir))),
+
+    "schema_history_latest" -> ((s, dir) =>
+      ChangelogOps.schemaHistoryLatest(changelog(s, dir))),
+
+    "tidb_resolved_ts_flush" -> ((s, dir) =>
+      ChangelogOps.resolvedTsFlush(changelog(s, dir), TsThreshold)),
+
+    "startup_timestamp" -> ((s, dir) =>
+      changelog(s, dir).where(col("ts_ms") >= TsThreshold)
+        .select(col("offset"), col("pk"), col("op"), col("ts_ms"))),
+
+    "startup_specific_offset" -> ((s, dir) =>
+      BinlogOffsets.withFilePos(changelog(s, dir))
+        .where(BinlogOffsets.filePosGreater(col("file"), col("pos"), "mysql-bin.000002", 500L))
+        .select(col("offset"), col("pk"), col("file"), col("pos"))),
+
+    "min_starting_offset" -> ((s, dir) =>
+      changelog(s, dir)
+        .groupBy(pmod(col("pk"), lit(8)).as("split_id"))
+        .agg(max(col("offset")).as("hwm"))
+        .agg(min(col("hwm")).as("offset"), count(lit(1)).as("n_splits"))
+        .transform(BinlogOffsets.withFilePos)
+        .select(col("offset").as("start_offset"), col("file"), col("pos"), col("n_splits"))),
+
+    // F18 GTID interval-set containment — not SQL-expressible; rows-only +
+    // ScalaTest property coverage.
+    "gtid_containment" -> ((s, dir) => {
+      val contained = udf(BinlogOffsets.gtidContainedWithin)
+      changelog(s, dir)
+        .withColumn("gtid_a",
+          concat(lit("s1:1-"), (pmod(col("offset"), lit(50)) + 1).cast("string")))
+        .withColumn("gtid_b", lit("s1:1-25,s2:1-10"))
+        .select(col("offset"), col("gtid_a"), col("gtid_b"),
+          contained(col("gtid_a"), col("gtid_b")).as("contained"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "changelog_extract_rows" ->
+      s"""$changelogSql,
+         |l AS (SELECT *, lag(val) OVER (PARTITION BY pk ORDER BY "offset") AS prev_val
+         |      FROM changelog)
+         |SELECT "offset", pk, '+I' AS row_kind, val AS row_val FROM l WHERE op IN ('c','r')
+         |UNION ALL
+         |SELECT "offset", pk, '-U' AS row_kind, prev_val AS row_val FROM l WHERE op = 'u'
+         |UNION ALL
+         |SELECT "offset", pk, '+U' AS row_kind, val AS row_val FROM l WHERE op = 'u'
+         |UNION ALL
+         |SELECT "offset", pk, '-D' AS row_kind, prev_val AS row_val FROM l WHERE op = 'd'""".stripMargin,
+
+    "changelog_mode_upsert" ->
+      s"""$changelogSql,
+         |l AS (SELECT *, lag(val) OVER (PARTITION BY pk ORDER BY "offset") AS prev_val
+         |      FROM changelog)
+         |SELECT "offset", pk, '+I' AS row_kind, val AS row_val FROM l WHERE op IN ('c','r')
+         |UNION ALL
+         |SELECT "offset", pk, '+U' AS row_kind, val AS row_val FROM l WHERE op = 'u'
+         |UNION ALL
+         |SELECT "offset", pk, '-D' AS row_kind, prev_val AS row_val FROM l WHERE op = 'd'""".stripMargin,
+
+    "heartbeat_filter" ->
+      s"""$changelogSql
+         |SELECT "offset", pk, op, ts_ms, val FROM changelog
+         |WHERE NOT (op = 'r' AND val < 50)""".stripMargin,
+
+    "metadata_columns" ->
+      s"""$changelogSql
+         |SELECT "offset", pk, op,
+         |       'inventory' AS database_name,
+         |       'users_' || (pk % 3) AS table_name,
+         |       'public' AS schema_name,
+         |       CASE WHEN op = 'r' THEN 0 ELSE ts_ms END AS op_ts
+         |FROM changelog""".stripMargin,
+
+    "snapshot_ts_zeroing" ->
+      s"""$changelogSql
+         |SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, 0 AS op_ts FROM customer
+         |UNION ALL
+         |SELECT "offset", pk, op,
+         |       CASE WHEN op = 'r' THEN 0 ELSE ts_ms END AS op_ts
+         |FROM changelog""".stripMargin,
+
+    "emit_filter_watermark" ->
+      s"""$changelogSql
+         |SELECT "offset", pk, op FROM changelog c
+         |WHERE op <> 'r' AND EXISTS (
+         |  SELECT 1 FROM $splitsSql
+         |  WHERE (s.lo IS NULL OR c.pk >= s.lo)
+         |    AND (s.hi IS NULL OR c.pk < s.hi)
+         |    AND c."offset" > s.hwm)""".stripMargin,
+
+    "pure_log_phase_cutover" ->
+      s"""$changelogSql,
+         |t AS (SELECT *, 'users_' || (pk % 3) AS tbl FROM changelog),
+         |h AS (SELECT tbl, max("offset") AS hwm FROM t WHERE op = 'r' GROUP BY tbl)
+         |SELECT t."offset", t.pk, t.tbl,
+         |       coalesce(t."offset" > h.hwm, TRUE) AS pure_log
+         |FROM t LEFT JOIN h ON t.tbl = h.tbl
+         |WHERE t.op <> 'r'""".stripMargin,
+
+    "schema_history_latest" ->
+      s"""$changelogSql
+         |SELECT 'users_' || (pk % 3) AS tbl,
+         |       max("offset") AS last_offset,
+         |       arg_max(props, "offset") AS props
+         |FROM changelog GROUP BY 1""".stripMargin,
+
+    "tidb_resolved_ts_flush" ->
+      s"""$changelogSql
+         |SELECT "offset", pk, ts_ms,
+         |       row_number() OVER (ORDER BY ts_ms, "offset") AS commit_rank
+         |FROM changelog WHERE ts_ms <= $TsThreshold""".stripMargin,
+
+    "startup_timestamp" ->
+      s"""$changelogSql
+         |SELECT "offset", pk, op, ts_ms FROM changelog
+         |WHERE ts_ms >= $TsThreshold""".stripMargin,
+
+    "startup_specific_offset" ->
+      s"""$changelogSql,
+         |o AS (SELECT "offset", pk, ${BinlogOffsets.filePosSql} FROM changelog)
+         |SELECT "offset", pk, file, pos FROM o
+         |WHERE file > 'mysql-bin.000002'
+         |   OR (file = 'mysql-bin.000002' AND pos > 500)""".stripMargin,
+
+    "min_starting_offset" ->
+      s"""$changelogSql,
+         |h AS (SELECT pk % 8 AS split_id, max("offset") AS hwm
+         |      FROM changelog GROUP BY 1)
+         |SELECT min(hwm) AS start_offset,
+         |       'mysql-bin.' || lpad(CAST(min(hwm) // 250 AS VARCHAR), 6, '0') AS file,
+         |       (min(hwm) % 250) * 4 + 4 AS pos,
+         |       count(*) AS n_splits
+         |FROM h""".stripMargin
+  )
+}
