@@ -13,7 +13,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     cdc.model.ModelQueries,
     cdc.split.ChunkQueries,
-    cdc.merge.MergeQueries
+    cdc.merge.MergeQueries,
+    cdc.types.TypeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

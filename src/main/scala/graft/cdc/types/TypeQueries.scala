@@ -1,0 +1,124 @@
+package graft.cdc.types
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.cdc.model.Changelog._
+
+/** SURVEY.md §1.3 + §2.7 type-conversion surface (M3).
+  *
+  * The reference's converter zoo (RowDataDebeziumDeserializeSchema.java:
+  * 271-657, MySqlTypeUtils.java:105-180) is pure per-value casting — in
+  * Spark these are codegen'd `cast`/datetime functions, so each query is a
+  * narrow projection with zero shuffle.
+  */
+object TypeQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §1.3 — unsigned widening ladder, DECIMAL(20,0) for BIGINT UNSIGNED,
+    // TINYINT(1)->BOOLEAN, DECIMAL(p,s), decimal->string rendering
+    "type_promotions" -> ((s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_linenumber") % 2 === 1).as("bool_from_tinyint1"),
+        col("l_linenumber").cast("smallint").as("smallint_from_utinyint"),
+        (col("l_linenumber") * 100).cast("int").as("int_from_usmallint"),
+        col("l_partkey").cast("bigint").as("bigint_from_uint"),
+        col("l_orderkey").cast("decimal(20,0)").as("dec20_from_ubigint"),
+        col("l_extendedprice").cast("decimal(12,2)").as("dec12_2"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("string").as("dec_str")
+      )),
+
+    // F5-F8 — Debezium temporal encodings: epoch-day->DATE, micros->millis
+    // -of-day (TIME has no Spark type; int millis like the reference),
+    // epoch-millis->timestamp (rendered to a millisecond string so both
+    // engines compare exactly), timestamp->date
+    "temporal_conversions" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      cl.select(
+        col("offset"),
+        date_add(to_date(lit("1970-01-01")), (col("offset") % 20000).cast("int"))
+          .as("date_from_epoch_day"),
+        expr("((`offset` * 37) % 86400000000) div 1000").as("time_ms_of_day"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd HH:mm:ss.SSS")
+          .as("ts_str"),
+        to_date(timestamp_millis(col("ts_ms"))).as("date_from_ts")
+      )
+    }),
+
+    // F13 — MySQL SET -> ARRAY<STRING>
+    "set_to_array" -> ((s, dir) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        split(concat(col("l_returnflag"), lit(","), col("l_linestatus")), ",")
+          .as("set_arr")
+      )),
+
+    // F14 — Debezium-JSON envelope encode. Built with explicit concat (not
+    // to_json) so the byte-for-byte rendering is engine-independent.
+    "json_envelope" -> ((s, dir) =>
+      changelog(s, dir).select(
+        col("offset"),
+        concat(
+          lit("{\"pk\":"), col("pk").cast("string"),
+          lit(",\"op\":\""), col("op"),
+          lit("\",\"offset\":"), col("offset").cast("string"),
+          lit(",\"val\":"), col("val").cast("decimal(18,2)").cast("string"),
+          lit(",\"source\":{\"db\":\"inventory\",\"table\":\"users_"),
+          pmod(col("pk"), lit(3)).cast("string"),
+          lit("\"}}")
+        ).as("envelope")
+      )),
+
+    // F12 — WKB -> GeoJSON (custom scalar function, rows-only + ScalaTest)
+    "geometry_geojson" -> ((s, dir) => {
+      val mkPoint = udf((x: Double, y: Double) => Wkb.encodePoint(x, y))
+      val geo = udf((wkb: Array[Byte]) => Wkb.toGeoJson(wkb))
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        geo(mkPoint(col("l_quantity"), col("l_discount"))).as("geojson")
+      )
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "type_promotions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_linenumber % 2 = 1 AS bool_from_tinyint1,
+        |       CAST(l_linenumber AS SMALLINT) AS smallint_from_utinyint,
+        |       CAST(l_linenumber * 100 AS INTEGER) AS int_from_usmallint,
+        |       CAST(l_partkey AS BIGINT) AS bigint_from_uint,
+        |       CAST(l_orderkey AS DECIMAL(20,0)) AS dec20_from_ubigint,
+        |       CAST(l_extendedprice AS DECIMAL(12,2)) AS dec12_2,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_str
+        |FROM lineitem""".stripMargin,
+
+    "temporal_conversions" ->
+      s"""$changelogSql
+         |SELECT "offset",
+         |       DATE '1970-01-01' + CAST("offset" % 20000 AS INTEGER)
+         |         AS date_from_epoch_day,
+         |       (("offset" * 37) % 86400000000) // 1000 AS time_ms_of_day,
+         |       strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d %H:%M:%S.%g')
+         |         AS ts_str,
+         |       CAST(make_timestamp(ts_ms * 1000) AS DATE) AS date_from_ts
+         |FROM changelog""".stripMargin,
+
+    "set_to_array" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       string_split(l_returnflag || ',' || l_linestatus, ',') AS set_arr
+        |FROM lineitem""".stripMargin,
+
+    "json_envelope" ->
+      s"""$changelogSql
+         |SELECT "offset",
+         |       '{"pk":' || pk || ',"op":"' || op || '","offset":' || "offset"
+         |       || ',"val":' || CAST(CAST(val AS DECIMAL(18,2)) AS VARCHAR)
+         |       || ',"source":{"db":"inventory","table":"users_' || (pk % 3)
+         |       || '"}}' AS envelope
+         |FROM changelog""".stripMargin
+  )
+}
