@@ -14,7 +14,8 @@ object SparkEntry {
     cdc.model.ModelQueries,
     cdc.split.ChunkQueries,
     cdc.merge.MergeQueries,
-    cdc.types.TypeQueries
+    cdc.types.TypeQueries,
+    ext.ExtQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque binary
+  * columns with typed metadata, plus frame sampling and feature extraction.
+  *
+  * The real decode step (JPEG/PCM/H.264) needs native libraries that are not
+  * in this container — per the build contract it is STUBBED with a
+  * deterministic fake (xxhash64 of the frame bytes plays the "feature
+  * vector"), while the Spark-side plumbing — schema, binary slicing,
+  * per-frame explosion, partitioning — is real and tested.
+  */
+object Multimodal {
+
+  /** Wrap documents as binary payloads + typed metadata, the schema a real
+    * image/audio table would carry.
+    */
+  def asBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("text").cast("binary")).as("nbytes"),
+        col("source").as("origin")
+      ).as("meta")
+    )
+
+  /** Frame-sample the payload into fixed-size chunks (plays video frame
+    * extraction): one output row per frame. Narrow per-row transform —
+    * sequence+transform+posexplode, no shuffle, fully distributed.
+    *
+    * STUB: `feature` = xxhash64(frame bytes) stands in for the decoded
+    * feature vector.
+    */
+  def frames(binDocs: DataFrame, frameSize: Int): DataFrame = {
+    val nFrames = ceil(col("meta.nbytes").cast("double") / frameSize).cast("int")
+    binDocs
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameSize + 1, $frameSize)").as("frame")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        octet_length(col("frame")).as("frame_len"),
+        xxhash64(col("frame")).as("feature")
+      )
+  }
+}

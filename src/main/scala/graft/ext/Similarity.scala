@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Scale design: the query set is small and broadcast, so brute force is a
+  * BroadcastNestedLoopJoin — each executor scans its partition of the corpus
+  * once (embarrassingly parallel, no shuffle of the corpus). The LSH variant
+  * replaces the corpus scan with a bucket equi-join for corpus-sized query
+  * sets.
+  */
+object Similarity {
+
+  /** SQL-expression dot product over two float arrays (codegen'd lambda
+    * functions — no Scala UDF in the hot path).
+    */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, z) -> acc + z)")
+
+  private def norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, z) -> acc + z)"))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors. Rank ties broken by neighbor id for
+    * determinism.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qnorm", norm("qv"))
+    val n = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nnorm", norm("nv"))
+    val scored = n.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `nPlanes` sign bits per vector
+    * (hyperplane components are deterministic ±1 from murmur hash), bucket =
+    * packed bits. Candidates are same-bucket pairs — a shuffle by bucket
+    * key, never a cross join. Exact cosine re-ranks within buckets.
+    */
+  def lshTopK(emb: DataFrame, nPlanes: Int, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bit = (j: Int) =>
+      when(expr(
+        s"""aggregate(zip_with(embedding, sequence(0, ${63}),
+           |  (x, i) -> CAST(x AS DOUBLE) * CASE WHEN pmod(hash(i, $j), 2) = 0 THEN 1D ELSE -1D END),
+           |  0D, (acc, z) -> acc + z)""".stripMargin) > 0, lit(1L << j)).otherwise(lit(0L))
+    val bucketCol = (0 until nPlanes).map(bit).reduce((a, b) => a.bitwiseOR(b))
+    val bucketed = emb.select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+      .withColumn("nrm", norm("embedding"))
+    val q = bucketed.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bucket"), col("nrm").as("qnorm"))
+    val n = bucketed.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("bucket"), col("nrm").as("nnorm"))
+    n.join(broadcast(q), Seq("bucket"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("bucket"), col("rank"), col("sim"))
+  }
+}

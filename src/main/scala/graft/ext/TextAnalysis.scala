@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, fingerprinting. All narrow projections
+  * (no shuffle) built from codegen'd SQL functions; the only Scala UDF is
+  * the FNV fingerprint, which has no SQL equivalent.
+  */
+object TextAnalysis {
+
+  /** Whitespace + regex ("BPE-ish" [a-z]+ runs) token counts. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("re_tokens")
+    )
+
+  /** Quality signals. Every ratio is a single int/int division so the value
+    * is the correctly-rounded IEEE quotient in any engine (oracle-exact).
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(split(col("text"), " ")).as("word_cnt"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .cast("double").divide(length(col("text"))).as("punct_ratio"),
+      expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'is')))")
+        .cast("double").divide(size(split(col("text"), " "))).as("stop_ratio"),
+      expr("aggregate(transform(split(text, ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
+        .cast("double").divide(size(split(col("text"), " "))).as("avg_word_len")
+    )
+
+  /** Marker-word language heuristic (n-gram language ID reduced to its
+    * deterministic core so the oracle can replicate it).
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      when(col("text").contains(" the "), "en")
+        .when(col("text").contains(" der "), "de")
+        .when(col("text").contains(" la "), "fr")
+        .otherwise("unk").as("lang_guess")
+    )
+
+  /** FNV-1a 64-bit over UTF-8 bytes — stable document fingerprint. */
+  def fnv1a64(s: String): Long = {
+    if (s == null) return 0L
+    var h = 0xcbf29ce484222325L
+    for (b <- s.getBytes("UTF-8")) {
+      h ^= (b & 0xffL)
+      h *= 0x100000001b3L
+    }
+    h
+  }
+
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val fp = udf(fnv1a64 _)
+    docs.select(col("doc_id"), fp(col("text")).as("fp"))
+  }
+}

