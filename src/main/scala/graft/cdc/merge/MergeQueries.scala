@@ -77,6 +77,17 @@ object MergeQueries extends QueryPack {
         .transform(BinlogOffsets.withFilePos)
         .select(col("offset").as("start_offset"), col("file"), col("pos"), col("n_splits"))),
 
+    // T1 — chunked snapshot + (LOW, HIGH] backfill bracketing; the oracle is
+    // the direct materialization at the HIGH watermark restricted to the
+    // chunk's key range, which SnapshotProtocolSpec proves equivalent.
+    "snapshot_chunk_backfill" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val scanned = upsertMaterialize(snapshot(s, dir), cl.where(col("offset") <= 200L))
+        .select(col("pk"), col("last_offset").as("offset"), lit(OpRead).as("op"),
+          lit(0L).as("ts_ms"), col("val"), lit(null).cast("string").as("props"))
+      SnapshotProtocol.normalizeChunk(scanned, cl, 200L, 700L, Some(3L), Some(11L))
+    }),
+
     // F18 GTID interval-set containment — not SQL-expressible; rows-only +
     // ScalaTest property coverage.
     "gtid_containment" -> ((s, dir) => {
@@ -159,6 +170,19 @@ object MergeQueries extends QueryPack {
          |       max("offset") AS last_offset,
          |       arg_max(props, "offset") AS props
          |FROM changelog GROUP BY 1""".stripMargin,
+
+    "snapshot_chunk_backfill" ->
+      s"""$changelogSql,
+         |allrows AS (
+         |  SELECT "offset", pk, op, val FROM changelog WHERE "offset" <= 700
+         |  UNION ALL
+         |  SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, c_acctbal AS val FROM customer
+         |)
+         |SELECT pk, max("offset") AS "offset", 'r' AS op, 0 AS ts_ms,
+         |       arg_max(val, "offset") AS val
+         |FROM allrows WHERE pk >= 3 AND pk < 11
+         |GROUP BY pk
+         |HAVING arg_max(op, "offset") <> 'd'""".stripMargin,
 
     "tidb_resolved_ts_flush" ->
       s"""$changelogSql

@@ -1,0 +1,137 @@
+package graft.cdc.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.model.Changelog
+import graft.cdc.offsets.BinlogOffsets
+
+/** M5 — the connector facade: an options-validated builder that plays the
+  * role of the reference's `MySqlTableSourceFactory` /
+  * `MySqlSource.builder()` (MySqlTableSourceFactory.java:80-150, startup
+  * modes :196-268, validations :270-345; MySqlSource.java:75-117).
+  *
+  * `CdcSource.read(spark).option(...).load(sfDir)` yields the changelog
+  * DataFrame with the requested startup filtering and metadata applied —
+  * the same surface a user of the reference's SQL `WITH ('connector' =
+  * 'mysql-cdc', ...)` table gets, minus a live database.
+  */
+object CdcSource {
+
+  /** Startup modes (MySqlTableSourceFactory.java:196-200). */
+  object StartupMode {
+    val Initial = "initial"
+    val Earliest = "earliest-offset"
+    val Latest = "latest-offset"
+    val SpecificOffset = "specific-offset"
+    val Timestamp = "timestamp"
+    val all: Seq[String] = Seq(Initial, Earliest, Latest, SpecificOffset, Timestamp)
+  }
+
+  final class ValidationException(msg: String, cause: Throwable = null)
+      extends IllegalArgumentException(msg, cause)
+
+  def read(spark: SparkSession): Builder = new Builder(spark)
+
+  final class Builder(spark: SparkSession) {
+    private var opts = Map.empty[String, String]
+
+    def option(key: String, value: String): Builder = { opts += key -> value; this }
+    def option(key: String, value: Long): Builder = option(key, value.toString)
+
+    private def intOption(key: String, default: Int, exclusiveMin: Int): Int = {
+      val v = opts.get(key).map(_.toInt).getOrElse(default)
+      if (v <= exclusiveMin)
+        throw new ValidationException(
+          s"The value of option '$key' must larger than $exclusiveMin, but is $v")
+      v
+    }
+
+    /** Mirrors the reference's validation set: regex syntax for table
+      * filters, positive chunk/fetch sizes, distribution-factor bounds,
+      * startup-mode algebra incl. the specific-offset requirement.
+      */
+    def load(sfDir: String): DataFrame = {
+      // regex validation (MySqlTableSourceFactory.java:312-321)
+      for (key <- Seq("database-name", "table-name"); re <- opts.get(key))
+        try java.util.regex.Pattern.compile(re)
+        catch {
+          case e: Exception =>
+            throw new ValidationException(
+              s"The $key '$re' is not a valid regular expression", e)
+        }
+
+      // integer options (:296-303)
+      intOption("scan.incremental.snapshot.chunk.size", 8096, 1)
+      intOption("scan.snapshot.fetch.size", 1024, 1)
+      intOption("connection.pool.size", 20, 0)
+      intOption("connect.max-retries", 3, 0)
+
+      // distribution factor bounds (:323-345)
+      val upper = opts.get("chunk-key.even-distribution.factor.upper-bound")
+        .map(_.toDouble).getOrElse(1000.0)
+      if (upper < 1.0)
+        throw new ValidationException(
+          "The value of option 'chunk-key.even-distribution.factor.upper-bound' " +
+            s"must larger than or equals 1.0, but is $upper")
+      val lower = opts.get("chunk-key.even-distribution.factor.lower-bound")
+        .map(_.toDouble).getOrElse(0.05)
+      if (lower < 0.0 || lower > 1.0)
+        throw new ValidationException(
+          "The value of option 'chunk-key.even-distribution.factor.lower-bound' " +
+            s"must between 0.0 and 1.0 inclusively, but is $lower")
+
+      val cl = {
+        val base = Changelog.changelog(spark, sfDir)
+        opts.get("table-name") match {
+          case Some(re) =>
+            // table-include filter (P7) over the synthetic shard routing
+            base.where(concat(lit("users_"), pmod(col("pk"), lit(3))).rlike(re))
+          case None => base
+        }
+      }
+
+      // startup-mode algebra (:202-232)
+      opts.getOrElse("scan.startup.mode", StartupMode.Initial).toLowerCase match {
+        case StartupMode.Initial =>
+          Changelog.snapshot(spark, sfDir).unionByName(cl.where(col("op") =!= Changelog.OpRead))
+        case StartupMode.Earliest =>
+          cl
+        case StartupMode.Latest =>
+          cl.where(lit(false)) // bounded batch view: nothing after the end
+        case StartupMode.Timestamp =>
+          val ts = opts.getOrElse("scan.startup.timestamp-millis",
+            throw new ValidationException(
+              "'scan.startup.timestamp-millis' is required in timestamp startup mode"))
+          cl.where(col("ts_ms") >= ts.toLong)
+        case StartupMode.SpecificOffset =>
+          // gtid-set OR file+pos required (validateSpecificOffset, :234-248)
+          val gtid = opts.get("scan.startup.specific-offset.gtid-set")
+          val file = opts.get("scan.startup.specific-offset.file")
+          val pos = opts.get("scan.startup.specific-offset.pos")
+          if (gtid.isEmpty && !(file.isDefined && pos.isDefined))
+            throw new ValidationException(
+              "Unable to find a valid binlog offset. Either " +
+                "scan.startup.specific-offset.gtid-set, or " +
+                "scan.startup.specific-offset.file and " +
+                "scan.startup.specific-offset.pos are required.")
+          val withFp = BinlogOffsets.withFilePos(cl)
+          (file, pos) match {
+            case (Some(f), Some(p)) =>
+              withFp.where(BinlogOffsets.filePosGreater(col("file"), col("pos"), f, p.toLong))
+                .drop("file", "pos")
+            case _ =>
+              // GTID-set start: events whose per-row singleton GTID set is
+              // NOT already contained in the given set
+              val contained = udf(BinlogOffsets.gtidContainedWithin)
+              cl.withColumn("g", concat(lit("s1:1-"), (col("offset") + 1).cast("string")))
+                .where(!contained(col("g"), lit(gtid.get)))
+                .drop("g")
+          }
+        case other =>
+          throw new ValidationException(
+            s"Invalid value for option 'scan.startup.mode'. Supported values are " +
+              s"[${StartupMode.all.mkString(", ")}], but was: $other")
+      }
+    }
+  }
+}

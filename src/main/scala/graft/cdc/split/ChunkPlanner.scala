@@ -123,6 +123,46 @@ object ChunkPlanner {
     }
   }
 
+  /** The reference's probe-driven uneven splitter as a driver-side loop
+    * (MySqlChunkSplitter.java:188-221 nextChunkEnd): repeatedly ask the
+    * source for max(next chunkSize keys >= current boundary). Each probe is
+    * a TakeOrdered job over the pushed-down range filter — the same serial
+    * probe pattern the reference runs against MySQL, so only appropriate
+    * when chunk count is modest; [[evenChunkStats]] / [[sampleBuckets]] are
+    * the 100 TB paths.
+    * Returns (splitStart, splitEnd) with None = unbounded, exactly covering
+    * the key space: (None, b1], (b1, b2], ..., (bn, None).
+    */
+  def unevenChunkRangesIterative(
+      df: DataFrame,
+      key: String,
+      chunkSize: Int,
+      maxChunks: Int = 10000
+  ): Seq[(Option[Long], Option[Long])] = {
+    val stats = analyze(df, key).collect()(0)
+    if (stats.isNullAt(0)) return Seq((None, None))
+    val maxK = stats.getAs[Number]("max_k").longValue
+    val ranges = Seq.newBuilder[(Option[Long], Option[Long])]
+    var start: Option[Long] = None
+    var lower = stats.getAs[Number]("min_k").longValue
+    var done = false
+    var n = 0
+    while (!done && n < maxChunks) {
+      val nm = nextChunkMax(df, key, lower, chunkSize).collect()(0)
+      val boundary = if (nm.isNullAt(0)) maxK else nm.getAs[Number]("next_max").longValue
+      if (boundary >= maxK) {
+        ranges += ((start, None))
+        done = true
+      } else {
+        ranges += ((start, Some(boundary)))
+        start = Some(boundary)
+        lower = boundary + 1
+      }
+      n += 1
+    }
+    ranges.result()
+  }
+
   /** W2 — Mongo-style equi-depth buckets via ntile (SampleBucketSplitStrategy
     * .java:67-168). ntile over a global order; the production-scale variant
     * samples first (`df.sample`) exactly like the reference's `$sample`.

@@ -1,0 +1,92 @@
+package graft.cdc.source
+
+import graft.SparkTestBase
+import graft.cdc.model.Changelog
+import org.apache.spark.sql.functions._
+import CdcSource.ValidationException
+
+/** M5 — facade option validation (mirrors MySqlTableSourceFactoryTest
+  * scenarios) and startup-mode semantics.
+  */
+class CdcSourceSpec extends SparkTestBase {
+
+  private def reader = CdcSource.read(spark)
+
+  test("initial mode = snapshot + log (no snapshot reads from the log)") {
+    val df = reader.load(sfDir)
+    assert(df.where(col("offset") === -1L).count() == 150) // snapshot rows
+    assert(df.where(col("op") === "r" && col("offset") >= 0).count() == 0)
+  }
+
+  test("earliest mode = full changelog; latest = empty bounded view") {
+    assert(reader.option("scan.startup.mode", "earliest-offset").load(sfDir).count() ==
+      Changelog.changelog(spark, sfDir).count())
+    assert(reader.option("scan.startup.mode", "latest-offset").load(sfDir).count() == 0)
+  }
+
+  test("timestamp mode filters by ts and requires the option") {
+    val t = 1704844800000L
+    val df = CdcSource.read(spark)
+      .option("scan.startup.mode", "timestamp")
+      .option("scan.startup.timestamp-millis", t)
+      .load(sfDir)
+    assert(df.agg(min(col("ts_ms"))).collect()(0).getLong(0) >= t)
+    intercept[ValidationException] {
+      CdcSource.read(spark).option("scan.startup.mode", "timestamp").load(sfDir)
+    }
+  }
+
+  test("specific-offset requires gtid or file+pos; file+pos filters correctly") {
+    intercept[ValidationException] {
+      CdcSource.read(spark).option("scan.startup.mode", "specific-offset").load(sfDir)
+    }
+    intercept[ValidationException] {
+      CdcSource.read(spark).option("scan.startup.mode", "specific-offset")
+        .option("scan.startup.specific-offset.file", "mysql-bin.000001").load(sfDir)
+    }
+    val df = CdcSource.read(spark)
+      .option("scan.startup.mode", "specific-offset")
+      .option("scan.startup.specific-offset.file", "mysql-bin.000002")
+      .option("scan.startup.specific-offset.pos", 500L)
+      .load(sfDir)
+    // (file,pos) > (000002, 500) <=> offset >= 250*2 + 125  (pos = 4m+4 > 500 => m > 124)
+    assert(df.agg(min(col("offset"))).collect()(0).getLong(0) == 625L)
+  }
+
+  test("gtid-set start excludes contained prefix") {
+    val df = CdcSource.read(spark)
+      .option("scan.startup.mode", "specific-offset")
+      .option("scan.startup.specific-offset.gtid-set", "s1:1-100")
+      .load(sfDir)
+    assert(df.agg(min(col("offset"))).collect()(0).getLong(0) == 100L)
+  }
+
+  test("invalid options raise reference-style validation errors") {
+    intercept[ValidationException] {
+      CdcSource.read(spark).option("scan.startup.mode", "bogus").load(sfDir)
+    }
+    intercept[ValidationException] {
+      CdcSource.read(spark).option("table-name", "users_[").load(sfDir)
+    }
+    intercept[ValidationException] {
+      CdcSource.read(spark).option("scan.incremental.snapshot.chunk.size", 0L).load(sfDir)
+    }
+    intercept[ValidationException] {
+      CdcSource.read(spark)
+        .option("chunk-key.even-distribution.factor.upper-bound", "0.5").load(sfDir)
+    }
+    intercept[ValidationException] {
+      CdcSource.read(spark)
+        .option("chunk-key.even-distribution.factor.lower-bound", "1.5").load(sfDir)
+    }
+  }
+
+  test("table-name regex filters shards") {
+    val df = CdcSource.read(spark)
+      .option("scan.startup.mode", "earliest-offset")
+      .option("table-name", "users_[01]")
+      .load(sfDir)
+    assert(df.where(pmod(col("pk"), lit(3)) === 2).count() == 0)
+    assert(df.count() > 0)
+  }
+}

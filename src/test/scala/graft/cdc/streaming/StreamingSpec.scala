@@ -1,0 +1,56 @@
+package graft.cdc.streaming
+
+import graft.SparkTestBase
+import graft.cdc.model.Changelog
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** M4 — the streaming face must agree with the batch operators on the same
+  * data: feeding the changelog through MemoryStream + mapGroupsWithState
+  * must land in the same final state as the batch upsert materialization.
+  */
+class StreamingSpec extends SparkTestBase {
+  import StreamingOps._
+
+  test("streamed upsert state equals batch materialization over real events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val events = Changelog.changelog(spark, sfDir)
+      .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val").as("value"))
+      .as[ChangeRecord]
+      .collect()
+      .sortBy(_.offset)
+
+    val stream = MemoryStream[ChangeRecord]
+    val q = upsertMaterializeStream(stream.toDS())
+      .writeStream.format("memory").queryName("state_sink")
+      .outputMode("update").start()
+
+    // two micro-batches split mid-stream, like snapshot phase then log phase
+    val (b1, b2) = events.splitAt(events.length / 2)
+    stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+
+    // latest state per key from the update-mode sink
+    val streamed = spark.table("state_sink")
+      .groupBy($"pk")
+      .agg(max_by(struct($"last_offset", $"last_op", $"value"), $"last_offset").as("s"))
+      .select($"pk", $"s.last_offset", $"s.last_op", $"s.value")
+      .where($"s.last_op" =!= "d")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+
+    val batch = Changelog.upsertMaterialize(
+      // no snapshot side here: stream test covers pure log materialization
+      Changelog.changelog(spark, sfDir).limit(0),
+      Changelog.changelog(spark, sfDir)
+    ).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
