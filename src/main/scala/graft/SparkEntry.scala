@@ -15,6 +15,7 @@ object SparkEntry {
     cdc.split.ChunkQueries,
     cdc.merge.MergeQueries,
     cdc.types.TypeQueries,
+    cdc.source.SourceQueries,
     ext.ExtQueries
   )
 

@@ -1,0 +1,47 @@
+package graft.cdc.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.cdc.model.Changelog._
+
+/** Source-level inventory: S8 regex table discovery and the connector
+  * facade's initial-mode output exposed through the correctness gate.
+  */
+object SourceQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S8 — table discovery: distinct captured tables filtered by the
+    // database/table regex (MySqlSnapshotSplitAssigner.java:187-231)
+    "table_discovery" -> ((s, dir) =>
+      changelog(s, dir)
+        .select(lit("inventory").as("database_name"),
+          concat(lit("users_"), pmod(col("pk"), lit(3))).as("table_name"))
+        .distinct()
+        .where(col("table_name").rlike("^users_[01]$"))),
+
+    // §3.1 — the full facade path: spark "read" through CdcSource with
+    // initial startup mode (snapshot + log, snapshot reads excluded from
+    // the log side)
+    "cdc_source_initial" -> ((s, dir) =>
+      CdcSource.read(s).option("scan.startup.mode", "initial").load(dir))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "table_discovery" ->
+      s"""$changelogSql
+         |SELECT DISTINCT 'inventory' AS database_name,
+         |       'users_' || (pk % 3) AS table_name
+         |FROM changelog
+         |WHERE regexp_matches('users_' || (pk % 3), '^users_[01]$$')""".stripMargin,
+
+    "cdc_source_initial" ->
+      s"""$changelogSql
+         |SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, 0 AS ts_ms,
+         |       c_acctbal AS val, CAST(NULL AS VARCHAR) AS props
+         |FROM customer
+         |UNION ALL
+         |SELECT "offset", pk, op, ts_ms, val, props FROM changelog
+         |WHERE op <> 'r'""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+package graft.cdc.types
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ext.TextAnalysis
+
+/** Native Catalyst expressions (with `doGenCode`) for the two scalar
+  * functions that have no SQL equivalent — preferred over Scala UDFs so they
+  * stay inside whole-stage codegen (no boxing/encoder round trip):
+  *
+  *  - `graft_fnv64(string) -> bigint`: FNV-1a 64 document fingerprint
+  *  - `graft_wkb_geojson(binary) -> string`: WKB -> GeoJSON (F12; reference
+  *    MySqlDeserializationConverterFactory.java:68-113)
+  *
+  * Registered either programmatically ([[GraftFunctions.register]]) or via
+  * `spark.sql.extensions=graft.cdc.types.GraftExtensions`.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fnv64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextAnalysis.fnv1a64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextAnalysis.fnv1a64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+case class WkbGeoJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_wkb_geojson"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Wkb.toGeoJson(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.cdc.types.Wkb.toGeoJson($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): WkbGeoJson =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_fnv64"),
+      new ExpressionInfo(classOf[Fnv1a64].getName, "graft_fnv64"),
+      (children: Seq[Expression]) => Fnv1a64(children.head)),
+    (FunctionIdentifier("graft_wkb_geojson"),
+      new ExpressionInfo(classOf[WkbGeoJson].getName, "graft_wkb_geojson"),
+      (children: Seq[Expression]) => WkbGeoJson(children.head))
+  )
+
+  /** Idempotently register the native functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    all.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

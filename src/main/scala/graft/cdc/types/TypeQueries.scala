@@ -72,14 +72,32 @@ object TypeQueries extends QueryPack {
         ).as("envelope")
       )),
 
-    // F12 — WKB -> GeoJSON (custom scalar function, rows-only + ScalaTest)
+    // F16 — BSON scalar rendering zoo (MongoDBConnectorDeserializationSchema
+    // .java:565-655): ObjectId -> 24-char lowercase hex, Binary -> hex,
+    // Regex -> /pattern/options, MinKey/MaxKey sentinels, Decimal128 string
+    "bson_scalars" -> ((s, dir) =>
+      changelog(s, dir).select(
+        col("offset"),
+        format_string("%024x", col("offset")).as("object_id"),
+        hex(substring(col("props"), 1, 4).cast("binary")).as("bin_hex"),
+        concat(lit("/"), col("op"), lit("/i")).as("regex_str"),
+        when(pmod(col("pk"), lit(7)) === 0, "MIN_KEY")
+          .when(pmod(col("pk"), lit(7)) === 6, "MAX_KEY")
+          .otherwise(col("pk").cast("string")).as("minmax_key"),
+        col("val").cast("decimal(18,2)").cast("string").as("decimal128_str")
+      )),
+
+    // F12 — WKB -> GeoJSON via the native codegen'd expression
+    // (graft_wkb_geojson); only the WKB construction is a UDF (test input
+    // synthesis, not part of the operator)
     "geometry_geojson" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val mkPoint = udf((x: Double, y: Double) => Wkb.encodePoint(x, y))
-      val geo = udf((wkb: Array[Byte]) => Wkb.toGeoJson(wkb))
       table(s, dir, "lineitem").select(
         col("l_orderkey"),
         col("l_linenumber"),
-        geo(mkPoint(col("l_quantity"), col("l_discount"))).as("geojson")
+        call_function("graft_wkb_geojson",
+          mkPoint(col("l_quantity"), col("l_discount"))).as("geojson")
       )
     })
   )
@@ -105,6 +123,18 @@ object TypeQueries extends QueryPack {
          |       strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d %H:%M:%S.%g')
          |         AS ts_str,
          |       CAST(make_timestamp(ts_ms * 1000) AS DATE) AS date_from_ts
+         |FROM changelog""".stripMargin,
+
+    "bson_scalars" ->
+      s"""$changelogSql
+         |SELECT "offset",
+         |       printf('%024x', "offset") AS object_id,
+         |       hex(CAST(substring(props, 1, 4) AS BLOB)) AS bin_hex,
+         |       '/' || op || '/i' AS regex_str,
+         |       CASE WHEN pk % 7 = 0 THEN 'MIN_KEY'
+         |            WHEN pk % 7 = 6 THEN 'MAX_KEY'
+         |            ELSE CAST(pk AS VARCHAR) END AS minmax_key,
+         |       CAST(CAST(val AS DECIMAL(18,2)) AS VARCHAR) AS decimal128_str
          |FROM changelog""".stripMargin,
 
     "set_to_array" ->

@@ -58,8 +58,11 @@ object TextAnalysis {
     h
   }
 
+  /** Uses the native codegen'd expression (graft_fnv64), not a UDF, so the
+    * projection stays inside whole-stage codegen.
+    */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val fp = udf(fnv1a64 _)
-    docs.select(col("doc_id"), fp(col("text")).as("fp"))
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), call_function("graft_fnv64", col("text")).as("fp"))
   }
 }

@@ -1,0 +1,52 @@
+package graft.cdc.types
+
+import graft.SparkTestBase
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Native expression coverage: SQL registration, agreement with the Scala
+  * implementation, codegen participation, null and type-error behavior.
+  */
+class GraftExpressionsSpec extends SparkTestBase {
+
+  test("graft_fnv64 via SQL agrees with the Scala implementation") {
+    GraftFunctions.register(spark)
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("text", "graft_fnv64(text) AS fp").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == TextAnalysis.fnv1a64(r.getString(0))))
+  }
+
+  test("graft_wkb_geojson via SQL round-trips a point") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1.5, -2.25)).toDF("x", "y")
+    val mkPoint = udf((x: Double, y: Double) => Wkb.encodePoint(x, y))
+    val out = df.select(call_function("graft_wkb_geojson", mkPoint($"x", $"y")))
+      .collect()(0).getString(0)
+    assert(out == """{"type":"Point","coordinates":[1.5,-2.25]}""")
+  }
+
+  test("null input yields null (UnaryExpression null handling)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_fnv64(CAST(NULL AS STRING)), graft_wkb_geojson(CAST(NULL AS BINARY))")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("wrong argument type fails analysis with the expression's message") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_fnv64(42)").collect())
+    assert(e.getMessage.contains("graft_fnv64"))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("graft_fnv64(text)")
+      .queryExecution.executedPlan
+    // the "*(n)" prefix marks WholeStageCodegen spans; the projection
+    // containing the expression must carry it
+    assert(plan.toString.linesIterator.next().trim.startsWith("*("))
+  }
+}
