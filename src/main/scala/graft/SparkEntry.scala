@@ -16,6 +16,7 @@ object SparkEntry {
     cdc.merge.MergeQueries,
     cdc.types.TypeQueries,
     cdc.source.SourceQueries,
+    relational.RelationalQueries,
     ext.ExtQueries
   )
 

@@ -1,0 +1,111 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.cdc.model.Changelog._
+
+/** The general-relational operators SURVEY.md §2 marks "absent in the
+  * reference, free from Spark" (J3 as-of join, W3 window functions, O4 set
+  * ops, A7 rollup/cube) — implemented so a reference user gets the full
+  * query surface from one library.
+  */
+object RelationalQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J3 — as-of join: for each change event, the latest order (by
+    // o_orderdate, ties by o_orderkey) of that user at or before the event
+    // time. Equi-join on the key + max_by aggregation: shuffles once by
+    // join key, partial-aggregates map-side — the scalable as-of shape
+    // (no window sort over the fact table).
+    "asof_join_last_event" -> ((s, dir) => {
+      val ev = changelog(s, dir).select(col("offset"), col("pk"), col("ts_ms"))
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast to
+      // TIMESTAMP is an identity relabel for epoch-millis extraction
+      val odMs = unix_millis(col("o_orderdate").cast("timestamp"))
+      val ord = table(s, dir, "orders").select(
+        col("o_custkey"),
+        (odMs * 100000 + col("o_orderkey")).as("od_key"),
+        odMs.as("od_ms")
+      )
+      ev.join(ord, col("pk") === col("o_custkey") && col("od_ms") <= col("ts_ms"))
+        .groupBy(col("offset"), col("pk"))
+        .agg(max(col("od_key")).as("m"))
+        .select(col("offset"), col("pk"),
+          expr("m % 100000").as("o_orderkey"),
+          expr("m div 100000").as("o_orderdate_ms"))
+    }),
+
+    // W3 — rank/dense_rank/lag frame over orders per customer
+    "window_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("o_totalprice").cast("decimal(18,2)"), 1).over(w).as("prev_price")
+      )
+    }),
+
+    // O4 — intersect/except: customers below 100 with vs without orders
+    "set_ops" -> ((s, dir) => {
+      val c = table(s, dir, "customer").where(col("c_custkey") < 100)
+        .select(col("c_custkey").as("k"))
+      val o = table(s, dir, "orders").select(col("o_custkey").as("k"))
+      c.intersect(o).withColumn("tag", lit("both"))
+        .unionByName(c.except(o).withColumn("tag", lit("cust_only")))
+    }),
+
+    // A7 — rollup aggregation with decimal-exact sums
+    "rollup_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("cnt")
+        ))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "asof_join_last_event" ->
+      s"""$changelogSql
+         |SELECT c."offset", c.pk,
+         |       max(epoch_ms(o.o_orderdate) * 100000 + o.o_orderkey) % 100000
+         |         AS o_orderkey,
+         |       max(epoch_ms(o.o_orderdate) * 100000 + o.o_orderkey) // 100000
+         |         AS o_orderdate_ms
+         |FROM changelog c JOIN orders o
+         |  ON c.pk = o.o_custkey AND epoch_ms(o.o_orderdate) <= c.ts_ms
+         |GROUP BY c."offset", c.pk""".stripMargin,
+
+    "window_functions" ->
+      """SELECT o_orderkey, o_custkey,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "set_ops" ->
+      """SELECT k, 'both' AS tag FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey < 100
+        |  INTERSECT
+        |  SELECT o_custkey AS k FROM orders)
+        |UNION ALL
+        |SELECT k, 'cust_only' AS tag FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey < 100
+        |  EXCEPT
+        |  SELECT o_custkey AS k FROM orders)""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+  )
+}
