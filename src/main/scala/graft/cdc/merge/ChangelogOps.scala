@@ -70,6 +70,15 @@ object ChangelogOps {
       when(col("op") === OpRead, lit(0L)).otherwise(col("ts_ms")).as("op_ts")
     )
 
+  /** P9 — row-value validator hook (reference: RowDataDebeziumDeserialize
+    * Schema.ValueValidator / PostgresValueValidator): the returned frame
+    * throws at execution time when any row violates `cond`, like the
+    * reference's per-row validation callback. assert_true lives inside a
+    * Filter so the optimizer cannot prune it.
+    */
+  def validated(df: DataFrame, cond: Column, message: String): DataFrame =
+    df.where(coalesce(assert_true(cond, lit(message)).cast("boolean"), lit(true)))
+
   /** J2 — per-split emit filter: a log event is emitted iff its key falls in
     * a finished split's range AND its offset is past that split's high
     * watermark. `splits` is planner metadata (tiny) — broadcast it so the

@@ -72,6 +72,27 @@ object TypeQueries extends QueryPack {
         ).as("envelope")
       )),
 
+    // F14 inverse — decode the Debezium-JSON envelope back to changelog
+    // fields (JsonDebeziumDeserializationSchema round trip)
+    "json_envelope_decode" -> ((s, dir) => {
+      val env = concat(
+        lit("{\"pk\":"), col("pk").cast("string"),
+        lit(",\"op\":\""), col("op"),
+        lit("\",\"offset\":"), col("offset").cast("string"),
+        lit(",\"val\":"), col("val").cast("decimal(18,2)").cast("string"),
+        lit(",\"source\":{\"db\":\"inventory\",\"table\":\"users_"),
+        pmod(col("pk"), lit(3)).cast("string"),
+        lit("\"}}")
+      )
+      changelog(s, dir).withColumn("envelope", env).select(
+        col("offset"),
+        get_json_object(col("envelope"), "$.pk").cast("bigint").as("pk_parsed"),
+        get_json_object(col("envelope"), "$.op").as("op_parsed"),
+        get_json_object(col("envelope"), "$.val").cast("decimal(18,2)").as("val_parsed"),
+        get_json_object(col("envelope"), "$.source.table").as("tbl_parsed")
+      )
+    }),
+
     // F16 — BSON scalar rendering zoo (MongoDBConnectorDeserializationSchema
     // .java:565-655): ObjectId -> 24-char lowercase hex, Binary -> hex,
     // Regex -> /pattern/options, MinKey/MaxKey sentinels, Decimal128 string
@@ -124,6 +145,21 @@ object TypeQueries extends QueryPack {
          |         AS ts_str,
          |       CAST(make_timestamp(ts_ms * 1000) AS DATE) AS date_from_ts
          |FROM changelog""".stripMargin,
+
+    "json_envelope_decode" ->
+      s"""$changelogSql,
+         |e AS (SELECT "offset",
+         |        '{"pk":' || pk || ',"op":"' || op || '","offset":' || "offset"
+         |        || ',"val":' || CAST(CAST(val AS DECIMAL(18,2)) AS VARCHAR)
+         |        || ',"source":{"db":"inventory","table":"users_' || (pk % 3)
+         |        || '"}}' AS envelope
+         |      FROM changelog)
+         |SELECT "offset",
+         |       CAST(json_extract_string(envelope, '$$.pk') AS BIGINT) AS pk_parsed,
+         |       json_extract_string(envelope, '$$.op') AS op_parsed,
+         |       CAST(json_extract_string(envelope, '$$.val') AS DECIMAL(18,2)) AS val_parsed,
+         |       json_extract_string(envelope, '$$.source.table') AS tbl_parsed
+         |FROM e""".stripMargin,
 
     "bson_scalars" ->
       s"""$changelogSql
