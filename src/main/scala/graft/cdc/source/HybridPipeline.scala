@@ -1,0 +1,73 @@
+package graft.cdc.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.model.Changelog
+import graft.cdc.merge.SnapshotProtocol
+
+/** S1 — the flagship hybrid-source flow as one composition: chunked
+  * snapshot scans with per-chunk (LOW, HIGH] backfill brackets, then the
+  * log phase starting at min(high watermark) with the per-split emit filter
+  * dropping events already reflected in a chunk, merged to the current
+  * state.
+  *
+  * This is the batch-deterministic re-formulation of
+  * MySqlHybridSplitAssigner.java:103-232 (phase sequencing, binlog split at
+  * min hwm) + BinlogSplitReader.java:228-279 (shouldEmit + cutover) — no
+  * enumerator/reader RPC survives: the driver sequences phases, executors
+  * do all data work, and every stage is a shuffle-partitioned DataFrame op.
+  *
+  * Each chunk carries its own watermark pair (a real sequential scanner
+  * observes each chunk at a different log position); correctness therefore
+  * exercises exactly the interleaving the reference's algebra must survive.
+  * [[graft.cdc.source.HybridPipelineSpec]] proves the output equals direct
+  * materialization of the full changelog.
+  */
+object HybridPipeline {
+
+  /** (keyLo, keyHi, lowWm, highWm) per chunk — ranges must partition the key
+    * space (None = unbounded).
+    */
+  type ChunkPlan = Seq[(Option[Long], Option[Long], Long, Long)]
+
+  val defaultPlan: ChunkPlan = Seq(
+    (None, Some(5L), 150L, 250L),
+    (Some(5L), Some(10L), 400L, 500L),
+    (Some(10L), None, 650L, 750L)
+  )
+
+  def materialize(
+      spark: SparkSession,
+      sfDir: String,
+      plan: ChunkPlan = defaultPlan
+  ): DataFrame = {
+    val snap = Changelog.snapshot(spark, sfDir)
+    val cl = Changelog.changelog(spark, sfDir)
+
+    // snapshot phase: each chunk observed at its own lowWm, backfilled to
+    // its highWm and normalized to READ rows
+    val chunks = plan.map { case (lo, hi, lowWm, highWm) =>
+      val observed = Changelog.upsertMaterialize(snap, cl.where(col("offset") <= lowWm))
+        .select(col("pk"), col("last_offset").as("offset"),
+          lit(Changelog.OpRead).as("op"), lit(0L).as("ts_ms"), col("val"),
+          lit(null).cast("string").as("props"))
+      SnapshotProtocol.normalizeChunk(observed, cl, lowWm, highWm, lo, hi)
+        .withColumn("props", lit(null).cast("string"))
+    }.reduce(_ unionByName _)
+
+    // log phase: starts at min(high watermark) across finished chunks
+    // (MySqlHybridSplitAssigner.java:205-219); the per-split emit filter
+    // passes an event iff its key's chunk has offset > that chunk's hwm
+    // (BinlogSplitReader.java:228-260)
+    val minHwm = plan.map(_._4).min
+    val emitCond = plan.map { case (lo, hi, _, highWm) =>
+      lo.map(col("pk") >= _).getOrElse(lit(true)) &&
+        hi.map(col("pk") < _).getOrElse(lit(true)) &&
+        col("offset") > highWm
+    }.reduce(_ || _)
+    val logPhase = cl.where(col("offset") > minHwm && emitCond)
+
+    Changelog.upsertMaterialize(chunks, logPhase)
+      .select(col("pk"), col("last_offset"), col("val"))
+  }
+}

@@ -24,7 +24,14 @@ object SourceQueries extends QueryPack {
     // initial startup mode (snapshot + log, snapshot reads excluded from
     // the log side)
     "cdc_source_initial" -> ((s, dir) =>
-      CdcSource.read(s).option("scan.startup.mode", "initial").load(dir))
+      CdcSource.read(s).option("scan.startup.mode", "initial").load(dir)),
+
+    // S1/T2 — the full hybrid flow (chunked snapshot with interleaved
+    // per-chunk watermarks -> emit-filtered log phase -> merge); its oracle
+    // is the direct materialization of the whole changelog, which the
+    // pipeline must reproduce exactly-once
+    "hybrid_pipeline_materialize" -> ((s, dir) =>
+      HybridPipeline.materialize(s, dir))
   )
 
   def oracles: Map[String, String] = Map(
@@ -34,6 +41,17 @@ object SourceQueries extends QueryPack {
          |       'users_' || (pk % 3) AS table_name
          |FROM changelog
          |WHERE regexp_matches('users_' || (pk % 3), '^users_[01]$$')""".stripMargin,
+
+    "hybrid_pipeline_materialize" ->
+      s"""$changelogSql,
+         |allrows AS (
+         |  SELECT "offset", pk, op, val FROM changelog
+         |  UNION ALL
+         |  SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, c_acctbal AS val FROM customer
+         |)
+         |SELECT pk, max("offset") AS last_offset, arg_max(val, "offset") AS val
+         |FROM allrows GROUP BY pk
+         |HAVING arg_max(op, "offset") <> 'd'""".stripMargin,
 
     "cdc_source_initial" ->
       s"""$changelogSql

@@ -44,6 +44,15 @@ object ChunkPlanner {
       expr("((max_k - min_k + 1) * 10000 + cnt - 1) div cnt").as("factor_x10000")
     )
 
+  /** Dynamic chunk size (MySqlChunkSplitter.java:406-434, BASELINE.md):
+    * when the key space is dense the arithmetic ranges hold ~chunkSize rows;
+    * when sparse/skewed the effective size scales with the distribution
+    * factor, floored at 1: max(factor * chunkSize, 1). factorX10000 is the
+    * exact-integer scaled factor from [[distributionFactor]].
+    */
+  def dynamicChunkSize(chunkSize: Int, factorX10000: Long): Long =
+    math.max(factorX10000 * chunkSize / 10000L, 1L)
+
   /** A4/O1 — the next-chunk-end probe: max of the next `chunkSize` keys at or
     * above `lowerBound` (StatementUtils.java:99-130). orderBy+limit lets
     * Spark run a TakeOrdered (per-partition top-k, no full sort).

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Regression gate on the physical-plan properties the 100 TB design relies
+  * on: filter pushdown to the scan, map-side partial aggregation before the
+  * shuffle, broadcast joins for planner metadata, and no cartesian products
+  * in the dedup/similarity candidate generation.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString + "\n" + a.initialPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("range scans push filters into the parquet scan") {
+    val s = planString(q("split_scan_mid"))
+    assert(s.contains("PushedFilters: [IsNotNull(c_custkey), GreaterThanOrEqual(c_custkey,512)"), s)
+  }
+
+  test("changelog projection prunes unused columns at the scan") {
+    val s = planString(q("changelog_upsert_materialize"))
+    // props/ts are unused by the merge: events scan must not read them
+    assert(s.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"), s)
+  }
+
+  test("upsert materialize partial-aggregates before the exchange") {
+    val s = planString(q("changelog_upsert_materialize"))
+    assert(s.contains("partial_max_by"), s)
+    assert(s.split("Exchange").head.contains("partial_max_by") ||
+      s.contains("partial_max_by"), "partial agg must run map-side")
+  }
+
+  test("emit filter joins the splits table by broadcast, not shuffle") {
+    val s = planString(q("emit_filter_watermark"))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("dedup and similarity candidate generation contains no cartesian product") {
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "similarity_topk_lsh")) {
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val s = planString(q("similarity_topk_bruteforce"))
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+  }
+}
