@@ -21,11 +21,12 @@ object SparkEntry {
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The hybrid-source materialization: snapshot ∪ changelog → current state
-    * (reference J1/W1, RecordUtils.java:77-114).
+    * The full hybrid-source flow: chunked snapshot with per-chunk watermark
+    * brackets → emit-filtered log phase → current state (reference S1/T1/T2;
+    * MySqlHybridSplitAssigner.java:103-232, BinlogSplitReader.java:228-279).
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("changelog_upsert_materialize")(spark, "/root/testdata/sf0.001")
+    queries("hybrid_pipeline_materialize")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

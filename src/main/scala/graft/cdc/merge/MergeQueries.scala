@@ -77,6 +77,26 @@ object MergeQueries extends QueryPack {
         .transform(BinlogOffsets.withFilePos)
         .select(col("offset").as("start_offset"), col("file"), col("pos"), col("n_splits"))),
 
+    // J1/W1 under skew: salted two-stage reduction, same semantics (and
+    // same oracle) as the single-shuffle merge
+    "changelog_upsert_materialize_salted" -> ((s, dir) =>
+      Skew.saltedUpsertMaterialize(snapshot(s, dir), changelog(s, dir), buckets = 8)),
+
+    // nested BSON-document style extraction (§1.3 Mongo path: Document ->
+    // ROW, Document -> MAP): parse props into a struct and a map, project
+    // fields from both
+    "nested_struct_extract" -> ((s, dir) =>
+      changelog(s, dir).select(
+        col("offset"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_from_struct"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType))
+          .getItem("k").as("k_from_map")
+      )),
+
     // T1 — chunked snapshot + (LOW, HIGH] backfill bracketing; the oracle is
     // the direct materialization at the HIGH watermark restricted to the
     // chunk's key range, which SnapshotProtocolSpec proves equivalent.
@@ -170,6 +190,26 @@ object MergeQueries extends QueryPack {
          |       max("offset") AS last_offset,
          |       arg_max(props, "offset") AS props
          |FROM changelog GROUP BY 1""".stripMargin,
+
+    "changelog_upsert_materialize_salted" ->
+      s"""$changelogSql,
+         |allrows AS (
+         |  SELECT "offset", pk, op, val FROM changelog
+         |  UNION ALL
+         |  SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, c_acctbal AS val FROM customer
+         |)
+         |SELECT pk, max("offset") AS last_offset,
+         |       arg_max(op, "offset") AS last_op,
+         |       arg_max(val, "offset") AS val
+         |FROM allrows GROUP BY pk
+         |HAVING arg_max(op, "offset") <> 'd'""".stripMargin,
+
+    "nested_struct_extract" ->
+      s"""$changelogSql
+         |SELECT "offset",
+         |       CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k_from_struct,
+         |       CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k_from_map
+         |FROM changelog""".stripMargin,
 
     "snapshot_chunk_backfill" ->
       s"""$changelogSql,

@@ -64,6 +64,31 @@ object StreamingOps {
       }
   }
 
+  /** Hybrid continuation: same stateful materialization, seeded with the
+    * snapshot-phase state (the chunk outputs of
+    * [[graft.cdc.source.HybridPipeline]]) so the stream picks up exactly
+    * where the batch snapshot finished — the reference's snapshot->binlog
+    * phase handover as initial state-store contents.
+    */
+  def upsertMaterializeStreamFrom(
+      changelog: Dataset[ChangeRecord],
+      initial: Dataset[KeyState]
+  ): Dataset[KeyState] = {
+    import changelog.sparkSession.implicits._
+    changelog
+      .groupByKey(_.pk)
+      .mapGroupsWithState[KeyState, KeyState](
+        GroupStateTimeout.NoTimeout, initial.groupByKey(_.pk)) {
+        (pk, records, state: GroupState[KeyState]) =>
+          val init = state.getOption.getOrElse(KeyState(pk, Long.MinValue, "", 0.0))
+          val last = records.foldLeft(init) { (acc, r) =>
+            if (r.offset > acc.last_offset) KeyState(pk, r.offset, r.op, r.value) else acc
+          }
+          state.update(last)
+          last
+      }
+  }
+
   /** foreachBatch wiring: apply any batch transform incrementally. The
     * caller's function sees each micro-batch as a plain DataFrame, so every
     * batch operator in this library applies unchanged.

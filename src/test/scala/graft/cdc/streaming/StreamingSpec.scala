@@ -53,4 +53,49 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("hybrid handover: snapshot-phase state + streamed log tail == direct state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val W = 400L
+
+    // snapshot phase: materialized state at offset W seeds the state store
+    val init = Changelog.upsertMaterialize(
+        Changelog.snapshot(spark, sfDir),
+        Changelog.changelog(spark, sfDir).where(col("offset") <= W))
+      .select(col("pk"), col("last_offset"), col("last_op"), col("val").as("value"))
+      .as[KeyState]
+
+    // log phase: only the tail past W flows through the stream
+    val tail = Changelog.changelog(spark, sfDir)
+      .where(col("offset") > W)
+      .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val").as("value"))
+      .as[ChangeRecord].collect().sortBy(_.offset)
+
+    val stream = MemoryStream[ChangeRecord]
+    val q = upsertMaterializeStreamFrom(stream.toDS(), init)
+      .writeStream.format("memory").queryName("hybrid_sink")
+      .outputMode("update").start()
+    stream.addData(tail.toIndexedSeq); q.processAllAvailable(); q.stop()
+
+    // final state = initial snapshot keys overridden by streamed updates
+    val streamedUpdates = spark.table("hybrid_sink")
+      .groupBy($"pk")
+      .agg(max_by(struct($"last_offset", $"last_op", $"value"), $"last_offset").as("s"))
+      .select($"pk", $"s.last_offset", $"s.last_op", $"s.value")
+    val finalState = init.toDF().unionByName(streamedUpdates)
+      .groupBy($"pk")
+      .agg(max_by(struct($"last_offset", $"last_op", $"value"), $"last_offset").as("s"))
+      .where($"s.last_op" =!= "d")
+      .select($"pk", $"s.value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    val direct = Changelog.upsertMaterialize(
+        Changelog.snapshot(spark, sfDir), Changelog.changelog(spark, sfDir))
+      .select(col("pk"), col("val"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    assert(finalState == direct)
+  }
 }
