@@ -44,6 +44,20 @@ object ChunkPlanner {
       expr("((max_k - min_k + 1) * 10000 + cnt - 1) div cnt").as("factor_x10000")
     )
 
+  /** The even-vs-uneven split decision (MySqlChunkSplitter.java:406-452):
+    * evenly-sized arithmetic ranges are used iff the distribution factor
+    * lies inside [lower, upper] (defaults 0.05 and 1000.0,
+    * MySqlSourceOptions.java:207-226); outside the band the splitter falls
+    * back to probe-driven uneven ranges. Bounds are exact-integer scaled
+    * like [[distributionFactor]].
+    */
+  def useEvenSplit(
+      factorX10000: Long,
+      lowerX10000: Long = 500L,
+      upperX10000: Long = 10000000L
+  ): Boolean =
+    factorX10000 >= lowerX10000 && factorX10000 <= upperX10000
+
   /** Dynamic chunk size (MySqlChunkSplitter.java:406-434, BASELINE.md):
     * when the key space is dense the arithmetic ranges hold ~chunkSize rows;
     * when sparse/skewed the effective size scales with the distribution

@@ -39,6 +39,36 @@ class ChunkPlannerSpec extends SparkTestBase {
     assert(sum == total)
   }
 
+  test("non-contiguous PKs (customer.sql-style gaps) split disjoint-covering") {
+    // mirrors the reference's ddl/customer.sql deliberately gapped ids
+    val s = spark
+    import s.implicits._
+    val gapped = (Seq(101L, 102L, 103L, 109L, 110L, 111L, 118L, 121L, 123L) ++
+      (1000L to 1040L by 7) ++ Seq(2000L, 5000L)).toDF("c_custkey")
+    for (chunkSize <- Seq(3, 5)) {
+      val ranges = ChunkPlanner.unevenChunkRangesIterative(gapped, "c_custkey", chunkSize)
+      val keys = gapped.collect().map(_.getLong(0))
+      for (k <- keys) {
+        val n = ranges.count { case (lo, hi) => lo.forall(k > _) && hi.forall(k <= _) }
+        assert(n == 1, s"key $k in $n chunks")
+      }
+    }
+  }
+
+  test("even/uneven decision follows the reference's factor band") {
+    // dense keys: factor ~1.0 -> even
+    val dense = ChunkPlanner.distributionFactor(customer, "c_custkey")
+      .collect()(0).getAs[Long]("factor_x10000")
+    assert(ChunkPlanner.useEvenSplit(dense))
+    // sparse synthetic: factor far above upper bound -> uneven
+    assert(!ChunkPlanner.useEvenSplit(factorX10000 = 20000000000L))
+    // ultra-dense duplicates: factor below lower bound -> uneven
+    assert(!ChunkPlanner.useEvenSplit(factorX10000 = 100L))
+    // dynamic chunk size floors at 1
+    assert(ChunkPlanner.dynamicChunkSize(8096, 1L) == 1L)
+    assert(ChunkPlanner.dynamicChunkSize(8096, 10000L) == 8096L)
+  }
+
   test("analyze returns min<=max and exact count") {
     val r = ChunkPlanner.analyze(customer, "c_custkey").collect()(0)
     assert(r.getAs[Number]("min_k").longValue <= r.getAs[Number]("max_k").longValue)
