@@ -93,6 +93,15 @@ object TypeQueries extends QueryPack {
       )
     }),
 
+    // F15 — debugging string envelope (StringDebeziumDeserializationSchema:
+    // record.toString() format)
+    "string_envelope" -> ((s, dir) =>
+      changelog(s, dir).select(
+        col("offset"),
+        format_string("SourceRecord{pk=%d, op=%s, offset=%d}",
+          col("pk"), col("op"), col("offset")).as("rendered")
+      )),
+
     // F16 — BSON scalar rendering zoo (MongoDBConnectorDeserializationSchema
     // .java:565-655): ObjectId -> 24-char lowercase hex, Binary -> hex,
     // Regex -> /pattern/options, MinKey/MaxKey sentinels, Decimal128 string
@@ -144,6 +153,13 @@ object TypeQueries extends QueryPack {
          |       strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d %H:%M:%S.%g')
          |         AS ts_str,
          |       CAST(make_timestamp(ts_ms * 1000) AS DATE) AS date_from_ts
+         |FROM changelog""".stripMargin,
+
+    "string_envelope" ->
+      s"""$changelogSql
+         |SELECT "offset",
+         |       printf('SourceRecord{pk=%d, op=%s, offset=%d}', pk, op, "offset")
+         |         AS rendered
          |FROM changelog""".stripMargin,
 
     "json_envelope_decode" ->

@@ -98,4 +98,39 @@ class StreamingSpec extends SparkTestBase {
 
     assert(finalState == direct)
   }
+
+  test("T4 beyond-parity: event-time tumbling window with watermark over the stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val stream = MemoryStream[ChangeRecord]
+    val windowed = stream.toDS()
+      .withColumn("event_time", timestamp_millis($"ts_ms"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window($"event_time", "1 day"), $"op")
+      .agg(count(lit(1)).as("cnt"))
+    val q = windowed.writeStream.format("memory").queryName("win_sink")
+      .outputMode("append").start()
+
+    val events = Changelog.changelog(spark, sfDir)
+      .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val").as("value"))
+      .as[ChangeRecord].collect().sortBy(_.ts_ms)
+    stream.addData(events.toIndexedSeq)
+    q.processAllAvailable()
+    // advance the watermark far past the data so all windows close
+    stream.addData(ChangeRecord(Long.MaxValue, 0L, "u",
+      events.last.ts_ms + 30L * 86400000L, 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_sink")
+      .select(unix_millis($"window.start").as("ws"), $"op", $"cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect = Changelog.changelog(spark, sfDir)
+      .groupBy((floor($"ts_ms" / 86400000L) * 86400000L).as("ws"), $"op")
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
