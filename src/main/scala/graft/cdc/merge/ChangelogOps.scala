@@ -51,11 +51,11 @@ object ChangelogOps {
   def upsertMode(extracted: DataFrame): DataFrame =
     extracted.where(col("row_kind") =!= "-U")
 
-  /** P5/T6 — drop heartbeat events (synthetic rule: snapshot-read rows with
-    * val < 50 play heartbeats; the reference filters on a dedicated topic
-    * name, RecordUtils.java:226-230).
+  /** P5/T6 — predicate keeping non-heartbeat events (synthetic rule:
+    * snapshot-read rows with val < 50 play heartbeats; the reference filters
+    * on a dedicated topic name, RecordUtils.java:226-230).
     */
-  def dropHeartbeats(changelog: DataFrame): Column =
+  def dropHeartbeats: Column =
     !(col("op") === OpRead && col("val") < 50)
 
   /** P8 — metadata projection: database/table/schema name + op_ts (0 for

@@ -33,11 +33,9 @@ object MergeQueries extends QueryPack {
     "changelog_mode_upsert" -> ((s, dir) =>
       ChangelogOps.upsertMode(ChangelogOps.extractRows(changelog(s, dir)))),
 
-    "heartbeat_filter" -> ((s, dir) => {
-      val cl = changelog(s, dir)
-      cl.where(ChangelogOps.dropHeartbeats(cl))
-        .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val"))
-    }),
+    "heartbeat_filter" -> ((s, dir) =>
+      changelog(s, dir).where(ChangelogOps.dropHeartbeats)
+        .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val"))),
 
     "metadata_columns" -> ((s, dir) =>
       ChangelogOps.withMetadata(changelog(s, dir))),
@@ -247,8 +245,8 @@ object MergeQueries extends QueryPack {
          |h AS (SELECT pk % 8 AS split_id, max("offset") AS hwm
          |      FROM changelog GROUP BY 1)
          |SELECT min(hwm) AS start_offset,
-         |       'mysql-bin.' || lpad(CAST(min(hwm) // 250 AS VARCHAR), 6, '0') AS file,
-         |       (min(hwm) % 250) * 4 + 4 AS pos,
+         |       'mysql-bin.' || lpad(CAST(min(hwm) // ${BinlogOffsets.EventsPerFile} AS VARCHAR), 6, '0') AS file,
+         |       (min(hwm) % ${BinlogOffsets.EventsPerFile}) * 4 + 4 AS pos,
          |       count(*) AS n_splits
          |FROM h""".stripMargin
   )

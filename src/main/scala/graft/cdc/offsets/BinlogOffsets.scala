@@ -18,19 +18,21 @@ object BinlogOffsets {
 
   /** file = mysql-bin.NNNNNN, pos = 4 + 4*(offset % EventsPerFile) — mirrors
     * MySQL's 4-byte magic header + fixed event spacing. Exact integer
-    * arithmetic so the oracle matches bit-for-bit.
+    * arithmetic so the oracle matches bit-for-bit; both the Spark and the
+    * DuckDB forms interpolate [[EventsPerFile]] so they cannot drift.
     */
   def withFilePos(df: DataFrame): DataFrame =
     df.withColumn(
         "file",
-        concat(lit("mysql-bin."), lpad(expr("cast(`offset` div 250 as string)"), 6, "0"))
+        concat(lit("mysql-bin."),
+          lpad(expr(s"cast(`offset` div $EventsPerFile as string)"), 6, "0"))
       )
-      .withColumn("pos", expr("(`offset` % 250) * 4 + 4"))
+      .withColumn("pos", expr(s"(`offset` % $EventsPerFile) * 4 + 4"))
 
   /** SQL fragment computing the same file/pos (DuckDB). */
   val filePosSql: String =
-    """'mysql-bin.' || lpad(CAST("offset" // 250 AS VARCHAR), 6, '0') AS file,
-      |("offset" % 250) * 4 + 4 AS pos""".stripMargin
+    s"""'mysql-bin.' || lpad(CAST("offset" // $EventsPerFile AS VARCHAR), 6, '0') AS file,
+       |("offset" % $EventsPerFile) * 4 + 4 AS pos""".stripMargin
 
   /** Sortable single-string encoding of (file, pos) — file names are
     * zero-padded so lexicographic order == (file, pos) order. Used for

@@ -80,20 +80,21 @@ object CdcSource {
           "The value of option 'chunk-key.even-distribution.factor.lower-bound' " +
             s"must between 0.0 and 1.0 inclusively, but is $lower")
 
-      val cl = {
-        val base = Changelog.changelog(spark, sfDir)
-        opts.get("table-name") match {
-          case Some(re) =>
-            // table-include filter (P7) over the synthetic shard routing
-            base.where(concat(lit("users_"), pmod(col("pk"), lit(3))).rlike(re))
-          case None => base
-        }
+      // table-include filter (P7) over the synthetic shard routing — applied
+      // to BOTH the log side and (in initial mode) the snapshot side, like
+      // the reference's capture list governs both phases
+      val tableFilter: DataFrame => DataFrame = opts.get("table-name") match {
+        case Some(re) =>
+          df => df.where(graft.cdc.merge.ChangelogOps.tableNameCol.rlike(re))
+        case None => identity
       }
+      val cl = tableFilter(Changelog.changelog(spark, sfDir))
 
       // startup-mode algebra (:202-232)
       opts.getOrElse("scan.startup.mode", StartupMode.Initial).toLowerCase match {
         case StartupMode.Initial =>
-          Changelog.snapshot(spark, sfDir).unionByName(cl.where(col("op") =!= Changelog.OpRead))
+          tableFilter(Changelog.snapshot(spark, sfDir))
+            .unionByName(cl.where(col("op") =!= Changelog.OpRead))
         case StartupMode.Earliest =>
           cl
         case StartupMode.Latest =>

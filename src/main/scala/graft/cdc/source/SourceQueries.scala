@@ -16,7 +16,7 @@ object SourceQueries extends QueryPack {
     "table_discovery" -> ((s, dir) =>
       changelog(s, dir)
         .select(lit("inventory").as("database_name"),
-          concat(lit("users_"), pmod(col("pk"), lit(3))).as("table_name"))
+          graft.cdc.merge.ChangelogOps.tableNameCol.as("table_name"))
         .distinct()
         .where(col("table_name").rlike("^users_[01]$"))),
 

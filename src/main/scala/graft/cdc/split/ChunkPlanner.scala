@@ -170,7 +170,11 @@ object ChunkPlanner {
     var lower = stats.getAs[Number]("min_k").longValue
     var done = false
     var n = 0
-    while (!done && n < maxChunks) {
+    while (!done) {
+      if (n >= maxChunks)
+        throw new IllegalStateException(
+          s"uneven splitter exceeded maxChunks=$maxChunks before covering the key space; " +
+            "raise maxChunks or use evenChunkStats/sampleBuckets for this table")
       val nm = nextChunkMax(df, key, lower, chunkSize).collect()(0)
       val boundary = if (nm.isNullAt(0)) maxK else nm.getAs[Number]("next_max").longValue
       if (boundary >= maxK) {

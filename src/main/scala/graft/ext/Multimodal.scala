@@ -38,6 +38,9 @@ object Multimodal {
   def frames(binDocs: DataFrame, frameSize: Int): DataFrame = {
     val nFrames = ceil(col("meta.nbytes").cast("double") / frameSize).cast("int")
     binDocs
+      // empty payloads produce zero frames — without this guard
+      // sequence(0, -1) would step DOWNWARD and emit frame_idx 0 and -1
+      .where(col("meta.nbytes") > 0)
       .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
       .select(
         col("doc_id"),

@@ -22,19 +22,23 @@ object RelationalQueries extends QueryPack {
     "asof_join_last_event" -> ((s, dir) => {
       val ev = changelog(s, dir).select(col("offset"), col("pk"), col("ts_ms"))
       // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast to
-      // TIMESTAMP is an identity relabel for epoch-millis extraction
-      val odMs = unix_millis(col("o_orderdate").cast("timestamp"))
+      // TIMESTAMP is an identity relabel. Order dates have no sub-second
+      // component, so pack (epoch-seconds, orderkey) into one bigint:
+      // seconds (~1e9) * 1e9 + orderkey (< 1e9) stays under Long.MaxValue
+      // at any realistic SF, unlike a millis*1e5 packing which overflows
+      // its key slot once o_orderkey passes 100k.
+      val odSec = expr("unix_millis(cast(o_orderdate as timestamp)) div 1000")
       val ord = table(s, dir, "orders").select(
         col("o_custkey"),
-        (odMs * 100000 + col("o_orderkey")).as("od_key"),
-        odMs.as("od_ms")
+        (odSec * 1000000000L + col("o_orderkey")).as("od_key"),
+        (odSec * 1000).as("od_ms")
       )
       ev.join(ord, col("pk") === col("o_custkey") && col("od_ms") <= col("ts_ms"))
         .groupBy(col("offset"), col("pk"))
         .agg(max(col("od_key")).as("m"))
         .select(col("offset"), col("pk"),
-          expr("m % 100000").as("o_orderkey"),
-          expr("m div 100000").as("o_orderdate_ms"))
+          expr("m % 1000000000").as("o_orderkey"),
+          expr("(m div 1000000000) * 1000").as("o_orderdate_ms"))
     }),
 
     // W3 — rank/dense_rank/lag frame over orders per customer
@@ -73,10 +77,10 @@ object RelationalQueries extends QueryPack {
     "asof_join_last_event" ->
       s"""$changelogSql
          |SELECT c."offset", c.pk,
-         |       max(epoch_ms(o.o_orderdate) * 100000 + o.o_orderkey) % 100000
-         |         AS o_orderkey,
-         |       max(epoch_ms(o.o_orderdate) * 100000 + o.o_orderkey) // 100000
-         |         AS o_orderdate_ms
+         |       max((epoch_ms(o.o_orderdate) // 1000) * 1000000000 + o.o_orderkey)
+         |         % 1000000000 AS o_orderkey,
+         |       (max((epoch_ms(o.o_orderdate) // 1000) * 1000000000 + o.o_orderkey)
+         |         // 1000000000) * 1000 AS o_orderdate_ms
          |FROM changelog c JOIN orders o
          |  ON c.pk = o.o_custkey AND epoch_ms(o.o_orderdate) <= c.ts_ms
          |GROUP BY c."offset", c.pk""".stripMargin,

@@ -81,6 +81,15 @@ class CdcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("initial mode applies the table filter to the snapshot side too") {
+    val df = CdcSource.read(spark)
+      .option("table-name", "users_1")
+      .load(sfDir)
+    // snapshot rows (offset -1) must respect the same capture list
+    assert(df.where(col("offset") === -1L && pmod(col("pk"), lit(3)) =!= 1).count() == 0)
+    assert(df.where(col("offset") === -1L).count() > 0)
+  }
+
   test("table-name regex filters shards") {
     val df = CdcSource.read(spark)
       .option("scan.startup.mode", "earliest-offset")

@@ -74,6 +74,26 @@ class ExtOpsSpec extends SparkTestBase {
     lsh.foreach { case (k, s) => assert(math.abs(bf(k) - s) < 1e-12) }
   }
 
+  test("empty payload yields zero frames, not garbage negative indices") {
+    val docs = Seq((1L, "", "en", "s", 0L), (2L, "abcd", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.frames(Multimodal.asBinary(docs), 256).collect()
+    assert(out.forall(_.getInt(1) >= 0))
+    assert(!out.exists(_.getLong(0) == 1L))
+    assert(out.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("LSH bucketing adapts to the embedding dimension (not hardcoded 64)") {
+    val dim8 = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.lshTopK(dim8, nPlanes = 8, nQueries = 5, k = 3)
+      .select("bucket").distinct().count()
+    // with 8-dim vectors the hyperplane bits must still discriminate:
+    // more than one bucket among the returned neighbors
+    assert(out > 1)
+  }
+
   test("frames reassemble to the original payload and count matches ceil(nbytes/256)") {
     val docs = table(spark, sfDir, "documents")
     val bin = Multimodal.asBinary(docs)
