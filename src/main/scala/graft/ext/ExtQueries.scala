@@ -28,6 +28,10 @@ object ExtQueries extends QueryPack {
     "similarity_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(table(s, dir, "embeddings"), nPlanes = 8, nQueries = 10, k = 5)),
 
+    "similarity_topk_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
+        nQueries = 10, k = 5)),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 

@@ -44,6 +44,59 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to the nearest of
+    * `nCells` centroids learned by KMeans (fixed seed); a query probes its
+    * own cell plus the `nProbe`-nearest cells and re-ranks exactly inside
+    * them. The cell assignment is the partition key — the search is an
+    * equi-join on cell id, the classic IVF shape that scales to corpus-sized
+    * query sets where the broadcast brute force cannot.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      nCells: Int,
+      nProbe: Int,
+      nQueries: Int,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    import org.apache.spark.sql.expressions.Window
+
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = emb.select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+
+    // nProbe nearest cells per centroid-assigned point, computed driver-side
+    // over the tiny centroid set and broadcast as a lookup
+    def nearestCells(v: Array[Double], n: Int): Seq[Int] =
+      centroids.sortBy { case (_, c) =>
+        -c.zip(v).map { case (x, y) => x * y }.sum /
+          (math.sqrt(c.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum) + 1e-12)
+      }.take(n).map(_._1).toSeq
+
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val probeCells = udf((a: Seq[Float]) =>
+      nearestCells(a.map(_.toDouble).toArray, nProbe))
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(probeCells(col("embedding"))).as("cell"))
+      .withColumn("qnorm", norm("qv"))
+    val n = assigned.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"))
+      .withColumn("nnorm", norm("nv"))
+    n.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("cell"), col("rank"), col("sim"))
+  }
+
   /** Random-hyperplane LSH bucketing: `nPlanes` sign bits per vector
     * (hyperplane components are deterministic ±1 from murmur hash), bucket =
     * packed bits. Candidates are same-bucket pairs — a shuffle by bucket

@@ -94,6 +94,23 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out > 1)
   }
 
+  test("IVF top-k achieves high recall vs brute force and sims match exactly") {
+    val emb = table(spark, sfDir, "embeddings")
+    val ivf = Similarity.ivfTopK(emb, nCells = 8, nProbe = 3, nQueries = 5, k = 5)
+      .select("qid", "nid", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val bf = Similarity.bruteForceTopK(emb, 5, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfAll = Similarity.bruteForceTopK(emb, 5, 1000000)
+      .select("qid", "nid", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // sims inside probed cells are exact
+    ivf.foreach { case (k2, s2) => assert(math.abs(bfAll(k2) - s2) < 1e-12) }
+    // recall@5 against true top-5 with 3/8 cells probed on random vectors
+    val hit = ivf.map(_._1).count(bf.contains)
+    assert(hit >= bf.size / 2, s"recall too low: $hit of ${bf.size}")
+  }
+
   test("frames reassemble to the original payload and count matches ceil(nbytes/256)") {
     val docs = table(spark, sfDir, "documents")
     val bin = Multimodal.asBinary(docs)
