@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque binary
@@ -27,6 +27,39 @@ object Multimodal {
         col("source").as("origin")
       ).as("meta")
     )
+
+  /** One decoded payload: id + stub feature vector. */
+  case class Decoded(doc_id: Long, feature: Array[Long], nbytes: Int)
+
+  /** Batched decode over partitions — the Scala analog of a Pandas-UDF
+    * `mapInPandas` pipeline: each executor task pulls its partition in
+    * `batchSize` groups and hands the whole batch to the decoder at once
+    * (real image/audio decoders amortize model/codec setup per batch).
+    *
+    * STUB: the per-batch "decoder" derives a deterministic 4-long feature
+    * from the payload bytes (`???`-grade stand-in — the native codec isn't
+    * in this container); the batching, schema, and partition plumbing are
+    * real.
+    */
+  def decodeBatched(binDocs: DataFrame, batchSize: Int): Dataset[Decoded] = {
+    val spark = binDocs.sparkSession
+    import spark.implicits._
+    binDocs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch-level decode: one "codec init" per batch, then per-item
+          // features. Salt is the configured batch size, NOT batch.size —
+          // trailing batches are smaller and batch composition depends on
+          // partitioning, which would make features non-deterministic.
+          val codecSalt = batchSize.toLong
+          batch.map { case (id, payload) =>
+            val h = payload.foldLeft(codecSalt)((a, b) => a * 31 + (b & 0xff))
+            Decoded(id, Array(h, h ^ id, payload.length.toLong, codecSalt), payload.length)
+          }
+        }
+      }
+  }
 
   /** Frame-sample the payload into fixed-size chunks (plays video frame
     * extraction): one output row per frame. Narrow per-row transform —

@@ -74,6 +74,19 @@ class ExtOpsSpec extends SparkTestBase {
     lsh.foreach { case (k, s) => assert(math.abs(bf(k) - s) < 1e-12) }
   }
 
+  test("batched decode covers every doc once with deterministic features") {
+    val docs = table(spark, sfDir, "documents")
+    val decoded = Multimodal.decodeBatched(Multimodal.asBinary(docs), batchSize = 64)
+      .collect()
+    assert(decoded.length == docs.count())
+    assert(decoded.map(_.doc_id).distinct.length == decoded.length)
+    decoded.foreach(d => assert(d.feature.length == 4 && d.nbytes > 0))
+    // determinism across runs
+    val again = Multimodal.decodeBatched(Multimodal.asBinary(docs), 64).collect()
+    assert(again.map(d => (d.doc_id, d.feature.toSeq)).toSet ==
+      decoded.map(d => (d.doc_id, d.feature.toSeq)).toSet)
+  }
+
   test("empty payload yields zero frames, not garbage negative indices") {
     val docs = Seq((1L, "", "en", "s", 0L), (2L, "abcd", "en", "s", 4L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
