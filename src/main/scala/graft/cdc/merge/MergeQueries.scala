@@ -190,12 +190,7 @@ object MergeQueries extends QueryPack {
          |FROM changelog GROUP BY 1""".stripMargin,
 
     "changelog_upsert_materialize_salted" ->
-      s"""$changelogSql,
-         |allrows AS (
-         |  SELECT "offset", pk, op, val FROM changelog
-         |  UNION ALL
-         |  SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, c_acctbal AS val FROM customer
-         |)
+      s"""$allRowsSql
          |SELECT pk, max("offset") AS last_offset,
          |       arg_max(op, "offset") AS last_op,
          |       arg_max(val, "offset") AS val

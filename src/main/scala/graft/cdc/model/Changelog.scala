@@ -93,6 +93,18 @@ object Changelog {
       |        c_acctbal AS val, CAST(NULL AS VARCHAR) AS props
       | FROM customer)""".stripMargin
 
+  /** Shared oracle fragment: changelog CTE + the snapshot∪changelog union
+    * feeding every materialize-flavored oracle. One definition so the three
+    * materialize oracles (plain, salted, hybrid) cannot drift.
+    */
+  val allRowsSql: String =
+    s"""$changelogSql,
+       |allrows AS (
+       |  SELECT "offset", pk, op, val FROM changelog
+       |  UNION ALL
+       |  SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, c_acctbal AS val FROM customer
+       |)""".stripMargin
+
   /** J1/W1 — snapshot ⊕ changelog upsert merge, last-writer-wins per key,
     * trailing deletes dropped. The reference does this with an in-memory
     * LinkedHashMap per split (RecordUtils.java:77-114 upsertBinlog); at scale

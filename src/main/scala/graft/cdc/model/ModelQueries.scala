@@ -17,12 +17,7 @@ object ModelQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "changelog_upsert_materialize" ->
-      s"""$changelogSql,
-         |allrows AS (
-         |  SELECT "offset", pk, op, val FROM changelog
-         |  UNION ALL
-         |  SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, c_acctbal AS val FROM customer
-         |)
+      s"""$allRowsSql
          |SELECT pk, max("offset") AS last_offset,
          |       arg_max(op, "offset") AS last_op,
          |       arg_max(val, "offset") AS val

@@ -45,13 +45,23 @@ object HybridPipeline {
     val cl = Changelog.changelog(spark, sfDir)
 
     // snapshot phase: each chunk observed at its own lowWm, backfilled to
-    // its highWm and normalized to READ rows
+    // its highWm and normalized to READ rows. The chunk's key-range filter
+    // is pushed onto BOTH inputs before the merge — the merge is per-key,
+    // so this is semantically identical, and it means each chunk aggregates
+    // only its own key range (and the range predicate reaches the scans)
+    // instead of running a full-keyspace materialization per chunk.
     val chunks = plan.map { case (lo, hi, lowWm, highWm) =>
-      val observed = Changelog.upsertMaterialize(snap, cl.where(col("offset") <= lowWm))
+      val inRange = (df: org.apache.spark.sql.DataFrame) => {
+        val c = lo.map(col("pk") >= _).getOrElse(lit(true)) &&
+          hi.map(col("pk") < _).getOrElse(lit(true))
+        df.where(c)
+      }
+      val observed = Changelog.upsertMaterialize(
+          inRange(snap), inRange(cl).where(col("offset") <= lowWm))
         .select(col("pk"), col("last_offset").as("offset"),
           lit(Changelog.OpRead).as("op"), lit(0L).as("ts_ms"), col("val"),
           lit(null).cast("string").as("props"))
-      SnapshotProtocol.normalizeChunk(observed, cl, lowWm, highWm, lo, hi)
+      SnapshotProtocol.normalizeChunk(observed, inRange(cl), lowWm, highWm, lo, hi)
         .withColumn("props", lit(null).cast("string"))
     }.reduce(_ unionByName _)
 

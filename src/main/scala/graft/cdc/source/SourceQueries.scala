@@ -43,12 +43,7 @@ object SourceQueries extends QueryPack {
          |WHERE regexp_matches('users_' || (pk % 3), '^users_[01]$$')""".stripMargin,
 
     "hybrid_pipeline_materialize" ->
-      s"""$changelogSql,
-         |allrows AS (
-         |  SELECT "offset", pk, op, val FROM changelog
-         |  UNION ALL
-         |  SELECT -1 AS "offset", c_custkey AS pk, 'r' AS op, c_acctbal AS val FROM customer
-         |)
+      s"""$allRowsSql
          |SELECT pk, max("offset") AS last_offset, arg_max(val, "offset") AS val
          |FROM allrows GROUP BY pk
          |HAVING arg_max(op, "offset") <> 'd'""".stripMargin,

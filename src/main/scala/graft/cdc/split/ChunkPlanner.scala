@@ -64,8 +64,13 @@ object ChunkPlanner {
     * factor, floored at 1: max(factor * chunkSize, 1). factorX10000 is the
     * exact-integer scaled factor from [[distributionFactor]].
     */
-  def dynamicChunkSize(chunkSize: Int, factorX10000: Long): Long =
-    math.max(factorX10000 * chunkSize / 10000L, 1L)
+  def dynamicChunkSize(chunkSize: Int, factorX10000: Long): Long = {
+    // BigInt: factorX10000 can be ~1e15 for sparse bigint key spaces, where
+    // the naive product with chunkSize overflows Long and would silently
+    // floor to 1
+    val exact = BigInt(factorX10000) * chunkSize / 10000
+    exact.max(1).min(Long.MaxValue).toLong
+  }
 
   /** A4/O1 — the next-chunk-end probe: max of the next `chunkSize` keys at or
     * above `lowerBound` (StatementUtils.java:99-130). orderBy+limit lets

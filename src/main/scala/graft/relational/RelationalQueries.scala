@@ -28,11 +28,18 @@ object RelationalQueries extends QueryPack {
       // at any realistic SF, unlike a millis*1e5 packing which overflows
       // its key slot once o_orderkey passes 100k.
       val odSec = expr("unix_millis(cast(o_orderdate as timestamp)) div 1000")
-      val ord = table(s, dir, "orders").select(
-        col("o_custkey"),
-        (odSec * 1000000000L + col("o_orderkey")).as("od_key"),
-        (odSec * 1000).as("od_ms")
-      )
+      // the 1e9 key slot holds TPC-H orderkeys up to ~SF 40; beyond that the
+      // packing would silently collide, so the validator hook (P9) turns a
+      // quiet corruption into a loud job failure
+      val ord = graft.cdc.merge.ChangelogOps.validated(
+          table(s, dir, "orders"),
+          col("o_orderkey") < 1000000000L && col("o_orderkey") >= 0L,
+          "asof_join_last_event: o_orderkey exceeds the 1e9 packing slot")
+        .select(
+          col("o_custkey"),
+          (odSec * 1000000000L + col("o_orderkey")).as("od_key"),
+          (odSec * 1000).as("od_ms")
+        )
       ev.join(ord, col("pk") === col("o_custkey") && col("od_ms") <= col("ts_ms"))
         .groupBy(col("offset"), col("pk"))
         .agg(max(col("od_key")).as("m"))

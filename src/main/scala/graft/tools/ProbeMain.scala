@@ -7,16 +7,18 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val s = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val docs = graft.ext.Multimodal.asBinary(
-      s.read.parquet("/root/testdata/sf0.001/documents.parquet"))
-    val a = graft.ext.Multimodal.decodeBatched(docs, 1).collect()
-    val b = graft.ext.Multimodal.decodeBatched(docs, 100000).collect()
-    println("PROBE_B1=" + a.length + " BHUGE=" + b.length + " IDS_EQUAL=" +
-      (a.map(_.doc_id).sorted.toSeq == b.map(_.doc_id).sorted.toSeq))
+    val q = graft.SparkEntry.queries("hybrid_pipeline_materialize")
+    q(s, "/root/testdata/sf0.1").count() // warm
+    val t0 = System.nanoTime
+    val n = q(s, "/root/testdata/sf0.1").count()
+    println(f"PROBE_HYBRID rows=$n time=${(System.nanoTime - t0) / 1e9}%.2f")
+    // scan-level evidence: the chunk range filter must reach the events scan
+    val plan = q(s, "/root/testdata/sf0.1").queryExecution.executedPlan.toString
+    println("PROBE_PUSHED=" + plan.contains("LessThan(user_id,5)"))
     s.stop()
   }
 }

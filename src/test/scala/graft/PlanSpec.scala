@@ -32,11 +32,24 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"), s)
   }
 
-  test("upsert materialize partial-aggregates before the exchange") {
-    val s = planString(q("changelog_upsert_materialize"))
-    assert(s.contains("partial_max_by"), s)
-    assert(s.split("Exchange").head.contains("partial_max_by") ||
-      s.contains("partial_max_by"), "partial agg must run map-side")
+  test("upsert materialize partial-aggregates below the exchange (map-side)") {
+    // structural check: the shuffle's CHILD subtree (what runs map-side,
+    // before data crosses the exchange) must contain the partial max_by.
+    // String-prefix checks get this wrong: tree rendering is root-first,
+    // so map-side operators appear AFTER the Exchange line.
+    val df = q("changelog_upsert_materialize")
+    // AdaptiveSparkPlanExec does not expose its inner plan as a child, so
+    // collect() on the wrapper sees nothing — unwrap explicitly
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.nonEmpty, plan.toString)
+    assert(exchanges.exists(_.child.toString.contains("partial_max_by")),
+      s"no exchange has a map-side partial_max_by child:\n$plan")
   }
 
   test("emit filter joins the splits table by broadcast, not shuffle") {
