@@ -16,6 +16,16 @@ object ExtQueries extends QueryPack {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), 0.5)),
 
+    // the 100 TB path of exact dedup: group by a 32-byte digest instead of
+    // shuffling full document texts
+    "dedup_exact_hash" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.col("text"), 256).as("text_sha"))
+        .agg(org.apache.spark.sql.functions.min("doc_id").as("keep_id"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("dup_cnt"))),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(table(s, dir, "documents"), numHashes = 32, rowsPerBand = 4)),
 
@@ -69,6 +79,11 @@ object ExtQueries extends QueryPack {
         |FROM p JOIN s sa ON p.doc_a = sa.doc_id
         |       JOIN s sb ON p.doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    "dedup_exact_hash" ->
+      """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
+        |       count(*) AS dup_cnt
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

@@ -48,6 +48,41 @@ object RelationalQueries extends QueryPack {
           expr("(m div 1000000000) * 1000").as("o_orderdate_ms"))
     }),
 
+    // J3 — interval (time-range) self-join: pairs of events by the same
+    // user within one hour. Candidates come from same-or-adjacent hour
+    // buckets (equi-join keys), not a cross join — the standard scalable
+    // range-join formulation; the exact |Δt| predicate filters after.
+    "interval_join" -> ((s, dir) => {
+      val ev = changelog(s, dir).select(col("offset"), col("pk"), col("ts_ms"))
+      val bucketed = ev.withColumn("bucket", expr("ts_ms div 3600000"))
+      val left = bucketed.select(col("offset").as("l_off"), col("pk"),
+        col("ts_ms").as("l_ts"), col("bucket"))
+      val right = bucketed.select(col("offset").as("r_off"), col("pk"),
+        col("ts_ms").as("r_ts"), explode(array(col("bucket"), col("bucket") + 1,
+          col("bucket") - 1)).as("bucket"))
+      left.join(right, Seq("pk", "bucket"))
+        .where(col("l_off") < col("r_off") &&
+          abs(col("l_ts") - col("r_ts")) <= 3600000L)
+        .select(col("pk"), col("l_off"), col("r_off"))
+        .distinct()
+    }),
+
+    // T4-adjacent — session windows: gap > 30 min starts a new session per
+    // user; output one row per session with bounds and event count. The
+    // lag/cumulative-sum formulation shuffles once by user.
+    "session_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("pk")).orderBy(col("ts_ms"), col("offset"))
+      changelog(s, dir)
+        .withColumn("new_sess",
+          when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("pk"), col("sess_id"))
+        .agg(min(col("ts_ms")).as("sess_start"), max(col("ts_ms")).as("sess_end"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // W3 — rank/dense_rank/lag frame over orders per customer
     "window_functions" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -91,6 +126,28 @@ object RelationalQueries extends QueryPack {
          |FROM changelog c JOIN orders o
          |  ON c.pk = o.o_custkey AND epoch_ms(o.o_orderdate) <= c.ts_ms
          |GROUP BY c."offset", c.pk""".stripMargin,
+
+    "interval_join" ->
+      s"""$changelogSql
+         |SELECT DISTINCT a.pk, a."offset" AS l_off, b."offset" AS r_off
+         |FROM changelog a JOIN changelog b
+         |  ON a.pk = b.pk AND a."offset" < b."offset"
+         | AND abs(a.ts_ms - b.ts_ms) <= 3600000""".stripMargin,
+
+    "session_windows" ->
+      s"""$changelogSql,
+         |l AS (SELECT pk, ts_ms, "offset",
+         |             CASE WHEN ts_ms - lag(ts_ms) OVER
+         |               (PARTITION BY pk ORDER BY ts_ms, "offset") > 1800000
+         |               THEN 1 ELSE 0 END AS new_sess
+         |      FROM changelog),
+         |s AS (SELECT pk, ts_ms,
+         |             sum(new_sess) OVER (PARTITION BY pk ORDER BY ts_ms, "offset"
+         |               ROWS UNBOUNDED PRECEDING) AS sess_id
+         |      FROM l)
+         |SELECT pk, sess_id, min(ts_ms) AS sess_start, max(ts_ms) AS sess_end,
+         |       count(*) AS n_events
+         |FROM s GROUP BY pk, sess_id""".stripMargin,
 
     "window_functions" ->
       """SELECT o_orderkey, o_custkey,
