@@ -50,7 +50,7 @@ object CdcSource {
       * filters, positive chunk/fetch sizes, distribution-factor bounds,
       * startup-mode algebra incl. the specific-offset requirement.
       */
-    def load(sfDir: String): DataFrame = {
+    private def validateOptions(): Unit = {
       // regex validation (MySqlTableSourceFactory.java:312-321)
       for (key <- Seq("database-name", "table-name"); re <- opts.get(key))
         try java.util.regex.Pattern.compile(re)
@@ -79,7 +79,10 @@ object CdcSource {
         throw new ValidationException(
           "The value of option 'chunk-key.even-distribution.factor.lower-bound' " +
             s"must between 0.0 and 1.0 inclusively, but is $lower")
+    }
 
+    def load(sfDir: String): DataFrame = {
+      validateOptions()
       // table-include filter (P7) over the synthetic shard routing — applied
       // to BOTH the log side and (in initial mode) the snapshot side, like
       // the reference's capture list governs both phases
@@ -89,12 +92,43 @@ object CdcSource {
         case None => identity
       }
       val cl = tableFilter(Changelog.changelog(spark, sfDir))
+      applyStartupMode(cl, initial = Some(() =>
+        tableFilter(Changelog.snapshot(spark, sfDir))
+          .unionByName(cl.where(col("op") =!= Changelog.OpRead))))
+    }
 
+    /** Streaming face of the facade: the same option validation and startup
+      * algebra over `readStream` (§3.1's streaming path). `initial` mode is
+      * a batch snapshot + stream handover, not a pure stream — directed to
+      * [[graft.cdc.streaming.StreamingOps.upsertMaterializeStreamFrom]].
+      */
+    def loadStream(sfDir: String): DataFrame = {
+      validateOptions()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val raw = spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      val cl0 = graft.cdc.streaming.StreamingOps.changelogStream(
+        raw.withColumn("ts_ms", expr("ts div 1000000")))
+      val cl = opts.get("table-name") match {
+        case Some(re) => cl0.where(graft.cdc.merge.ChangelogOps.tableNameCol.rlike(re))
+        case None => cl0
+      }
+      applyStartupMode(cl, initial = None)
+    }
+
+    private def applyStartupMode(
+        cl: DataFrame,
+        initial: Option[() => DataFrame]
+    ): DataFrame = {
       // startup-mode algebra (:202-232)
       opts.getOrElse("scan.startup.mode", StartupMode.Initial).toLowerCase match {
         case StartupMode.Initial =>
-          tableFilter(Changelog.snapshot(spark, sfDir))
-            .unionByName(cl.where(col("op") =!= Changelog.OpRead))
+          initial.getOrElse(throw new ValidationException(
+            "'initial' startup mode needs the batch snapshot phase — run the " +
+              "snapshot with load()/HybridPipeline and hand its state to " +
+              "StreamingOps.upsertMaterializeStreamFrom, then stream from " +
+              "'earliest-offset'"))()
         case StartupMode.Earliest =>
           cl
         case StartupMode.Latest =>

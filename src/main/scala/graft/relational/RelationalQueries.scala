@@ -112,7 +112,32 @@ object RelationalQueries extends QueryPack {
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
           count(lit(1)).as("cnt")
-        ))
+        )),
+
+    // A7 — cube over both grouping dimensions
+    "cube_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("cnt")
+        )),
+
+    // A7 — distinct aggregation (partial-aggregatable two-phase distinct)
+    "distinct_agg" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders")
+        )),
+
+    // T5 — dropDuplicates-style changelog normalization: first event per
+    // (pk, op) by offset
+    "changelog_dedup_events" -> ((s, dir) =>
+      changelog(s, dir)
+        .groupBy(col("pk"), col("op"))
+        .agg(min(col("offset")).as("first_offset"), count(lit(1)).as("n")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -174,6 +199,24 @@ object RelationalQueries extends QueryPack {
         |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
         |       count(*) AS cnt
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT o_orderstatus,
+        |       count(DISTINCT o_custkey) AS n_cust,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "changelog_dedup_events" ->
+      s"""$changelogSql
+         |SELECT pk, op, min("offset") AS first_offset, count(*) AS n
+         |FROM changelog GROUP BY pk, op""".stripMargin
   )
 }

@@ -7,18 +7,21 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val q = graft.SparkEntry.queries("hybrid_pipeline_materialize")
-    q(s, "/root/testdata/sf0.1").count() // warm
-    val t0 = System.nanoTime
-    val n = q(s, "/root/testdata/sf0.1").count()
-    println(f"PROBE_HYBRID rows=$n time=${(System.nanoTime - t0) / 1e9}%.2f")
-    // scan-level evidence: the chunk range filter must reach the events scan
-    val plan = q(s, "/root/testdata/sf0.1").queryExecution.executedPlan.toString
-    println("PROBE_PUSHED=" + plan.contains("LessThan(user_id,5)"))
+    val stream = graft.cdc.source.CdcSource.read(s)
+      .option("scan.startup.mode", "specific-offset")
+      .option("scan.startup.specific-offset.file", "mysql-bin.000002")
+      .option("scan.startup.specific-offset.pos", 500L)
+      .loadStream("/root/testdata/sf0.001")
+    val q = stream.writeStream.format("memory").queryName("probe_sink")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val min = s.table("probe_sink").agg(org.apache.spark.sql.functions.min("offset"))
+      .collect()(0).getLong(0)
+    println(s"PROBE_STREAM_SPECIFIC min_offset=$min rows=" + s.table("probe_sink").count())
     s.stop()
   }
 }

@@ -90,6 +90,32 @@ class CdcSourceSpec extends SparkTestBase {
     assert(df.where(col("offset") === -1L).count() > 0)
   }
 
+  test("streaming face: timestamp startup over readStream equals the batch filter") {
+    val t = 1704844800000L
+    val stream = CdcSource.read(spark)
+      .option("scan.startup.mode", "timestamp")
+      .option("scan.startup.timestamp-millis", t)
+      .loadStream(sfDir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("cdc_stream_sink")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cdc_stream_sink")
+    val batch = CdcSource.read(spark)
+      .option("scan.startup.mode", "timestamp")
+      .option("scan.startup.timestamp-millis", t)
+      .load(sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.agg(min(col("ts_ms"))).collect()(0).getLong(0) >= t)
+  }
+
+  test("streaming face rejects initial mode with a guiding error") {
+    val e = intercept[ValidationException] {
+      CdcSource.read(spark).option("scan.startup.mode", "initial").loadStream(sfDir)
+    }
+    assert(e.getMessage.contains("upsertMaterializeStreamFrom"))
+  }
+
   test("table-name regex filters shards") {
     val df = CdcSource.read(spark)
       .option("scan.startup.mode", "earliest-offset")
