@@ -26,26 +26,32 @@ object Bench {
     // two timed passes per query, report the min: first execution of each
     // distinct plan pays 1-3s of codegen/JIT that says nothing about the
     // operator; min-of-2 measures steady-state throughput
+    // a failed query reports -1, never a time-to-exception (which would
+    // flatter the total when a slow query regresses into a fast failure)
     var failed = List.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch {
         case e: Throwable =>
           if (!failed.contains(name)) {
             failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
+          -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = sorted.map { case (n, f) => n -> timeOnce(n, f) }.toMap
-    val results = sorted.map { case (n, f) => n -> math.min(pass1(n), timeOnce(n, f)) }
+    val results = sorted.map { case (n, f) =>
+      val t2 = timeOnce(n, f)
+      val t1 = pass1(n)
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fq = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -24,6 +24,14 @@ import graft.cdc.model.Changelog
   */
 object SnapshotProtocol {
 
+  /** [keyLo, keyHi) containment predicate on pk, None = unbounded — THE
+    * chunk-range boundary semantics, shared by the chunk normalizer, the
+    * hybrid pipeline's pushdown and its emit filter so they cannot drift.
+    */
+  def rangePredicate(keyLo: Option[Long], keyHi: Option[Long]): org.apache.spark.sql.Column =
+    keyLo.map(col("pk") >= _).getOrElse(lit(true)) &&
+      keyHi.map(col("pk") < _).getOrElse(lit(true))
+
   /** Normalize one chunk: `scanned` is the chunk's snapshot rows (changelog
     * shape, op='r'), `changelog` the log, (lowWm, highWm] the backfill
     * bracket, [keyLo, keyHi) the chunk key range (null = unbounded).
@@ -38,11 +46,7 @@ object SnapshotProtocol {
       keyLo: Option[Long],
       keyHi: Option[Long]
   ): DataFrame = {
-    val inRange = (df: DataFrame) => {
-      val lo = keyLo.map(col("pk") >= _).getOrElse(lit(true))
-      val hi = keyHi.map(col("pk") < _).getOrElse(lit(true))
-      df.where(lo && hi)
-    }
+    val inRange = (df: DataFrame) => df.where(rangePredicate(keyLo, keyHi))
     val snap = inRange(scanned)
     if (lowWm == highWm) {
       // backfill-skip short circuit

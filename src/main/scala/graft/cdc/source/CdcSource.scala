@@ -38,8 +38,19 @@ object CdcSource {
     def option(key: String, value: String): Builder = { opts += key -> value; this }
     def option(key: String, value: Long): Builder = option(key, value.toString)
 
+    /** Parse a numeric option value, converting parse failures into the
+      * facade's ValidationException rather than a raw NumberFormatException.
+      */
+    private def numeric[T](key: String, value: String, parse: String => T): T =
+      try parse(value)
+      catch {
+        case e: NumberFormatException =>
+          throw new ValidationException(
+            s"The value of option '$key' is not a valid number: '$value'", e)
+      }
+
     private def intOption(key: String, default: Int, exclusiveMin: Int): Int = {
-      val v = opts.get(key).map(_.toInt).getOrElse(default)
+      val v = opts.get(key).map(numeric(key, _, _.toInt)).getOrElse(default)
       if (v <= exclusiveMin)
         throw new ValidationException(
           s"The value of option '$key' must larger than $exclusiveMin, but is $v")
@@ -68,13 +79,15 @@ object CdcSource {
 
       // distribution factor bounds (:323-345)
       val upper = opts.get("chunk-key.even-distribution.factor.upper-bound")
-        .map(_.toDouble).getOrElse(1000.0)
+        .map(numeric("chunk-key.even-distribution.factor.upper-bound", _, _.toDouble))
+        .getOrElse(1000.0)
       if (upper < 1.0)
         throw new ValidationException(
           "The value of option 'chunk-key.even-distribution.factor.upper-bound' " +
             s"must larger than or equals 1.0, but is $upper")
       val lower = opts.get("chunk-key.even-distribution.factor.lower-bound")
-        .map(_.toDouble).getOrElse(0.05)
+        .map(numeric("chunk-key.even-distribution.factor.lower-bound", _, _.toDouble))
+        .getOrElse(0.05)
       if (lower < 0.0 || lower > 1.0)
         throw new ValidationException(
           "The value of option 'chunk-key.even-distribution.factor.lower-bound' " +
@@ -137,7 +150,7 @@ object CdcSource {
           val ts = opts.getOrElse("scan.startup.timestamp-millis",
             throw new ValidationException(
               "'scan.startup.timestamp-millis' is required in timestamp startup mode"))
-          cl.where(col("ts_ms") >= ts.toLong)
+          cl.where(col("ts_ms") >= numeric("scan.startup.timestamp-millis", ts, _.toLong))
         case StartupMode.SpecificOffset =>
           // gtid-set OR file+pos required (validateSpecificOffset, :234-248)
           val gtid = opts.get("scan.startup.specific-offset.gtid-set")
@@ -152,7 +165,8 @@ object CdcSource {
           val withFp = BinlogOffsets.withFilePos(cl)
           (file, pos) match {
             case (Some(f), Some(p)) =>
-              withFp.where(BinlogOffsets.filePosGreater(col("file"), col("pos"), f, p.toLong))
+              withFp.where(BinlogOffsets.filePosGreater(col("file"), col("pos"), f,
+                  numeric("scan.startup.specific-offset.pos", p, _.toLong)))
                 .drop("file", "pos")
             case _ =>
               // GTID-set start: events whose per-row singleton GTID set is

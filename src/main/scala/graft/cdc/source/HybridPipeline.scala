@@ -51,11 +51,8 @@ object HybridPipeline {
     // only its own key range (and the range predicate reaches the scans)
     // instead of running a full-keyspace materialization per chunk.
     val chunks = plan.map { case (lo, hi, lowWm, highWm) =>
-      val inRange = (df: org.apache.spark.sql.DataFrame) => {
-        val c = lo.map(col("pk") >= _).getOrElse(lit(true)) &&
-          hi.map(col("pk") < _).getOrElse(lit(true))
-        df.where(c)
-      }
+      val inRange = (df: org.apache.spark.sql.DataFrame) =>
+        df.where(SnapshotProtocol.rangePredicate(lo, hi))
       val observed = Changelog.upsertMaterialize(
           inRange(snap), inRange(cl).where(col("offset") <= lowWm))
         .select(col("pk"), col("last_offset").as("offset"),
@@ -71,9 +68,7 @@ object HybridPipeline {
     // (BinlogSplitReader.java:228-260)
     val minHwm = plan.map(_._4).min
     val emitCond = plan.map { case (lo, hi, _, highWm) =>
-      lo.map(col("pk") >= _).getOrElse(lit(true)) &&
-        hi.map(col("pk") < _).getOrElse(lit(true)) &&
-        col("offset") > highWm
+      SnapshotProtocol.rangePredicate(lo, hi) && col("offset") > highWm
     }.reduce(_ || _)
     val logPhase = cl.where(col("offset") > minHwm && emitCond)
 

@@ -92,7 +92,9 @@ object ChunkPlanner {
     val stats = analyze(df, key).select(col("min_k"))
     df.select(col(key).as("k"))
       .crossJoin(broadcast(stats))
-      .withColumn("chunk_id", floor((col("k") - col("min_k")) / chunkSize))
+      // integer div keeps exactness for key spans beyond 2^53 (double
+      // division + floor would misassign rows and diverge from the oracle)
+      .withColumn("chunk_id", expr(s"(k - min_k) div $chunkSize"))
       .groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("lo"), max(col("k")).as("hi"))
   }
@@ -112,13 +114,22 @@ object ChunkPlanner {
       .where(col("rn") % chunkSize === 0)
       .select(col("k").as("boundary"), (col("rn") / chunkSize).cast("long").as("bid"))
     val wb = Window.orderBy(col("bid"))
-    boundaries
+    val bounded = boundaries
       .withColumn("split_start", lag(col("boundary"), 1).over(wb))
       .select(
         (col("bid") - 1).as("split_id"),
         col("split_start"),
         col("boundary").as("split_end")
       )
+    // the trailing unbounded split: keys past the last boundary must belong
+    // to a chunk too (covering semantics; with no boundaries at all the
+    // whole table is one (null, null) split)
+    val last = boundaries.agg(
+      count(lit(1)).as("split_id"),
+      max(col("boundary")).as("split_start")
+    ).select(col("split_id"), col("split_start"),
+      lit(null).cast("long").as("split_end"))
+    bounded.unionByName(last)
   }
 
   /** P4 — composite split-key range containment, exact reference algebra

@@ -81,11 +81,16 @@ object ChunkQueries extends QueryPack {
 
     "chunk_ranges_uneven" ->
       s"""WITH d AS (SELECT DISTINCT c_custkey AS k FROM customer),
-         |b AS (SELECT k AS boundary, row_number() OVER (ORDER BY k) AS rn FROM d)
+         |b AS (SELECT k AS boundary, row_number() OVER (ORDER BY k) AS rn FROM d
+         |      QUALIFY rn % $ChunkSize = 0)
          |SELECT (rn // $ChunkSize) - 1 AS split_id,
          |       lag(boundary) OVER (ORDER BY rn) AS split_start,
          |       boundary AS split_end
-         |FROM b WHERE rn % $ChunkSize = 0""".stripMargin,
+         |FROM b
+         |UNION ALL
+         |SELECT count(*) AS split_id, max(boundary) AS split_start,
+         |       CAST(NULL AS BIGINT) AS split_end
+         |FROM b""".stripMargin,
 
     "chunk_distribution_factor" ->
       """SELECT min(c_custkey) AS min_k, max(c_custkey) AS max_k,

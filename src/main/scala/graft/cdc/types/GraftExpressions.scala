@@ -62,13 +62,21 @@ case class WkbGeoJson(child: Expression) extends UnaryExpression {
 
 object GraftFunctions {
 
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(child) => build(child)
+    case children =>
+      throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${children.length}")
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_fnv64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "graft_fnv64"),
-      (children: Seq[Expression]) => Fnv1a64(children.head)),
+      unary("graft_fnv64")(Fnv1a64)),
     (FunctionIdentifier("graft_wkb_geojson"),
       new ExpressionInfo(classOf[WkbGeoJson].getName, "graft_wkb_geojson"),
-      (children: Seq[Expression]) => WkbGeoJson(children.head))
+      unary("graft_wkb_geojson")(WkbGeoJson))
   )
 
   /** Idempotently register the native functions on a live session. */

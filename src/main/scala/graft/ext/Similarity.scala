@@ -82,9 +82,14 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     val probeCells = udf((a: Seq[Float]) =>
       nearestCells(a.map(_.toDouble).toArray, nProbe))
+    // probe set = the query's OWN (Euclidean-)assigned cell plus the
+    // nProbe cosine-nearest centroids — without the union the metric
+    // mismatch could leave the query's home cell (and its co-residents)
+    // unscanned
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        explode(probeCells(col("embedding"))).as("cell"))
+        explode(array_distinct(concat(
+          array(col("cell")), probeCells(col("embedding"))))).as("cell"))
       .withColumn("qnorm", norm("qv"))
     val n = assigned.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"))
       .withColumn("nnorm", norm("nv"))

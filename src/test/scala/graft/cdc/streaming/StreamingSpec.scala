@@ -128,9 +128,9 @@ class StreamingSpec extends SparkTestBase {
     // run until at least one batch commits, then kill mid-stream
     val q1 = start()
     val deadline = System.nanoTime + 60L * 1000000000L
-    while (new java.io.File(sink).listFiles == null ||
-      !new java.io.File(sink).listFiles.exists(_.getName.startsWith("batch_id=")) &&
-        System.nanoTime < deadline) Thread.sleep(50)
+    def committed() = Option(new java.io.File(sink).listFiles)
+      .exists(_.exists(_.getName.startsWith("batch_id=")))
+    while (!committed() && System.nanoTime < deadline) Thread.sleep(50)
     q1.stop()
 
     // restart from the checkpoint and drain the rest

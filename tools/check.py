@@ -42,14 +42,22 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = 0
-    for name in sorted(os.listdir(out_dir)):
+    # a query that failed inside Verify leaves no output dir — that must
+    # FAIL the gate, not silently vanish from the report
+    produced = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracles) - produced):
+        print(f"[FAIL-miss] {name}: oracle declared but no Verify output dir")
+        n_bad += 1
+    for name in sorted(produced):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
         tbl = pq.read_table(d)
         sc, srows = canon(tbl.column_names, [list(r.values()) for r in tbl.to_pylist()])
         if name not in oracles:
-            print(f"[rows-only] {name}: rows={len(srows)} {'OK' if len(srows) > 0 else 'EMPTY!'}")
+            if len(srows) > 0:
+                print(f"[rows-only] {name}: rows={len(srows)} OK")
+            else:
+                print(f"[FAIL-empty] {name}: rows-only query returned 0 rows")
+                n_bad += 1
             continue
         try:
             res = con.execute(oracles[name])
