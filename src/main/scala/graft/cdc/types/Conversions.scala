@@ -20,6 +20,22 @@ object Conversions {
   def encodeDebeziumDecimal(value: java.math.BigDecimal): (Array[Byte], Int) =
     (value.unscaledValue.toByteArray, value.scale)
 
+  /** F7 — server-time-zone DATETIME interpretation: MySQL DATETIME is a
+    * wall-clock value; the reference converts it to an instant relative to
+    * the configured `server-time-zone`
+    * (RowDataDebeziumDeserializeSchema.java:469-495, TemporalConversions).
+    * DST gaps shift forward and overlaps take the earlier offset, the
+    * java.time/ZonedDateTime rules the reference inherits.
+    */
+  def datetimeToEpochMillis(wall: java.time.LocalDateTime, serverZone: java.time.ZoneId): Long =
+    wall.atZone(serverZone).toInstant.toEpochMilli
+
+  /** Column form of the same conversion for TIMESTAMP_NTZ columns:
+    * interpret the wall time in `serverZone`, yielding a UTC instant.
+    */
+  def ntzWithServerTz(ntz: org.apache.spark.sql.Column, serverZone: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.to_utc_timestamp(ntz, serverZone)
+
   /** F16 — BSON Decimal128 edge handling
     * (MongoDBConnectorDeserializationSchema.java:657-688, 772-792):
     * NaN -> null; +Infinity -> Double.MAX_VALUE; -Infinity -> -MAX_VALUE;

@@ -54,6 +54,9 @@ object ExtQueries extends QueryPack {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(table(s, dir, "documents"))),
 
+    "text_bigram_freq" -> ((s, dir) =>
+      TextAnalysis.bigramFreq(table(s, dir, "documents"), minCount = 5)),
+
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frames(Multimodal.asBinary(table(s, dir, "documents")), frameSize = 256))
   )
@@ -84,6 +87,14 @@ object ExtQueries extends QueryPack {
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
         |       count(*) AS dup_cnt
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "text_bigram_freq" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT unnest(list_transform(range(len(ws) - 1),
+        |              i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+        |      FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM b
+        |GROUP BY bigram HAVING count(*) >= 5""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

@@ -47,6 +47,20 @@ object TextAnalysis {
         .otherwise("unk").as("lang_guess")
     )
 
+  /** Corpus-level bigram frequencies — the n-gram statistics a data-quality
+    * pipeline tracks. Explode + hash aggregation, partial-aggregated map-side.
+    */
+  def bigramFreq(docs: DataFrame, minCount: Long): DataFrame =
+    docs
+      .select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', slice(ws, i + 1, 2)))"
+      )).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+
   /** FNV-1a 64-bit over UTF-8 bytes — stable document fingerprint. */
   def fnv1a64(s: String): Long = {
     if (s == null) return 0L

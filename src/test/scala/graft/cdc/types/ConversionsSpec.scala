@@ -32,6 +32,26 @@ class ConversionsSpec extends AnyFunSuite {
     assert(Conversions.decimal128ToBigDecimal("3.14") == new BigDecimal("3.14"))
   }
 
+  test("server-time-zone DATETIME interpretation incl. DST gap and overlap") {
+    import java.time.{LocalDateTime, ZoneId}
+    val berlin = ZoneId.of("Europe/Berlin")
+    // plain wall time: 2024-01-15 12:00 Berlin = 11:00 UTC
+    assert(Conversions.datetimeToEpochMillis(
+      LocalDateTime.of(2024, 1, 15, 12, 0), berlin) == 1705316400000L)
+    // UTC zone is identity
+    assert(Conversions.datetimeToEpochMillis(
+      LocalDateTime.of(2024, 1, 15, 12, 0), ZoneId.of("UTC")) == 1705320000000L)
+    // DST gap (2024-03-31 02:30 doesn't exist in Berlin) shifts forward
+    val gap = Conversions.datetimeToEpochMillis(
+      LocalDateTime.of(2024, 3, 31, 2, 30), berlin)
+    assert(gap == Conversions.datetimeToEpochMillis(
+      LocalDateTime.of(2024, 3, 31, 3, 30), berlin))
+    // DST overlap (2024-10-27 02:30 occurs twice) takes the earlier offset
+    val overlap = Conversions.datetimeToEpochMillis(
+      LocalDateTime.of(2024, 10, 27, 2, 30), berlin)
+    assert(overlap == 1729989000000L) // 00:30 UTC, the +02:00 reading
+  }
+
   test("assigner state machine walks the reference diagram") {
     import Assigner._
     val s1 = InitialAssigning.onFinish()
