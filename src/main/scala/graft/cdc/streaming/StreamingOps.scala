@@ -64,6 +64,49 @@ object StreamingOps {
       }
   }
 
+  /** One emitted retraction-stream row. */
+  case class RetractRow(pk: Long, row_kind: String, row_val: Double, offset: Long)
+
+  /** The inverse of materialization: turn an upsert stream into a retraction
+    * changelog (+I on first sight, -U old/+U new on update, -D old on
+    * delete) using per-key state — the streaming form of
+    * [[graft.cdc.merge.ChangelogOps.extractRows]], with the state store
+    * playing the before-image source instead of lag(). Rows within a
+    * micro-batch are applied in offset order; late (lower-offset) records
+    * after state has advanced are ignored, matching last-writer-wins.
+    */
+  def retractionStream(changelog: Dataset[ChangeRecord]): Dataset[RetractRow] = {
+    import changelog.sparkSession.implicits._
+    changelog
+      .groupByKey(_.pk)
+      .flatMapGroupsWithState[KeyState, RetractRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (pk, records, state: GroupState[KeyState]) =>
+          val out = Seq.newBuilder[RetractRow]
+          var cur = state.getOption
+          records.toSeq.sortBy(_.offset).foreach { r =>
+            if (cur.forall(_.last_offset < r.offset)) {
+              // a key whose last op was a delete does not exist — the next
+              // event re-inserts (+I), it does not retract the dead value
+              val live = cur.filter(_.last_op != "d")
+              (live, r.op) match {
+                case (None, "d") => // delete of a non-existent key: no-op
+                case (None, _) =>
+                  out += RetractRow(pk, "+I", r.value, r.offset)
+                case (Some(prev), "d") =>
+                  out += RetractRow(pk, "-D", prev.value, r.offset)
+                case (Some(prev), _) =>
+                  out += RetractRow(pk, "-U", prev.value, r.offset)
+                  out += RetractRow(pk, "+U", r.value, r.offset)
+              }
+              cur = Some(KeyState(pk, r.offset, r.op, r.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Hybrid continuation: same stateful materialization, seeded with the
     * snapshot-phase state (the chunk outputs of
     * [[graft.cdc.source.HybridPipeline]]) so the stream picks up exactly

@@ -99,6 +99,50 @@ class StreamingSpec extends SparkTestBase {
     assert(finalState == direct)
   }
 
+  test("retraction stream emits +I/-U/+U/-D consistent with replayed state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val events = Changelog.changelog(spark, sfDir)
+      .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val").as("value"))
+      .as[ChangeRecord].collect().sortBy(_.offset)
+
+    val stream = MemoryStream[ChangeRecord]
+    val q = retractionStream(stream.toDS())
+      .writeStream.format("memory").queryName("retract_sink")
+      .outputMode("append").start()
+    val (b1, b2) = events.splitAt(events.length / 3)
+    stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.table("retract_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+
+    // reference semantics: replay the same events through a driver-side map
+    val expect = Seq.newBuilder[(Long, String, Double, Long)]
+    val st = scala.collection.mutable.Map.empty[Long, (String, Double)]
+    events.foreach { r =>
+      (st.get(r.pk).filter(_._1 != "d"), r.op) match {
+        case (None, "d") => ()
+        case (None, _) => expect += ((r.pk, "+I", r.value, r.offset))
+        case (Some((_, pv)), "d") => expect += ((r.pk, "-D", pv, r.offset))
+        case (Some((_, pv)), _) =>
+          expect += ((r.pk, "-U", pv, r.offset))
+          expect += ((r.pk, "+U", r.value, r.offset))
+      }
+      st(r.pk) = (r.op, r.value)
+    }
+    assert(emitted.toSet == expect.result().toSet)
+    assert(emitted.length == expect.result().length)
+    // retraction algebra: every -U has a matching +U at the same offset
+    val byOffset = emitted.groupBy(_._4)
+    byOffset.values.foreach { rows =>
+      assert(rows.count(_._2 == "-U") == rows.count(_._2 == "+U"))
+    }
+  }
+
   test("T2/T5: checkpointed stream survives a mid-flight stop/restart exactly-once") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("restart_src").toString
