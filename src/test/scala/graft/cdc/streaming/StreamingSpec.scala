@@ -115,6 +115,13 @@ class StreamingSpec extends SparkTestBase {
     val (b1, b2) = events.splitAt(events.length / 3)
     stream.addData(b1.toIndexedSeq); q.processAllAvailable()
     stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    // cross-batch STALE records: offsets far below every key's stored state
+    // must be skipped by the last-writer-wins guard and emit nothing
+    val stale = b1.take(5).map(r => r.copy(value = r.value + 12345.0))
+    val beforeStale = spark.table("retract_sink").count()
+    stream.addData(stale.toIndexedSeq); q.processAllAvailable()
+    assert(spark.table("retract_sink").count() == beforeStale,
+      "stale lower-offset records must not emit retractions")
     q.stop()
 
     val emitted = spark.table("retract_sink")
