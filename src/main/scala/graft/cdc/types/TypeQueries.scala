@@ -25,8 +25,12 @@ object TypeQueries extends QueryPack {
         col("l_linenumber").cast("smallint").as("smallint_from_utinyint"),
         (col("l_linenumber") * 100).cast("int").as("int_from_usmallint"),
         col("l_partkey").cast("bigint").as("bigint_from_uint"),
-        col("l_orderkey").cast("decimal(20,0)").as("dec20_from_ubigint"),
-        col("l_extendedprice").cast("decimal(12,2)").as("dec12_2"),
+        // the typed casts happen here; the gate columns are string-rendered
+        // because the driver's pandas round-trip turns DuckDB DECIMAL into
+        // float64 while Spark parquet keeps java.math.BigDecimal — strings
+        // are the only type-stable channel for decimal comparison
+        col("l_orderkey").cast("decimal(20,0)").cast("string").as("dec20_from_ubigint"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("string").as("dec12_2"),
         col("l_extendedprice").cast("decimal(12,2)").cast("string").as("dec_str")
       )),
 
@@ -47,14 +51,22 @@ object TypeQueries extends QueryPack {
       )
     }),
 
-    // F13 — MySQL SET -> ARRAY<STRING>
-    "set_to_array" -> ((s, dir) =>
-      table(s, dir, "lineitem").select(
-        col("l_orderkey"),
-        col("l_linenumber"),
-        split(concat(col("l_returnflag"), lit(","), col("l_linestatus")), ",")
-          .as("set_arr")
-      )),
+    // F13 — MySQL SET -> ARRAY<STRING>. The split() IS the operator (and
+    // SetToArraySpec asserts the array type); the gate columns are a
+    // size + pipe-join render because the driver's pandas compare cannot
+    // sort/hash raw array columns (numpy.ndarray is unhashable).
+    "set_to_array" -> ((s, dir) => {
+      val arr = split(
+        concat(col("l_returnflag"), lit(","), col("l_linestatus")), ",")
+      table(s, dir, "lineitem")
+        .withColumn("set_arr", arr)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          size(col("set_arr")).as("set_len"),
+          array_join(col("set_arr"), "|").as("set_str")
+        )
+    }),
 
     // F14 — Debezium-JSON envelope encode. Built with explicit concat (not
     // to_json) so the byte-for-byte rendering is engine-independent.
@@ -88,7 +100,8 @@ object TypeQueries extends QueryPack {
         col("offset"),
         get_json_object(col("envelope"), "$.pk").cast("bigint").as("pk_parsed"),
         get_json_object(col("envelope"), "$.op").as("op_parsed"),
-        get_json_object(col("envelope"), "$.val").cast("decimal(18,2)").as("val_parsed"),
+        get_json_object(col("envelope"), "$.val").cast("decimal(18,2)")
+          .cast("string").as("val_parsed"),
         get_json_object(col("envelope"), "$.source.table").as("tbl_parsed")
       )
     }),
@@ -139,8 +152,8 @@ object TypeQueries extends QueryPack {
         |       CAST(l_linenumber AS SMALLINT) AS smallint_from_utinyint,
         |       CAST(l_linenumber * 100 AS INTEGER) AS int_from_usmallint,
         |       CAST(l_partkey AS BIGINT) AS bigint_from_uint,
-        |       CAST(l_orderkey AS DECIMAL(20,0)) AS dec20_from_ubigint,
-        |       CAST(l_extendedprice AS DECIMAL(12,2)) AS dec12_2,
+        |       CAST(CAST(l_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS dec20_from_ubigint,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS dec12_2,
         |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_str
         |FROM lineitem""".stripMargin,
 
@@ -173,7 +186,8 @@ object TypeQueries extends QueryPack {
          |SELECT "offset",
          |       CAST(json_extract_string(envelope, '$$.pk') AS BIGINT) AS pk_parsed,
          |       json_extract_string(envelope, '$$.op') AS op_parsed,
-         |       CAST(json_extract_string(envelope, '$$.val') AS DECIMAL(18,2)) AS val_parsed,
+         |       CAST(CAST(json_extract_string(envelope, '$$.val') AS DECIMAL(18,2))
+         |         AS VARCHAR) AS val_parsed,
          |       json_extract_string(envelope, '$$.source.table') AS tbl_parsed
          |FROM e""".stripMargin,
 
@@ -191,7 +205,10 @@ object TypeQueries extends QueryPack {
 
     "set_to_array" ->
       """SELECT l_orderkey, l_linenumber,
-        |       string_split(l_returnflag || ',' || l_linestatus, ',') AS set_arr
+        |       len(string_split(l_returnflag || ',' || l_linestatus, ','))
+        |         AS set_len,
+        |       array_to_string(string_split(l_returnflag || ',' || l_linestatus,
+        |         ','), '|') AS set_str
         |FROM lineitem""".stripMargin,
 
     "json_envelope" ->

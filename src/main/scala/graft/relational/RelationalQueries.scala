@@ -83,7 +83,11 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_events"))
     }),
 
-    // W3 — rank/dense_rank/lag frame over orders per customer
+    // W3 — rank/dense_rank/lag frame over orders per customer. The lag
+    // value is computed as an exact decimal but RENDERED as a string:
+    // the driver gate round-trips DuckDB results through pandas, which
+    // turns DECIMAL into float64 while Spark parquet keeps Decimal —
+    // a string render is the only typed-stable comparison channel.
     "window_functions" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -92,7 +96,8 @@ object RelationalQueries extends QueryPack {
         col("o_custkey"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
-        lag(col("o_totalprice").cast("decimal(18,2)"), 1).over(w).as("prev_price")
+        lag(col("o_totalprice").cast("decimal(18,2)"), 1).over(w)
+          .cast("string").as("prev_price")
       )
     }),
 
@@ -105,12 +110,13 @@ object RelationalQueries extends QueryPack {
         .unionByName(c.except(o).withColumn("tag", lit("cust_only")))
     }),
 
-    // A7 — rollup aggregation with decimal-exact sums
+    // A7 — rollup aggregation with decimal-exact sums (string-rendered:
+    // see window_functions note on the gate's DECIMAL→float64 pitfall)
     "rollup_agg" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"),
           count(lit(1)).as("cnt")
         )),
 
@@ -119,7 +125,7 @@ object RelationalQueries extends QueryPack {
       table(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"),
           count(lit(1)).as("cnt")
         )),
 
@@ -167,8 +173,9 @@ object RelationalQueries extends QueryPack {
          |               THEN 1 ELSE 0 END AS new_sess
          |      FROM changelog),
          |s AS (SELECT pk, ts_ms,
-         |             sum(new_sess) OVER (PARTITION BY pk ORDER BY ts_ms, "offset"
-         |               ROWS UNBOUNDED PRECEDING) AS sess_id
+         |             CAST(sum(new_sess) OVER (PARTITION BY pk
+         |               ORDER BY ts_ms, "offset"
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
          |      FROM l)
          |SELECT pk, sess_id, min(ts_ms) AS sess_start, max(ts_ms) AS sess_end,
          |       count(*) AS n_events
@@ -178,7 +185,8 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderkey, o_custkey,
         |       rank() OVER w AS rnk,
         |       dense_rank() OVER w AS drnk,
-        |       lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price
+        |       CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS VARCHAR)
+        |         AS prev_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
@@ -196,14 +204,14 @@ object RelationalQueries extends QueryPack {
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
         |       count(*) AS cnt
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
         |       count(*) AS cnt
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,

