@@ -106,8 +106,10 @@ object MergeQueries extends QueryPack {
       SnapshotProtocol.normalizeChunk(scanned, cl, 200L, 700L, Some(3L), Some(11L))
     }),
 
-    // F18 GTID interval-set containment — not SQL-expressible; rows-only +
-    // ScalaTest property coverage.
+    // F18 GTID interval-set containment. The general interval-set algebra
+    // lives in BinlogOffsetsSpec; with this query's fixed container set
+    // "s1:1-25,s2:1-10" the containment of "s1:1-N" reduces to N <= 25,
+    // which is what the oracle checks.
     "gtid_containment" -> ((s, dir) => {
       val contained = udf(BinlogOffsets.gtidContainedWithin)
       changelog(s, dir)
@@ -120,6 +122,14 @@ object MergeQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "gtid_containment" ->
+      s"""$changelogSql
+         |SELECT "offset",
+         |       's1:1-' || CAST(("offset" % 50) + 1 AS VARCHAR) AS gtid_a,
+         |       's1:1-25,s2:1-10' AS gtid_b,
+         |       ("offset" % 50) + 1 <= 25 AS contained
+         |FROM changelog""".stripMargin,
+
     "changelog_extract_rows" ->
       s"""$changelogSql,
          |l AS (SELECT *, lag(val) OVER (PARTITION BY pk ORDER BY "offset") AS prev_val

@@ -32,6 +32,9 @@ object ExtQueries extends QueryPack {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)),
 
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosine(table(s, dir, "embeddings"), 0.4)),
+
     "similarity_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), nQueries = 10, k = 5)),
 
@@ -61,7 +64,60 @@ object ExtQueries extends QueryPack {
       Multimodal.frames(Multimodal.asBinary(table(s, dir, "documents")), frameSize = 256))
   )
 
+  /** DuckDB rendering of [[Similarity]]'s sequential double fold: prepending
+    * the 0.0 seed to the per-element products makes `list_reduce` the same
+    * left fold Spark's `aggregate` HOF runs, so the doubles match
+    * bit-for-bit (verified: 50/50 exact at sf0.01).
+    */
+  private val normedEmbSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+      |      (acc, z) -> acc + z)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len($a)+1),
+       |        i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |      (acc, z) -> acc + z)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "dedup_embedding_cosine" ->
+      s"""$normedEmbSql
+         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.label,
+         |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    "similarity_topk_bruteforce" ->
+      s"""$normedEmbSql,
+         |p AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS sim
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+         |r AS (SELECT qid, nid, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM p)
+         |SELECT qid, nid, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    // FNV-1a 64 replicated as a sequential byte fold in HUGEINT mod-2^64
+    // arithmetic (documents.text is ASCII, so ord() == the UTF-8 byte),
+    // then wrapped back to the signed BIGINT Spark emits.
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST((CASE WHEN h >= 9223372036854775808::HUGEINT
+        |             THEN h - 18446744073709551616::HUGEINT ELSE h END) AS BIGINT) AS fp
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(range(1, length(text)+1), i -> ord(text[i])::HUGEINT)),
+        |    (acc, b) -> (xor(acc::UBIGINT, b::UBIGINT)::HUGEINT
+        |                 * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)""".stripMargin,
+
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY text""".stripMargin,

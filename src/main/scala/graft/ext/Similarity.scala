@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** SQL-expression dot product over two float arrays (codegen'd lambda
-    * functions — no Scala UDF in the hot path).
+    * functions — no Scala UDF in the hot path). The fold is a sequential
+    * left fold in DOUBLE, so an oracle engine folding the same way is
+    * bit-identical.
     */
-  private def dot(a: String, b: String): Column =
+  private[ext] def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, z) -> acc + z)")
 
-  private def norm(a: String): Column =
+  private[ext] def norm(a: String): Column =
     sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, z) -> acc + z)"))
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),

@@ -63,6 +63,26 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("embedding-cosine near-dup matches naive within-label pairs") {
+    val emb = table(spark, sfDir, "embeddings")
+    val got = Dedup.embeddingCosine(emb, 0.35)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val rows = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (ida, la, va) <- rows
+      (idb, lb, vb) <- rows
+      if la == lb && ida < idb && cos(va, vb) >= 0.35
+    } yield (ida, idb)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("LSH candidates are a subset of same-bucket pairs and sims match brute force") {
     val lsh = Similarity.lshTopK(table(spark, sfDir, "embeddings"), 8, 3, 5)
       .select("qid", "nid", "sim").collect()
