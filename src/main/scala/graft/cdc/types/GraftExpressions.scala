@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,6 +38,29 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
     copy(child = newChild)
+}
+
+/** `graft_mix64(a, b) -> bigint`: splitmix64-family mixer used to derive
+  * MinHash permutations and LSH hyperplane signs from a base hash
+  * ([[graft.ext.Hashing.mix64]]). Native so the 32-hash MinHash signature
+  * stays inside whole-stage codegen, and engine-replicable (mod-2^64
+  * unsigned arithmetic) so the LSH operators keep a DuckDB oracle.
+  */
+case class Mix64(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.ext.Hashing.mix64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.Hashing.mix64($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Mix64 =
+    copy(left = newLeft, right = newRight)
 }
 
 case class WkbGeoJson(child: Expression) extends UnaryExpression {
@@ -76,7 +99,15 @@ object GraftFunctions {
       unary("graft_fnv64")(Fnv1a64)),
     (FunctionIdentifier("graft_wkb_geojson"),
       new ExpressionInfo(classOf[WkbGeoJson].getName, "graft_wkb_geojson"),
-      unary("graft_wkb_geojson")(WkbGeoJson))
+      unary("graft_wkb_geojson")(WkbGeoJson)),
+    (FunctionIdentifier("graft_mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "graft_mix64"),
+      {
+        case Seq(a, b) => Mix64(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_mix64 expects exactly 2 arguments, got ${children.length}")
+      })
   )
 
   /** Idempotently register the native functions on a live session. */

@@ -146,6 +146,18 @@ object TypeQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // The WKB round trip (encodePoint -> graft_wkb_geojson) must reproduce
+    // the input doubles exactly; both Java's Double.toString and DuckDB's
+    // VARCHAR cast print the shortest round-trip decimal, and the value
+    // ranges here (quantity 1..50, discount 0..0.1) stay away from the
+    // scientific-notation switchover, so the rendered strings agree.
+    "geometry_geojson" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       '{"type":"Point","coordinates":['
+        |         || CAST(l_quantity::DOUBLE AS VARCHAR) || ','
+        |         || CAST(l_discount::DOUBLE AS VARCHAR) || ']}' AS geojson
+        |FROM lineitem""".stripMargin,
+
     "type_promotions" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_linenumber % 2 = 1 AS bool_from_tinyint1,

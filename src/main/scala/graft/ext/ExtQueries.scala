@@ -83,7 +83,116 @@ object ExtQueries extends QueryPack {
        |        i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
        |      (acc, z) -> acc + z)""".stripMargin
 
+  /** DuckDB replication of the graft_fnv64 / graft_mix64 hash family, as
+    * mod-2^64 unsigned arithmetic (UBIGINT values, UHUGEINT multiplies).
+    * Verified bit-exact against [[graft.ext.Hashing.mix64]] and
+    * [[TextAnalysis.fnv1a64]] on signed-boundary test vectors.
+    */
+  private val U64 = "18446744073709551616"
+
+  /** FNV-1a 64 over `col`'s ASCII bytes -> UBIGINT. */
+  private def fnvUSql(col: String): String =
+    s"""CAST(list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(range(1, length($col)+1), i -> ord($col[i])::HUGEINT)),
+       |    (acc, b) -> (xor(acc::UBIGINT, b::UBIGINT)::HUGEINT
+       |                 * 1099511628211::HUGEINT)
+       |                % $U64::HUGEINT) AS UBIGINT)""".stripMargin
+
+  /** mix64(hu, iu): nested selects (not one expression) because each
+    * splitmix stage references its input twice — inlining would blow up
+    * 2^stages. `src` must provide UBIGINT columns hu, iu plus `keep`.
+    */
+  private def mixChainSql(src: String, keep: String): String =
+    s"""(SELECT $keep, xor(z2, z2 // 2147483648::UBIGINT) AS zf FROM
+       |  (SELECT $keep, CAST((xor(z1, z1 // 134217728::UBIGINT)::UHUGEINT
+       |       * 10723151780598845931::UHUGEINT) % $U64::UHUGEINT AS UBIGINT) AS z2 FROM
+       |    (SELECT $keep, CAST((xor(z0, z0 // 1073741824::UBIGINT)::UHUGEINT
+       |         * 13787848793156543929::UHUGEINT) % $U64::UHUGEINT AS UBIGINT) AS z1 FROM
+       |      (SELECT $keep, xor(hu, CAST((iu::UHUGEINT
+       |           * 11400714819323198485::UHUGEINT) % $U64::UHUGEINT AS UBIGINT)) AS z0
+       |       FROM $src))))""".stripMargin
+
+  /** UBIGINT -> the signed BIGINT Spark's LongType carries. */
+  private def toSignedSql(col: String): String =
+    s"""CAST(CASE WHEN $col >= 9223372036854775808::UBIGINT
+       |     THEN $col::HUGEINT - $U64::HUGEINT ELSE $col::HUGEINT END AS BIGINT)""".stripMargin
+
+  /** Distinct 3-word shingles + FNV base hash — DuckDB mirror of
+    * [[Dedup.shingles]] (list_slice clamps exactly like Spark's slice).
+    */
+  private val shingleHashSql =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(0, greatest(len(ws) - 3, 0) + 1),
+       |        i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')))) AS shingle
+       |       FROM ws),
+       |h AS (SELECT doc_id, ${fnvUSql("shingle")} AS hu FROM sh)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""$shingleHashSql,
+         |fam AS (SELECT doc_id, t.i AS i, hu, CAST(t.i AS UBIGINT) AS iu
+         |        FROM h CROSS JOIN range(32) t(i)),
+         |mins AS (SELECT doc_id, i, min(${toSignedSql("zf")}) AS m
+         |         FROM ${mixChainSql("fam", "doc_id, i")} GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS band_id, list(m ORDER BY i) AS sig
+         |          FROM mins GROUP BY doc_id, i // 4)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
+         |FROM bands x JOIN bands y
+         |  ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$shingleHashSql,
+         |bits AS (SELECT doc_id, t.j AS j,
+         |           CASE WHEN sum(CASE WHEN (hu >> t.j) & 1::UBIGINT = 1::UBIGINT
+         |                              THEN 1 ELSE -1 END) > 0
+         |                THEN (1::UBIGINT << t.j) ELSE 0::UBIGINT END AS bitval
+         |         FROM h CROSS JOIN range(64) t(j) GROUP BY doc_id, t.j),
+         |sh2 AS (SELECT doc_id, CAST(sum(bitval::HUGEINT) AS UBIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |chunks AS (SELECT doc_id, simhash, t.c AS c,
+         |             (simhash >> CAST(16 * t.c AS INTEGER)) & 65535::UBIGINT AS chunk
+         |           FROM sh2 CROSS JOIN range(4) t(c)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |            x.simhash AS sa, y.simhash AS sb
+         |          FROM chunks x JOIN chunks y
+         |            ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin,
+
+    "similarity_topk_lsh" ->
+      s"""WITH p0 AS (SELECT t1.i AS i, t2.j AS j, CAST(t1.i AS UBIGINT) AS hu,
+         |              CAST(t2.j AS UBIGINT) AS iu
+         |            FROM range(64) t1(i) CROSS JOIN range(8) t2(j)),
+         |signs AS (SELECT j, list(CASE WHEN zf & 1::UBIGINT = 0::UBIGINT
+         |                              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
+         |                         ORDER BY i) AS sgn
+         |          FROM ${mixChainSql("p0", "i, j")} GROUP BY j),
+         |proj AS (SELECT e.vec_id, s.j,
+         |           list_reduce(list_prepend(0.0::DOUBLE,
+         |             list_transform(range(1, len(e.embedding)+1),
+         |               i -> e.embedding[i]::DOUBLE * s.sgn[i])),
+         |             (acc, z) -> acc + z) AS p
+         |         FROM embeddings e CROSS JOIN signs s),
+         |buck AS (SELECT vec_id,
+         |           CAST(sum(CASE WHEN p > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         |         FROM proj GROUP BY vec_id),
+         |e AS (SELECT b.vec_id, emb.embedding, b.bucket,
+         |        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(emb.embedding, x -> x::DOUBLE * x::DOUBLE)),
+         |          (acc, z) -> acc + z)) AS nrm
+         |      FROM buck b JOIN embeddings emb ON b.vec_id = emb.vec_id),
+         |pr AS (SELECT q.vec_id AS qid, n.vec_id AS nid, q.bucket,
+         |         ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS sim
+         |       FROM e q JOIN e n
+         |         ON q.bucket = n.bucket AND q.vec_id < 10 AND q.vec_id <> n.vec_id),
+         |r AS (SELECT qid, nid, bucket, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM pr)
+         |SELECT qid, nid, bucket, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""$normedEmbSql
          |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.label,

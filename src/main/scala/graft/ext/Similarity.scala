@@ -111,13 +111,16 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, nPlanes: Int, nQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.cdc.types.GraftFunctions.register(emb.sparkSession)
     // sequence is sized from the vector itself — a fixed length would null-
     // pad zip_with for other dimensions and collapse every vector into
-    // bucket 0
+    // bucket 0. Hyperplane component signs come from the engine-replicable
+    // graft_mix64 parity (not Spark murmur) so the operator keeps a DuckDB
+    // oracle.
     val bit = (j: Int) =>
       when(expr(
         s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |  (x, i) -> CAST(x AS DOUBLE) * CASE WHEN pmod(hash(i, $j), 2) = 0 THEN 1D ELSE -1D END),
+           |  (x, i) -> CAST(x AS DOUBLE) * CASE WHEN (graft_mix64(i, ${j}L) & 1L) = 0L THEN 1D ELSE -1D END),
            |  0D, (acc, z) -> acc + z)""".stripMargin) > 0, lit(1L << j)).otherwise(lit(0L))
     val bucketCol = (0 until nPlanes).map(bit).reduce((a, b) => a.bitwiseOR(b))
     val bucketed = emb.select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))

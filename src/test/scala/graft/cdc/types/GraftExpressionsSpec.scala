@@ -17,6 +17,24 @@ class GraftExpressionsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(1) == TextAnalysis.fnv1a64(r.getString(0))))
   }
 
+  test("graft_mix64 via SQL agrees with the Scala implementation incl. sign boundaries") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq((0L, 0L), (1L, 2L), (-1L, 63L), (123456789L, 31L),
+      (Long.MinValue, 7L), (0x85944171f73967e8L, 5L))
+    val rows = cases.toDF("a", "b")
+      .selectExpr("a", "b", "graft_mix64(a, b) AS m").collect()
+    rows.foreach(r =>
+      assert(r.getLong(2) == graft.ext.Hashing.mix64(r.getLong(0), r.getLong(1))))
+    // the exact reference values the DuckDB oracle arithmetic reproduces
+    assert(graft.ext.Hashing.mix64(1L, 2L) == -4689498862643123097L)
+    assert(graft.ext.Hashing.mix64(Long.MinValue, 7L) == -8818719466370675869L)
+    // int arguments coerce (ImplicitCastInputTypes)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_mix64(1, 2)").collect()(0).getLong(0) ==
+      graft.ext.Hashing.mix64(1L, 2L))
+  }
+
   test("graft_wkb_geojson via SQL round-trips a point") {
     GraftFunctions.register(spark)
     import spark.implicits._
