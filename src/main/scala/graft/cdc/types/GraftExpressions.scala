@@ -31,10 +31,10 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    TextAnalysis.fnv1a64(input.asInstanceOf[UTF8String].toString)
+    TextAnalysis.fnv1a64Bytes(input.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.ext.TextAnalysis.fnv1a64($c.toString())")
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextAnalysis.fnv1a64Bytes($c.getBytes())")
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
     copy(child = newChild)

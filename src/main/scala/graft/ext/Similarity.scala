@@ -69,7 +69,11 @@ object Similarity {
 
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feat = emb.select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(feat)
+    // random init + few iterations: cell quality only affects recall (the
+    // probe union below keeps correctness), and kmeans|| init costs more
+    // scheduler round trips than the clustering itself at this scale
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random").fit(feat)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
 
     // nProbe nearest cells per centroid-assigned point, computed driver-side

@@ -61,16 +61,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
 
-  /** FNV-1a 64-bit over UTF-8 bytes — stable document fingerprint. */
-  def fnv1a64(s: String): Long = {
-    if (s == null) return 0L
+  /** FNV-1a 64-bit over UTF-8 bytes — stable document fingerprint. The
+    * byte-array form is the codegen entry point: UTF8String already holds
+    * UTF-8 bytes, so hashing them directly skips a String decode + re-encode
+    * per value in the hot path.
+    */
+  def fnv1a64Bytes(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
-    for (b <- s.getBytes("UTF-8")) {
-      h ^= (b & 0xffL)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
       h *= 0x100000001b3L
+      i += 1
     }
     h
   }
+
+  def fnv1a64(s: String): Long =
+    if (s == null) 0L else fnv1a64Bytes(s.getBytes("UTF-8"))
 
   /** Uses the native codegen'd expression (graft_fnv64), not a UDF, so the
     * projection stays inside whole-stage codegen.
