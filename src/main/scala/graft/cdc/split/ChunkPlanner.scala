@@ -206,6 +206,21 @@ object ChunkPlanner {
     ranges.result()
   }
 
+  /** S1/S2 — render planned chunk ranges as `spark.read.jdbc(url, table,
+    * predicates, props)` partition predicates: one JDBC connection per
+    * predicate, each a half-open range like the reference's chunk scans
+    * (StatementUtils.java:132-188 buildSplitScanQuery). This is the
+    * cluster-scale snapshot entry point: N executors each pull their own
+    * key range with pushed-down WHERE clauses, no coordinator in the data
+    * path. Pair with `fetchsize` (reference default 1024,
+    * MySqlSourceOptions.java:111-113).
+    */
+  def jdbcPredicates(key: String, ranges: Seq[(Option[Long], Option[Long])]): Array[String] =
+    ranges.map { case (lo, hi) =>
+      val parts = lo.map(l => s"$key >= $l").toSeq ++ hi.map(h => s"$key < $h")
+      if (parts.isEmpty) "1 = 1" else parts.mkString(" AND ")
+    }.toArray
+
   /** W2 — Mongo-style equi-depth buckets via ntile (SampleBucketSplitStrategy
     * .java:67-168). ntile over a global order; the production-scale variant
     * samples first (`df.sample`) exactly like the reference's `$sample`.

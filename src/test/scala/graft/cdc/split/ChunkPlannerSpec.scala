@@ -69,6 +69,22 @@ class ChunkPlannerSpec extends SparkTestBase {
     assert(ChunkPlanner.dynamicChunkSize(8096, 10000L) == 8096L)
   }
 
+  test("jdbc partition predicates cover the key space exactly once") {
+    val ranges: Seq[(Option[Long], Option[Long])] =
+      Seq((None, Some(5L)), (Some(5L), Some(10L)), (Some(10L), None))
+    val preds = ChunkPlanner.jdbcPredicates("c_custkey", ranges)
+    assert(preds.sameElements(Array(
+      "c_custkey < 5", "c_custkey >= 5 AND c_custkey < 10", "c_custkey >= 10")))
+    // each predicate used as a JDBC partition WHERE clause: the union of
+    // per-partition scans must be the table, with no overlap
+    val total = customer.count()
+    val sum = preds.map(p =>
+      customer.where(org.apache.spark.sql.functions.expr(p)).count()).sum
+    assert(sum == total)
+    // the degenerate single-chunk plan scans everything
+    assert(ChunkPlanner.jdbcPredicates("k", Seq((None, None))).head == "1 = 1")
+  }
+
   test("analyze returns min<=max and exact count") {
     val r = ChunkPlanner.analyze(customer, "c_custkey").collect()(0)
     assert(r.getAs[Number]("min_k").longValue <= r.getAs[Number]("max_k").longValue)
