@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 import graft.ext.TextAnalysis
@@ -38,6 +38,68 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
     copy(child = newChild)
+}
+
+/** `graft_dot(a, b) -> double`: sequential dot product over two double
+  * arrays — bit-identical to the `aggregate(zip_with(...))` HOF left fold
+  * (and to the DuckDB oracle's `list_reduce`), but compiled into the
+  * whole-stage-codegen loop instead of interpreted per element. The hot
+  * inner op of every cosine-similarity operator. Arrays of unequal length
+  * yield null (the HOF form's null-padding also nulls the fold).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def isDoubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_mix64(a, b) -> bigint`: splitmix64-family mixer used to derive
@@ -100,6 +162,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_wkb_geojson"),
       new ExpressionInfo(classOf[WkbGeoJson].getName, "graft_wkb_geojson"),
       unary("graft_wkb_geojson")(WkbGeoJson)),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      {
+        case Seq(a, b) => DotProduct(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_dot expects exactly 2 arguments, got ${children.length}")
+      }),
     (FunctionIdentifier("graft_mix64"),
       new ExpressionInfo(classOf[Mix64].getName, "graft_mix64"),
       {

@@ -11,19 +11,32 @@ import org.apache.spark.sql.functions._
   * once (embarrassingly parallel, no shuffle of the corpus). The LSH variant
   * replaces the corpus scan with a bucket equi-join for corpus-sized query
   * sets.
+  *
+  * The cosine inner product is `graft_dot`, a native codegen'd expression
+  * ([[graft.cdc.types.DotProduct]]) computing the same sequential double
+  * fold as the `aggregate(zip_with(...))` HOF form (bit-identical, so the
+  * DuckDB oracles are unchanged) at compiled-loop speed. Embeddings are
+  * cast to double arrays once per row, below the join, never per pair.
   */
 object Similarity {
 
-  /** SQL-expression dot product over two float arrays (codegen'd lambda
-    * functions — no Scala UDF in the hot path). The fold is a sequential
-    * left fold in DOUBLE, so an oracle engine folding the same way is
-    * bit-identical.
-    */
-  private[ext] def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, z) -> acc + z)")
+  /** Cast a float embedding column to array<double> (exact widening). */
+  private[ext] def toDouble(a: String): Column =
+    expr(s"transform($a, x -> CAST(x AS DOUBLE))")
 
-  private[ext] def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, z) -> acc + z)"))
+  private[ext] def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  private[ext] def norm(vd: Column): Column = sqrt(dot(vd, vd))
+
+  /** vec_id + double embedding + its L2 norm — the per-row base every
+    * variant builds its sides from.
+    */
+  private def normed(emb: DataFrame): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), toDouble("embedding").as("vd"))
+      .withColumn("nrm", norm(col("vd")))
+  }
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors. Rank ties broken by neighbor id for
@@ -31,14 +44,13 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("qnorm", norm("qv"))
-    val n = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-      .withColumn("nnorm", norm("nv"))
+    val base = normed(emb)
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnorm"))
+    val n = base.select(col("vec_id").as("nid"), col("vd").as("nv"), col("nrm").as("nnorm"))
     val scored = n.crossJoin(broadcast(q))
       .where(col("qid") =!= col("nid"))
-      .withColumn("sim", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
@@ -66,6 +78,7 @@ object Similarity {
 
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.cdc.types.GraftFunctions.register(spark)
 
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feat = emb.select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
@@ -86,6 +99,8 @@ object Similarity {
 
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .withColumn("vd", toDouble("embedding"))
+      .withColumn("nrm", norm(col("vd")))
     val probeCells = udf((a: Seq[Float]) =>
       nearestCells(a.map(_.toDouble).toArray, nProbe))
     // probe set = the query's OWN (Euclidean-)assigned cell plus the
@@ -93,15 +108,14 @@ object Similarity {
     // mismatch could leave the query's home cell (and its co-residents)
     // unscanned
     val q = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnorm"),
         explode(array_distinct(concat(
           array(col("cell")), probeCells(col("embedding"))))).as("cell"))
-      .withColumn("qnorm", norm("qv"))
-    val n = assigned.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"))
-      .withColumn("nnorm", norm("nv"))
+    val n = assigned.select(col("vec_id").as("nid"), col("vd").as("nv"),
+      col("nrm").as("nnorm"), col("cell"))
     n.join(broadcast(q), Seq("cell"))
       .where(col("qid") =!= col("nid"))
-      .withColumn("sim", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
       .where(col("rank") <= k)
@@ -109,9 +123,9 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucketing: `nPlanes` sign bits per vector
-    * (hyperplane components are deterministic ±1 from murmur hash), bucket =
-    * packed bits. Candidates are same-bucket pairs — a shuffle by bucket
-    * key, never a cross join. Exact cosine re-ranks within buckets.
+    * (hyperplane components are deterministic ±1 from graft_mix64 parity),
+    * bucket = packed bits. Candidates are same-bucket pairs — a shuffle by
+    * bucket key, never a cross join. Exact cosine re-ranks within buckets.
     */
   def lshTopK(emb: DataFrame, nPlanes: Int, nQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -120,23 +134,24 @@ object Similarity {
     // pad zip_with for other dimensions and collapse every vector into
     // bucket 0. Hyperplane component signs come from the engine-replicable
     // graft_mix64 parity (not Spark murmur) so the operator keeps a DuckDB
-    // oracle.
+    // oracle. Stays a HOF (not graft_dot against a constant plane) because
+    // the plane adapts to each vector's dimension.
     val bit = (j: Int) =>
       when(expr(
-        s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |  (x, i) -> CAST(x AS DOUBLE) * CASE WHEN (graft_mix64(i, ${j}L) & 1L) = 0L THEN 1D ELSE -1D END),
+        s"""aggregate(zip_with(vd, sequence(0, size(vd) - 1),
+           |  (x, i) -> x * CASE WHEN (graft_mix64(i, ${j}L) & 1L) = 0L THEN 1D ELSE -1D END),
            |  0D, (acc, z) -> acc + z)""".stripMargin) > 0, lit(1L << j)).otherwise(lit(0L))
     val bucketCol = (0 until nPlanes).map(bit).reduce((a, b) => a.bitwiseOR(b))
-    val bucketed = emb.select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
-      .withColumn("nrm", norm("embedding"))
+    val bucketed = normed(emb).select(col("vec_id"), col("vd"), col("nrm"))
+      .withColumn("bucket", bucketCol)
     val q = bucketed.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
         col("bucket"), col("nrm").as("qnorm"))
-    val n = bucketed.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+    val n = bucketed.select(col("vec_id").as("nid"), col("vd").as("nv"),
       col("bucket"), col("nrm").as("nnorm"))
     n.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
-      .withColumn("sim", dot("qv", "nv") / (col("qnorm") * col("nnorm")))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
       .where(col("rank") <= k)

@@ -17,6 +17,26 @@ class GraftExpressionsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(1) == TextAnalysis.fnv1a64(r.getString(0))))
   }
 
+  test("graft_dot is bit-identical to the HOF fold and nulls on length mismatch") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS vd")
+    val rows = emb.selectExpr(
+      "graft_dot(vd, vd) AS native",
+      "aggregate(zip_with(vd, vd, (x, y) -> x * y), 0D, (acc, z) -> acc + z) AS hof"
+    ).collect()
+    assert(rows.nonEmpty)
+    // bit-identical, not approximately equal: the oracle compare has no
+    // tolerance, so the native loop must fold in exactly the same order
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    val r2 = spark.sql(
+      "SELECT graft_dot(array(1D, 2D), array(1D)), graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1D))")
+      .collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+  }
+
   test("graft_mix64 via SQL agrees with the Scala implementation incl. sign boundaries") {
     GraftFunctions.register(spark)
     import spark.implicits._
