@@ -125,6 +125,63 @@ case class Mix64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_simhash64(array<string>) -> bigint`: per-document 64-bit SimHash
+  * (FNV base hash + per-bit majority vote, [[graft.ext.Hashing.simhash64]])
+  * as one compiled loop — replaces an explode + 64-column vote aggregation
+  * (a full shuffle of every shingle row) with a narrow projection.
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ext.Hashing.simhash64(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.Hashing.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(array<string>, k) -> array<bigint>`: per-document MinHash
+  * signature (element i = min over shingles of mix64(fnv64(shingle), i),
+  * [[graft.ext.Hashing.minhashSig]]) as one compiled loop — replaces an
+  * explode + k-column min aggregation with a narrow projection. `k` must be
+  * a foldable int.
+  */
+case class MinhashSig(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType)
+        if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable int), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.ext.Hashing.minhashSig(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.Hashing.minhashSig($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashSig =
+    copy(left = newLeft, right = newRight)
+}
+
 case class WkbGeoJson(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_wkb_geojson"
@@ -162,6 +219,17 @@ object GraftFunctions {
     (FunctionIdentifier("graft_wkb_geojson"),
       new ExpressionInfo(classOf[WkbGeoJson].getName, "graft_wkb_geojson"),
       unary("graft_wkb_geojson")(WkbGeoJson)),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
+      unary("graft_simhash64")(Simhash64)),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      {
+        case Seq(a, b) => MinhashSig(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_minhash expects exactly 2 arguments, got ${children.length}")
+      }),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       {

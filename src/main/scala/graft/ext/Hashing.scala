@@ -13,4 +13,55 @@ object Hashing {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  /** 64-bit SimHash over a string array (FNV-1a base hash, majority vote
+    * per bit, ties -> 0). One compiled loop per document — semantically the
+    * per-bit ±1 vote aggregation, without exploding shingles into rows.
+    */
+  def simhash64(shingles: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = TextAnalysis.fnv1a64Bytes(shingles.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** MinHash signature over a string array: element i is
+    * min over shingles of mix64(fnv1a64(shingle), i). Same family as the
+    * aggregated form (min is order-independent), one compiled loop per
+    * document.
+    */
+  def minhashSig(
+      shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int
+  ): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = TextAnalysis.fnv1a64Bytes(shingles.getUTF8String(i).getBytes)
+      var k = 0
+      while (k < numHashes) {
+        val m = mix64(h, k.toLong)
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
 }
