@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up stress: generates data far beyond the bench SF in
+  * memory (spark.range, no files) and times the shuffle-heavy operators.
+  * Reproducible source of README's stress table. Run:
+  *
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.tools.StressMain"
+  *
+  * Optional args: nEvents nDocs (defaults 20M / 200k).
+  */
+object StressMain {
+
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"STRESS $label ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.cdc.types.GraftFunctions.register(spark)
+
+    // ---- changelog path: 20M events over 100k keys -------------------
+    // cache + force every synthetic input BEFORE timing: the generator
+    // expressions would otherwise be inlined into the operator under test
+    // (worst case re-evaluated per lambda element) and the timings would
+    // measure data synthesis, not the operator
+    val events = spark.range(nEvents).select(
+      col("id").as("offset"),
+      pmod(call_function("graft_mix64", col("id"), lit(1L)), lit(100000L)).as("pk"),
+      when(pmod(col("id"), lit(10)) === 0, "d")
+        .when(pmod(col("id"), lit(10)) === 1, "c")
+        .otherwise("u").as("op"),
+      (col("id") * 1000L).as("ts_ms"),
+      (pmod(col("id"), lit(1000L)) * 1.0).as("val"),
+      lit(null).cast("string").as("props")).cache()
+    events.count()
+    val snapshot = spark.range(100000L).select(
+      lit(-1L).as("offset"), col("id").as("pk"), lit("r").as("op"),
+      lit(0L).as("ts_ms"), lit(0.0).as("val"),
+      lit(null).cast("string").as("props"))
+
+    val m = time(s"upsertMaterialize ${nEvents / 1000000}M events + 100k snapshot") {
+      graft.cdc.model.Changelog.upsertMaterialize(snapshot, events).count()
+    }
+    val ms = time("saltedUpsertMaterialize(16) same input") {
+      graft.cdc.merge.Skew.saltedUpsertMaterialize(snapshot, events, 16).count()
+    }
+    require(m == ms, s"salted merge diverged: $m vs $ms")
+    val x = time("extractRows row-kind expansion") {
+      graft.cdc.merge.ChangelogOps.extractRows(events).count()
+    }
+    println(s"STRESS-OUT materialized=$m rowKinds=$x")
+
+    // ---- documents path: 200k synthetic docs, 5k vocab ---------------
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", expr(
+        "transform(sequence(0, 39), i -> concat('w', pmod(graft_mix64(id, CAST(i AS BIGINT)), 5000)))"
+      )).as("text"),
+      lit("en").as("lang"), lit("synth").as("source"),
+      lit(240L).as("n_chars")).cache()
+    docs.count()
+
+    val mh = time(s"minhashLsh(32,4) ${nDocs / 1000}k docs") {
+      graft.ext.Dedup.minhashLsh(docs, 32, 4).count()
+    }
+    val sh = time(s"simhashPairs(<=8) ${nDocs / 1000}k docs") {
+      graft.ext.Dedup.simhashPairs(docs, 8).count()
+    }
+    println(s"STRESS-OUT minhashPairs=$mh simhashPairs=$sh")
+
+    // ---- embeddings path: 2M vectors x 64 dims -----------------------
+    val nVecs = 2000000L
+    val emb = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> CAST(pmod(graft_mix64(id, CAST(i AS BIGINT)), 1000) - 500 AS FLOAT))")
+        .as("embedding"),
+      pmod(col("id"), lit(100)).cast("int").as("label")).cache()
+    emb.count()
+    val bf = time(s"bruteForceTopK(10 queries, k=5) over ${nVecs / 1000000}M vectors") {
+      graft.ext.Similarity.bruteForceTopK(emb, 10, 5).count()
+    }
+    println(s"STRESS-OUT bfTopK=$bf")
+
+    spark.stop()
+  }
+}
