@@ -116,6 +116,27 @@ class CdcSourceSpec extends SparkTestBase {
     assert(e.getMessage.contains("upsertMaterializeStreamFrom"))
   }
 
+  test("spark.read.format(graft-cdc) matches the builder facade incl. validation") {
+    val viaFormat = spark.read.format("graft-cdc")
+      .option("scan.startup.mode", "initial").load(sfDir)
+    val viaBuilder = CdcSource.read(spark)
+      .option("scan.startup.mode", "initial").load(sfDir)
+    assert(viaFormat.schema == viaBuilder.schema)
+    assert(viaFormat.count() == viaBuilder.count())
+    // pruning + pushdown path: a filtered projection through the relation
+    // returns the same rows as the builder form
+    val f = viaFormat.where(col("pk") < 5).select("pk", "op")
+    val b = viaBuilder.where(col("pk") < 5).select("pk", "op")
+    assert(f.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      b.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // the format face validates like the builder
+    val e = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .option("scan.startup.mode", "nope").load(sfDir).collect()
+    }
+    assert(e.getMessage.contains("scan.startup.mode"))
+  }
+
   test("table-name regex filters shards") {
     val df = CdcSource.read(spark)
       .option("scan.startup.mode", "earliest-offset")
