@@ -125,6 +125,39 @@ case class Mix64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_winnow(text, k, w) -> array<bigint>`: winnowing fingerprints
+  * (k-gram FNV rolling hashes -> w-window minima -> first-occurrence dedup,
+  * [[graft.ext.Hashing.winnow]]) as one compiled pass per document. k and w
+  * must be foldable ints.
+  */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType)
+          if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable int k, foldable int w), got " +
+          s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+          s"${third.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    graft.ext.Hashing.winnow(
+      t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.ext.Hashing.winnow($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFingerprints =
+    copy(first = f, second = s, third = t)
+}
+
 /** `graft_simhash64(array<string>) -> bigint`: per-document 64-bit SimHash
   * (FNV base hash + per-bit majority vote, [[graft.ext.Hashing.simhash64]])
   * as one compiled loop — replaces an explode + 64-column vote aggregation
@@ -219,6 +252,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_wkb_geojson"),
       new ExpressionInfo(classOf[WkbGeoJson].getName, "graft_wkb_geojson"),
       unary("graft_wkb_geojson")(WkbGeoJson)),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      {
+        case Seq(a, b, c) => WinnowFingerprints(a, b, c)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_winnow expects exactly 3 arguments, got ${children.length}")
+      }),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
       unary("graft_simhash64")(Simhash64)),

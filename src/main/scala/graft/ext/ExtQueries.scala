@@ -57,6 +57,9 @@ object ExtQueries extends QueryPack {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(table(s, dir, "documents"))),
 
+    "text_winnow_fingerprint" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(table(s, dir, "documents"))),
+
     "text_bigram_freq" -> ((s, dir) =>
       TextAnalysis.bigramFreq(table(s, dir, "documents"), minCount = 5)),
 
@@ -117,6 +120,22 @@ object ExtQueries extends QueryPack {
   private def toSignedSql(col: String): String =
     s"""CAST(CASE WHEN $col >= 9223372036854775808::UBIGINT
        |     THEN $col::HUGEINT - $U64::HUGEINT ELSE $col::HUGEINT END AS BIGINT)""".stripMargin
+
+  /** FNV-1a 64 of a string-valued SQL expression, wrapped to the signed
+    * BIGINT Spark emits — inline (subquery-free) form usable inside
+    * lambdas. `v` names the byte-fold lambda variable; pass a name distinct
+    * from any enclosing lambda's to avoid shadowing.
+    */
+  private def fnvSignedSql(colExpr: String, v: String): String = {
+    val fold =
+      s"""list_reduce(
+         |    list_prepend(14695981039346656037::HUGEINT,
+         |      list_transform(range(1, length($colExpr)+1), $v -> ord($colExpr[$v])::HUGEINT)),
+         |    (acc, b) -> (xor(acc::UBIGINT, b::UBIGINT)::HUGEINT
+         |                 * 1099511628211::HUGEINT) % $U64::HUGEINT)""".stripMargin
+    s"""CAST((CASE WHEN $fold >= 9223372036854775808::HUGEINT
+       |      THEN $fold - $U64::HUGEINT ELSE $fold END) AS BIGINT)""".stripMargin
+  }
 
   /** Distinct 3-word shingles + FNV base hash — DuckDB mirror of
     * [[Dedup.shingles]] (list_slice clamps exactly like Spark's slice).
@@ -210,6 +229,19 @@ object ExtQueries extends QueryPack {
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          |      FROM p)
          |SELECT qid, nid, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    // winnowing: k-gram FNV hashes -> w-window minima -> distinct; window
+    // minima are order-independent, so the replication is exact
+    "text_winnow_fingerprint" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, greatest(length(text) - 8, 0) + 1),
+         |      gi -> ${fnvSignedSql("substring(text, gi + 1, 8)", "ci")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(hs) - 4, 0) + 1),
+         |    wj -> list_min(list_slice(hs, wj + 1, wj + 4))))) AS fp
+         |FROM h""".stripMargin,
 
     // FNV-1a 64 replicated as a sequential byte fold in HUGEINT mod-2^64
     // arithmetic (documents.text is ASCII, so ord() == the UTF-8 byte),

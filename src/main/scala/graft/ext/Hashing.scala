@@ -40,6 +40,56 @@ object Hashing {
     out
   }
 
+  /** Winnowing fingerprints in one compiled pass: FNV hash of every k-char
+    * gram (shorter tail grams hash their remaining chars, exactly like
+    * `substring(text, i+1, k)`), sliding w-window minima, first-occurrence
+    * dedup. ASCII fast path hashes byte windows in place; non-ASCII falls
+    * back to per-gram char substrings.
+    */
+  def winnow(
+      text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int,
+      w: Int
+  ): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val nChars = text.numChars()
+    val nGrams = math.max(nChars - k, 0) + 1
+    val hs = new Array[Long](nGrams)
+    if (text.numBytes() == nChars) {
+      val b = text.getBytes
+      var i = 0
+      while (i < nGrams) {
+        var h = 0xcbf29ce484222325L
+        val end = math.min(i + k, nChars)
+        var j = i
+        while (j < end) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+        hs(i) = h
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < nGrams) {
+        hs(i) = TextAnalysis.fnv1a64Bytes(text.substringSQL(i + 1, k).getBytes)
+        i += 1
+      }
+    }
+    val nWins = math.max(nGrams - w, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nWins) {
+      var m = Long.MaxValue
+      val end = math.min(j + w, nGrams)
+      var t = j
+      while (t < end) { if (hs(t) < m) m = hs(t); t += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** MinHash signature over a string array: element i is
     * min over shingles of mix64(fnv1a64(shingle), i). Same family as the
     * aggregated form (min is order-independent), one compiled loop per

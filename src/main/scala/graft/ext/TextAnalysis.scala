@@ -47,6 +47,23 @@ object TextAnalysis {
         .otherwise("unk").as("lang_guess")
     )
 
+  /** Winnowing fingerprints (the Schleimer/Wilkerson/Aiken rolling-hash
+    * scheme): hash every k-char gram, slide a w-hash window, keep each
+    * window's minimum, dedupe — the standard selective fingerprint for
+    * near-dup detection at corpus scale (output is ~1/w of the k-gram
+    * hashes per document, emitted as (doc_id, fp) rows). The k-gram hash is
+    * the native graft_fnv64; window minima are order-independent so the
+    * DuckDB oracle replicates them exactly.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    // the whole hash->window-min->dedup chain is one compiled pass
+    // (graft_winnow); the HOF formulation (transform + array_min(slice))
+    // computes identical values but interprets every gram
+    docs.select(col("doc_id"),
+      explode(call_function("graft_winnow", col("text"), lit(k), lit(w))).as("fp"))
+  }
+
   /** Corpus-level bigram frequencies — the n-gram statistics a data-quality
     * pipeline tracks. Explode + hash aggregation, partial-aggregated map-side.
     */
