@@ -17,6 +17,29 @@ class GraftExpressionsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(1) == TextAnalysis.fnv1a64(r.getString(0))))
   }
 
+  test("graft_winnow matches the HOF formulation on ASCII and non-ASCII text") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "ab"), // shorter than k: one gram, one window
+      (3L, ""),   // empty: hash of empty string
+      (4L, "héllo wörld smørrebrød très longère phrase")
+    ).toDF("doc_id", "text")
+    val native = docs.selectExpr("doc_id", "graft_winnow(text, 8, 4) AS fps")
+    // reference formulation: interpreted HOFs over the same definition
+    val hof = docs
+      .selectExpr("doc_id",
+        "transform(sequence(0, greatest(length(text) - 8, 0)), i -> graft_fnv64(substring(text, i + 1, 8))) AS hs")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, greatest(size(hs) - 4, 0)), j -> array_min(slice(hs, j + 1, 4)))) AS fps")
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n.keySet == h.keySet)
+    n.foreach { case (id, fps) => assert(fps == h(id), s"doc $id diverged") }
+    assert(n(3L).length == 1) // empty text: single empty-gram fingerprint
+  }
+
   test("graft_dot is bit-identical to the HOF fold and nulls on length mismatch") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
