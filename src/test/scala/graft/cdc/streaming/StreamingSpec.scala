@@ -195,6 +195,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSet == expected, "lost or extra offsets after restart")
   }
 
+  test("T5: streaming dedup under watermark equals batch distinct on the dup keys") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // at-least-once delivery: every event possibly redelivered across
+    // micro-batches; dedup key = (offset) within the event-time watermark
+    val events = Changelog.changelog(spark, sfDir)
+      .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val").as("value"))
+      .as[ChangeRecord].collect().sortBy(_.offset).take(2000)
+
+    val stream = MemoryStream[ChangeRecord]
+    val deduped = stream.toDS()
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("offset")
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+
+    val (b1, b2) = events.splitAt(events.length / 2)
+    stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+    // redeliver the tail of b1 (duplicates) together with b2
+    stream.addData((b1.takeRight(200) ++ b2).toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_sink").select("offset").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "duplicates leaked through")
+    assert(got.toSet == events.map(_.offset).toSet)
+  }
+
   test("T4 beyond-parity: event-time tumbling window with watermark over the stream") {
     val s = spark
     import s.implicits._
