@@ -66,6 +66,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("signature computation is a narrow projection: no shuffle before the candidate join") {
+    // minhash/simhash signatures are native per-doc expressions; the ONLY
+    // shuffle either plan may contain is the band/chunk candidate join
+    // (which AQE may further demote to a broadcast at this SF), and the
+    // fingerprint projections shuffle nowhere at all
+    def shuffles(df: DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size
+    }
+    assert(shuffles(q("dedup_minhash_lsh")) <= 2, "minhash shuffles beyond the candidate join")
+    assert(shuffles(q("dedup_simhash")) <= 2, "simhash shuffles beyond the candidate join")
+    assert(shuffles(q("text_fingerprint")) == 0)
+    assert(shuffles(q("text_winnow_fingerprint")) == 0)
+    assert(shuffles(q("text_token_count")) == 0)
+  }
+
   test("brute-force similarity broadcasts the query side") {
     val s = planString(q("similarity_topk_bruteforce"))
     assert(s.contains("BroadcastNestedLoopJoin"), s)
