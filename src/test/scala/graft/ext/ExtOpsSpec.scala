@@ -63,6 +63,18 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("jaccard df-cutoff returns a subset of the exact pairs, equal when unbounded") {
+    val docs = table(spark, sfDir, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.ngramJaccard(docs, 0.5))
+    val unbounded = pairs(Dedup.ngramJaccard(docs, 0.5, Long.MaxValue))
+    assert(unbounded == exact && exact.nonEmpty)
+    // pruning hot words can only lower the estimated jaccard -> subset
+    val cut = pairs(Dedup.ngramJaccard(docs, 0.5, maxDf = 20))
+    assert(cut.subsetOf(exact))
+  }
+
   test("embedding-cosine near-dup matches naive within-label pairs") {
     val emb = table(spark, sfDir, "embeddings")
     val got = Dedup.embeddingCosine(emb, 0.35)
