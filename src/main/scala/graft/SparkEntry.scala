@@ -28,13 +28,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("hybrid_pipeline_materialize")(spark, "/root/testdata/sf0.001")
 
+  private def mergedUnique[V](parts: Seq[Seq[(String, V)]], what: String): Map[String, V] = {
+    val all = parts.flatten
+    val dups = all.groupBy(_._1).filter(_._2.length > 1).keys
+    // toMap would silently shadow an operator behind a same-named one in a
+    // later pack — the gate would then verify the wrong implementation
+    require(dups.isEmpty, s"duplicate $what across QueryPacks: ${dups.mkString(", ")}")
+    all.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    mergedUnique(packs.map(_.queries.toSeq), "query names")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+  def oracleSql: Map[String, String] = {
+    val m = mergedUnique(packs.map(_.oracles.toSeq), "oracle names")
+    val orphans = m.keySet -- queries.keySet
+    require(orphans.isEmpty, s"oracles without a query: ${orphans.mkString(", ")}")
+    m
+  }
 }
