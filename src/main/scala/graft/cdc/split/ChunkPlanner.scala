@@ -232,4 +232,28 @@ object ChunkPlanner {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("lo"), max(col("k")).as("hi"))
   }
+
+  /** W2 at 100 TB — equi-depth split boundaries from the Greenwald-Khanna
+    * sketch (`approxQuantile`): one distributed pass, no global sort, no
+    * single-partition window. Returns [lo, hi) covering ranges shaped for
+    * [[jdbcPredicates]]; `relativeError` trades boundary precision against
+    * sketch size exactly like the reference's sample rate trades it
+    * (SampleBucketSplitStrategy.java:67-168).
+    */
+  def quantileRanges(
+      df: DataFrame,
+      key: String,
+      n: Int,
+      relativeError: Double = 0.01
+  ): Seq[(Option[Long], Option[Long])] = {
+    require(n >= 1, s"need at least one bucket, got $n")
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    if (probs.isEmpty) return Seq((None, None))
+    val qs = df.stat.approxQuantile(key, probs, relativeError)
+      .map(_.toLong).distinct.sorted
+    val bounds = qs.map(Option(_))
+    ((None +: bounds) zip (bounds :+ None)).filter {
+      case (lo, hi) => lo != hi // degenerate when quantiles collapse
+    }.toSeq
+  }
 }

@@ -85,6 +85,23 @@ class ChunkPlannerSpec extends SparkTestBase {
     assert(ChunkPlanner.jdbcPredicates("k", Seq((None, None))).head == "1 = 1")
   }
 
+  test("quantile ranges cover exactly once and are roughly equi-depth") {
+    val total = customer.count()
+    for (n <- Seq(1, 4, 8)) {
+      val ranges = ChunkPlanner.quantileRanges(customer, "c_custkey", n)
+      val preds = ChunkPlanner.jdbcPredicates("c_custkey", ranges)
+      val counts = preds.map(p =>
+        customer.where(org.apache.spark.sql.functions.expr(p)).count())
+      assert(counts.sum == total, s"n=$n: cover violated")
+      if (n > 1) {
+        // uniform keys: every bucket within 2x of ideal depth
+        val ideal = total.toDouble / n
+        counts.foreach(c => assert(c > ideal / 2 && c < ideal * 2,
+          s"n=$n unbalanced: ${counts.mkString(",")}"))
+      }
+    }
+  }
+
   test("analyze returns min<=max and exact count") {
     val r = ChunkPlanner.analyze(customer, "c_custkey").collect()(0)
     assert(r.getAs[Number]("min_k").longValue <= r.getAs[Number]("max_k").longValue)
