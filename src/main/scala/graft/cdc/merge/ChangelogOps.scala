@@ -116,11 +116,36 @@ object ChangelogOps {
 
   /** T7 — TiDB resolvedTs flush: only events at or before the resolved
     * timestamp are emitted, ordered by commit ts (ties by offset).
+    *
+    * The global commit rank is computed DISTRIBUTED — range-partition on the
+    * flush order, rank locally per partition, then add each partition's
+    * cumulative row-count base (the standard distributed dense-rank) — never
+    * as a partition-less window that would drain the whole history through
+    * one task. The only non-partitioned step is the per-partition count
+    * rollup: <= spark.sql.shuffle.partitions rows of planner metadata,
+    * joined back by broadcast. The reference serializes per source-reader
+    * buffer flush, not globally (TiKVRichParallelSourceFunction.java:224-260);
+    * this preserves its commit-ts flush order at any scale.
     */
   def resolvedTsFlush(changelog: DataFrame, resolvedTsMs: Long): DataFrame = {
-    val w = Window.orderBy(col("ts_ms"), col("offset"))
-    changelog.where(col("ts_ms") <= resolvedTsMs)
+    val filtered = changelog.where(col("ts_ms") <= resolvedTsMs)
       .select(col("offset"), col("pk"), col("ts_ms"))
-      .withColumn("commit_rank", row_number().over(w))
+    val parted = filtered
+      .repartitionByRange(col("ts_ms"), col("offset"))
+      .withColumn("pid", spark_partition_id())
+    // local rank within each range partition (distributed: keyed by pid)
+    val local = parted.withColumn("local_rank", row_number().over(
+      Window.partitionBy(col("pid")).orderBy(col("ts_ms"), col("offset"))))
+    // per-partition bases: base(p) = sum of counts of partitions before p.
+    // Window-free (tiny triangular self-join over <= nPartitions rows) so no
+    // partition-less Window node appears anywhere in the plan.
+    val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val bases = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("base"))
+    local.join(broadcast(bases), Seq("pid"))
+      .select(col("offset"), col("pk"), col("ts_ms"),
+        (col("base") + col("local_rank")).as("commit_rank"))
   }
 }

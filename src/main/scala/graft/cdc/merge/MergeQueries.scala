@@ -106,18 +106,20 @@ object MergeQueries extends QueryPack {
       SnapshotProtocol.normalizeChunk(scanned, cl, 200L, 700L, Some(3L), Some(11L))
     }),
 
-    // F18 GTID interval-set containment. The general interval-set algebra
-    // lives in BinlogOffsetsSpec; with this query's fixed container set
-    // "s1:1-25,s2:1-10" the containment of "s1:1-N" reduces to N <= 25,
+    // F18 GTID interval-set containment — native codegen expression
+    // (graft_gtid_contains), not a Scala UDF. The general interval-set
+    // algebra lives in BinlogOffsetsSpec; with this query's fixed container
+    // set "s1:1-25,s2:1-10" the containment of "s1:1-N" reduces to N <= 25,
     // which is what the oracle checks.
     "gtid_containment" -> ((s, dir) => {
-      val contained = udf(BinlogOffsets.gtidContainedWithin)
+      graft.cdc.types.GraftFunctions.register(s)
       changelog(s, dir)
         .withColumn("gtid_a",
           concat(lit("s1:1-"), (pmod(col("offset"), lit(50)) + 1).cast("string")))
         .withColumn("gtid_b", lit("s1:1-25,s2:1-10"))
         .select(col("offset"), col("gtid_a"), col("gtid_b"),
-          contained(col("gtid_a"), col("gtid_b")).as("contained"))
+          call_function("graft_gtid_contains", col("gtid_a"), col("gtid_b"))
+            .as("contained"))
     })
   )
 

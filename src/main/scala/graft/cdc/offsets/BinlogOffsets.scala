@@ -155,9 +155,19 @@ object BinlogOffsets {
     java.lang.Long.compare(a.restartSkipEvents, b.restartSkipEvents)
   }
 
-  /** UDF: is GTID set `a` contained within `b`. Registered lazily per
-    * session under `gtid_contained`.
+  /** Is GTID set `a` contained within `b`. Pure-Scala form used by tests and
+    * the offset total order; the query path goes through the native
+    * [[graft.cdc.types.GtidContains]] expression.
     */
   val gtidContainedWithin: (String, String) => Boolean =
     (a, b) => GtidSet.parse(a).isContainedWithin(GtidSet.parse(b))
+
+  /** UTF8String entry point for the codegen'd [[graft.cdc.types.GtidContains]]
+    * expression (Scala object methods emit static forwarders, so generated
+    * Java can call this directly).
+    */
+  def gtidContains(
+      a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    GtidSet.parse(a.toString).isContainedWithin(GtidSet.parse(b.toString))
 }

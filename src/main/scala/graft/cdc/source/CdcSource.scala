@@ -170,10 +170,11 @@ object CdcSource {
                 .drop("file", "pos")
             case _ =>
               // GTID-set start: events whose per-row singleton GTID set is
-              // NOT already contained in the given set
-              val contained = udf(BinlogOffsets.gtidContainedWithin)
+              // NOT already contained in the given set (native codegen
+              // expression — keeps the startup filter in whole-stage codegen)
+              graft.cdc.types.GraftFunctions.register(spark)
               cl.withColumn("g", concat(lit("s1:1-"), (col("offset") + 1).cast("string")))
-                .where(!contained(col("g"), lit(gtid.get)))
+                .where(!call_function("graft_gtid_contains", col("g"), lit(gtid.get)))
                 .drop("g")
           }
         case other =>

@@ -26,18 +26,56 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_fnv64"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+      s"$prettyName requires a string or binary argument, got ${child.dataType.catalogString}")
+
+  private def isBinary: Boolean = child.dataType == BinaryType
 
   override protected def nullSafeEval(input: Any): Any =
-    TextAnalysis.fnv1a64Bytes(input.asInstanceOf[UTF8String].getBytes)
+    if (isBinary) TextAnalysis.fnv1a64Bytes(input.asInstanceOf[Array[Byte]])
+    else TextAnalysis.fnv1a64Bytes(input.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.ext.TextAnalysis.fnv1a64Bytes($c.getBytes())")
+    if (isBinary)
+      defineCodeGen(ctx, ev, c => s"graft.ext.TextAnalysis.fnv1a64Bytes($c)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.ext.TextAnalysis.fnv1a64Bytes($c.getBytes())")
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
     copy(child = newChild)
+}
+
+/** `graft_gtid_contains(a, b) -> boolean`: GTID interval-set containment
+  * (is set `a` covered by set `b` — Debezium `GtidSet.isContainedWithin`
+  * semantics, [[graft.cdc.offsets.BinlogOffsets.GtidSet]]). Native so the
+  * startup-offset filters (F18; reference BinlogOffset.java:185-202) stay
+  * inside whole-stage codegen instead of paying a Scala-UDF encoder round
+  * trip per row.
+  */
+case class GtidContains(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_gtid_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.cdc.offsets.BinlogOffsets.gtidContains(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.cdc.offsets.BinlogOffsets.gtidContains($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GtidContains =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_dot(a, b) -> double`: sequential dot product over two double
@@ -286,6 +324,14 @@ object GraftFunctions {
         case children =>
           throw new IllegalArgumentException(
             s"graft_mix64 expects exactly 2 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_gtid_contains"),
+      new ExpressionInfo(classOf[GtidContains].getName, "graft_gtid_contains"),
+      {
+        case Seq(a, b) => GtidContains(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_gtid_contains expects exactly 2 arguments, got ${children.length}")
       })
   )
 

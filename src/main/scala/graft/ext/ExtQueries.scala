@@ -149,6 +149,21 @@ object ExtQueries extends QueryPack {
        |h AS (SELECT doc_id, ${fnvUSql("shingle")} AS hu FROM sh)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // frame slicing replicated on the VARCHAR side (documents.text is pure
+    // ASCII, so 1-based char substring == the binary slice and length() ==
+    // octet_length); frame feature = the same FNV-1a fold as text_fingerprint
+    "multimodal_frames" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS nbytes
+         |           FROM documents WHERE length(text) > 0),
+         |f0 AS (SELECT doc_id, unnest(range(0, (nbytes + 255) // 256)) AS frame_idx, text
+         |       FROM d),
+         |f AS (SELECT doc_id, frame_idx,
+         |        substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256) AS frame
+         |      FROM f0)
+         |SELECT doc_id, frame_idx, length(frame) AS frame_len,
+         |       ${fnvSignedSql("frame", "fv")} AS feature
+         |FROM f""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""$shingleHashSql,
          |fam AS (SELECT doc_id, t.i AS i, hu, CAST(t.i AS UBIGINT) AS iu
@@ -181,10 +196,15 @@ object ExtQueries extends QueryPack {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin,
 
+    // the hyperplane component range is derived from the corpus's own max
+    // embedding length (not a hardcoded dim) so the oracle tracks the Spark
+    // side, which sizes each plane from the vector itself
     "similarity_topk_lsh" ->
-      s"""WITH p0 AS (SELECT t1.i AS i, t2.j AS j, CAST(t1.i AS UBIGINT) AS hu,
+      s"""WITH dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
+         |p0 AS (SELECT t1.i AS i, t2.j AS j, CAST(t1.i AS UBIGINT) AS hu,
          |              CAST(t2.j AS UBIGINT) AS iu
-         |            FROM range(64) t1(i) CROSS JOIN range(8) t2(j)),
+         |            FROM (SELECT unnest(range((SELECT d FROM dims))) AS i) t1
+         |            CROSS JOIN range(8) t2(j)),
          |signs AS (SELECT j, list(CASE WHEN zf & 1::UBIGINT = 0::UBIGINT
          |                              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
          |                         ORDER BY i) AS sgn
@@ -211,6 +231,44 @@ object ExtQueries extends QueryPack {
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          |      FROM pr)
          |SELECT qid, nid, bucket, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    // deterministic IVF: seeds = the 8 vec_ids with the smallest signed
+    // mix64(vec_id, 2027); assignment = argmax cosine (ties to smallest
+    // cell); probes = top-3 cells per query by the same metric; exact
+    // re-rank inside probed cells. Every double is the same sequential fold
+    // as the Spark side, so the match is bit-exact.
+    "similarity_topk_ivf" ->
+      s"""$normedEmbSql,
+         |mx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,
+         |          ${Similarity.IvfSeedSalt}::UBIGINT AS iu FROM e),
+         |mxs AS (SELECT vec_id, ${toSignedSql("zf")} AS mix
+         |        FROM ${mixChainSql("mx0", "vec_id")}),
+         |seeds AS (SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm
+         |          FROM mxs JOIN e ON mxs.vec_id = e.vec_id
+         |          ORDER BY mxs.mix, e.vec_id LIMIT 8),
+         |cs AS (SELECT e.vec_id, e.embedding, e.nrm, s.cell,
+         |         ${dotSql("e.embedding", "s.cv")} / (e.nrm * s.cnrm) AS csim
+         |       FROM e CROSS JOIN seeds s),
+         |assign AS (SELECT vec_id, cell FROM (
+         |             SELECT vec_id, cell,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY csim DESC, cell) AS rn
+         |             FROM cs) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnorm, cell FROM (
+         |             SELECT vec_id, embedding, nrm, cell,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY csim DESC, cell) AS rn
+         |             FROM cs WHERE vec_id < 10) WHERE rn <= 3),
+         |cand AS (SELECT p.qid, n.vec_id AS nid, p.cell,
+         |           ${dotSql("p.qv", "n.embedding")} / (p.qnorm * n.nrm) AS sim
+         |         FROM probes p
+         |         JOIN assign a ON p.cell = a.cell
+         |         JOIN e n ON a.vec_id = n.vec_id
+         |         WHERE p.qid <> n.vec_id),
+         |r AS (SELECT qid, nid, cell, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM cand)
+         |SELECT qid, nid, cell, rank, sim FROM r WHERE rank <= 5""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""$normedEmbSql

@@ -65,10 +65,12 @@ object Multimodal {
     * extraction): one output row per frame. Narrow per-row transform —
     * sequence+transform+posexplode, no shuffle, fully distributed.
     *
-    * STUB: `feature` = xxhash64(frame bytes) stands in for the decoded
-    * feature vector.
+    * STUB: `feature` = graft_fnv64(frame bytes) stands in for the decoded
+    * feature vector — FNV-1a so the stub is engine-replicable and the whole
+    * frame pipeline keeps a DuckDB oracle.
     */
   def frames(binDocs: DataFrame, frameSize: Int): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(binDocs.sparkSession)
     val nFrames = ceil(col("meta.nbytes").cast("double") / frameSize).cast("int")
     binDocs
       // empty payloads produce zero frames — without this guard
@@ -84,7 +86,7 @@ object Multimodal {
         col("doc_id"),
         col("frame_idx"),
         octet_length(col("frame")).as("frame_len"),
-        xxhash64(col("frame")).as("feature")
+        call_function("graft_fnv64", col("frame")).as("feature")
       )
   }
 }

@@ -58,12 +58,27 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
-  /** IVF (inverted-file) ANN: corpus vectors are assigned to the nearest of
-    * `nCells` centroids learned by KMeans (fixed seed); a query probes its
-    * own cell plus the `nProbe`-nearest cells and re-ranks exactly inside
-    * them. The cell assignment is the partition key — the search is an
-    * equi-join on cell id, the classic IVF shape that scales to corpus-sized
-    * query sets where the broadcast brute force cannot.
+  /** Salt deriving the deterministic IVF seed sample (any fixed constant). */
+  private[ext] val IvfSeedSalt = 2027L
+
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to the
+    * cosine-nearest of `nCells` seed centroids; a query probes its
+    * `nProbe`-nearest cells and re-ranks exactly inside them. The cell
+    * assignment is the partition key — the search is an equi-join on cell
+    * id, the classic IVF shape that scales to corpus-sized query sets where
+    * the broadcast brute force cannot.
+    *
+    * Centroids are a DETERMINISTIC pseudo-random sample: the `nCells`
+    * vectors with the smallest `graft_mix64(vec_id, salt)` — exactly the
+    * random-init seeds a KMeans run would start from, but engine-replicable,
+    * so (unlike a fitted model) the whole operator keeps a bit-exact DuckDB
+    * oracle. Seed quality only affects recall, never correctness of the
+    * exact re-rank. At 100 TB you'd fit refined centroids offline once and
+    * feed them through the same two broadcast joins; seed selection here is
+    * a distributed TakeOrdered (no global sort, no driver-side model fit
+    * inside the query). Cell id = the seed's vec_id. Assignment and probing
+    * use the SAME metric, so a query's home cell is always probe rank 1 —
+    * no metric-mismatch union needed.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -72,48 +87,33 @@ object Similarity {
       nQueries: Int,
       k: Int
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     import org.apache.spark.sql.expressions.Window
-
-    val spark = emb.sparkSession
-    import spark.implicits._
-    graft.cdc.types.GraftFunctions.register(spark)
-
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = emb.select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
-    // random init + few iterations: cell quality only affects recall (the
-    // probe union below keeps correctness), and kmeans|| init costs more
-    // scheduler round trips than the clustering itself at this scale
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random").fit(feat)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-
-    // nProbe nearest cells per centroid-assigned point, computed driver-side
-    // over the tiny centroid set and broadcast as a lookup
-    def nearestCells(v: Array[Double], n: Int): Seq[Int] =
-      centroids.sortBy { case (_, c) =>
-        -c.zip(v).map { case (x, y) => x * y }.sum /
-          (math.sqrt(c.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum) + 1e-12)
-      }.take(n).map(_._1).toSeq
-
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      .withColumn("vd", toDouble("embedding"))
-      .withColumn("nrm", norm(col("vd")))
-    val probeCells = udf((a: Seq[Float]) =>
-      nearestCells(a.map(_.toDouble).toArray, nProbe))
-    // probe set = the query's OWN (Euclidean-)assigned cell plus the
-    // nProbe cosine-nearest centroids — without the union the metric
-    // mismatch could leave the query's home cell (and its co-residents)
-    // unscanned
-    val q = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnorm"),
-        explode(array_distinct(concat(
-          array(col("cell")), probeCells(col("embedding"))))).as("cell"))
+    val base = normed(emb) // vec_id, vd, nrm
+    val seeds = base
+      .withColumn("mix", call_function("graft_mix64", col("vec_id"), lit(IvfSeedSalt)))
+      .orderBy(col("mix"), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("vd").as("cv"), col("nrm").as("cnrm"))
+    // corpus x seeds cell similarities: a broadcast nested loop over nCells
+    // rows — each corpus row expands nCells-fold, then collapses in the
+    // map-side-combinable argmax below; the corpus itself never shuffles
+    // wide
+    val cellSims = base.crossJoin(broadcast(seeds))
+      .withColumn("csim", dot(col("vd"), col("cv")) / (col("nrm") * col("cnrm")))
+    // assignment: argmax cosine, ties to the smallest cell id
+    val assigned = cellSims
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+        first(col("vd")).as("vd"), first(col("nrm")).as("nrm"))
+    // probe set: the nProbe cosine-nearest cells per query vector
+    val probes = cellSims.where(col("vec_id") < nQueries)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("nrm").as("qnorm"), col("cell"))
     val n = assigned.select(col("vec_id").as("nid"), col("vd").as("nv"),
       col("nrm").as("nnorm"), col("cell"))
-    n.join(broadcast(q), Seq("cell"))
+    n.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
       .withColumn("rank", row_number().over(

@@ -91,4 +91,33 @@ class PlanSpec extends SparkTestBase {
     val s = planString(q("similarity_topk_bruteforce"))
     assert(s.contains("BroadcastNestedLoopJoin"), s)
   }
+
+  test("GTID containment runs as a native expression, not a Scala UDF") {
+    for (name <- Seq("gtid_containment", "startup_specific_offset")) {
+      val s = planString(q(name))
+      assert(!s.contains("ScalaUDF") && !s.contains("UDF("),
+        s"$name plans a Scala UDF:\n$s")
+    }
+  }
+
+  test("tidb resolvedTs flush has no partition-less window in the data path") {
+    def windows(plan: org.apache.spark.sql.execution.SparkPlan) = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val plan = q("tidb_resolved_ts_flush").queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val ws = windows(plan)
+    assert(ws.nonEmpty, plan.toString)
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"partition-less Window in tidb_resolved_ts_flush:\n$plan"))
+  }
+
+  test("IVF runs no driver-side model fit: seed selection is a bounded TakeOrdered") {
+    val s = planString(q("similarity_topk_ivf"))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("ScalaUDF"), s)
+  }
 }
