@@ -83,7 +83,11 @@ case class GtidContains(left: Expression, right: Expression) extends BinaryExpre
   * (and to the DuckDB oracle's `list_reduce`), but compiled into the
   * whole-stage-codegen loop instead of interpreted per element. The hot
   * inner op of every cosine-similarity operator. Arrays of unequal length
-  * yield null (the HOF form's null-padding also nulls the fold).
+  * yield null (the HOF form's null-padding also nulls the fold), and a null
+  * ELEMENT on either side nulls the whole fold too — matching the HOF form,
+  * which propagates element nulls through the sum. The element null check is
+  * emitted only when the input type says `containsNull`, so non-nullable
+  * arrays keep the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -93,6 +97,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case ArrayType(DoubleType, _) => true
     case _ => false
   }
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
@@ -108,7 +117,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) null
-    else {
+    else if (elemsNullable) {
+      var acc = 0.0
+      var i = 0
+      var sawNull = false
+      while (i < n && !sawNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) sawNull = true
+        else { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      }
+      if (sawNull) null else acc
+    } else {
       var acc = 0.0
       var i = 0
       while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -121,6 +139,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val elemNullCheck =
+        if (elemsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -128,9 +150,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

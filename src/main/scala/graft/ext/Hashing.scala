@@ -17,17 +17,22 @@ object Hashing {
   /** 64-bit SimHash over a string array (FNV-1a base hash, majority vote
     * per bit, ties -> 0). One compiled loop per document — semantically the
     * per-bit ±1 vote aggregation, without exploding shingles into rows.
+    * Null elements are skipped (the functions are user-facing via
+    * spark.sql.extensions, so `graft_simhash64(array('a', NULL))` must not
+    * throw): a null shingle contributes no vote.
     */
   def simhash64(shingles: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val h = TextAnalysis.fnv1a64Bytes(shingles.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 64) {
-        votes(j) += (((h >>> j) & 1L).toInt << 1) - 1
-        j += 1
+      if (!shingles.isNullAt(i)) {
+        val h = TextAnalysis.fnv1a64Bytes(shingles.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (((h >>> j) & 1L).toInt << 1) - 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -93,7 +98,7 @@ object Hashing {
   /** MinHash signature over a string array: element i is
     * min over shingles of mix64(fnv1a64(shingle), i). Same family as the
     * aggregated form (min is order-independent), one compiled loop per
-    * document.
+    * document. Null elements are skipped, like [[simhash64]].
     */
   def minhashSig(
       shingles: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -103,12 +108,14 @@ object Hashing {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val h = TextAnalysis.fnv1a64Bytes(shingles.getUTF8String(i).getBytes)
-      var k = 0
-      while (k < numHashes) {
-        val m = mix64(h, k.toLong)
-        if (m < mins(k)) mins(k) = m
-        k += 1
+      if (!shingles.isNullAt(i)) {
+        val h = TextAnalysis.fnv1a64Bytes(shingles.getUTF8String(i).getBytes)
+        var k = 0
+        while (k < numHashes) {
+          val m = mix64(h, k.toLong)
+          if (m < mins(k)) mins(k) = m
+          k += 1
+        }
       }
       i += 1
     }

@@ -25,11 +25,17 @@ object StreamingDedup {
   /** Per-batch claims for each (doc, band). Within a micro-batch, ties go
     * to the smallest doc_id — the same "earlier doc wins" rule the batch
     * pairing's `doc_a < doc_b` ordering encodes.
+    *
+    * `stateTtl` bounds the state store for long-running streams: buckets
+    * untouched for the TTL age out (processing-time timeout), narrowing the
+    * dedup horizon to the TTL window but capping state at the number of
+    * buckets seen within it. None = claims are remembered forever.
     */
   def bandClaims(
       docs: DataFrame,
       numHashes: Int = 32,
-      rowsPerBand: Int = 4
+      rowsPerBand: Int = 4,
+      stateTtl: Option[java.time.Duration] = None
   ): Dataset[BandClaim] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -39,16 +45,26 @@ object StreamingDedup {
           concat_ws(",", col("sig"))).as("bucket"),
         col("band_id"))
       .as[(Long, String, Int)]
+    val timeoutConf = stateTtl match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
     bands
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: String, rows: Iterator[(Long, String, Int)], state: GroupState[Long]) => {
-          val sorted = rows.toSeq.sortBy(_._1)
-          val claimant =
-            if (state.exists) state.get
-            else { state.update(sorted.head._1); sorted.head._1 }
-          sorted.iterator.map { case (id, _, bid) =>
-            BandClaim(id, bid, first = id == claimant)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_._1)
+            val claimant =
+              if (state.exists) state.get
+              else { state.update(sorted.head._1); sorted.head._1 }
+            stateTtl.foreach(ttl => state.setTimeoutDuration(ttl.toMillis))
+            sorted.iterator.map { case (id, _, bid) =>
+              BandClaim(id, bid, first = id == claimant)
+            }
           }
         })
   }

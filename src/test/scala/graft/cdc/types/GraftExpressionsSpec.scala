@@ -60,6 +60,28 @@ class GraftExpressionsSpec extends SparkTestBase {
     assert(r2.isNullAt(0) && r2.isNullAt(1))
   }
 
+  test("graft_dot with a null ELEMENT nulls the fold, matching the HOF form") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1D, CAST(NULL AS DOUBLE)), array(1D, 2D)) AS native,
+        |  aggregate(zip_with(array(1D, CAST(NULL AS DOUBLE)), array(1D, 2D),
+        |    (x, y) -> x * y), 0D, (acc, z) -> acc + z) AS hof""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("graft_simhash64 and graft_minhash skip null array elements instead of throwing") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash64(array('a', CAST(NULL AS STRING), 'b')) AS s1,
+        |  graft_simhash64(array('a', 'b')) AS s2,
+        |  graft_minhash(array('a', CAST(NULL AS STRING), 'b'), 4) AS m1,
+        |  graft_minhash(array('a', 'b'), 4) AS m2""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+  }
+
   test("graft_mix64 via SQL agrees with the Scala implementation incl. sign boundaries") {
     GraftFunctions.register(spark)
     import spark.implicits._

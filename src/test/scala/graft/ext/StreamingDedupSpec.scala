@@ -46,4 +46,50 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(later.nonEmpty, "fixture has no near-dups; test is vacuous")
     assert(kept.nonEmpty)
   }
+
+  test("state TTL path: claims within the TTL window still dedup identically") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+
+    val stream = MemoryStream[(Long, String)]
+    // a generous TTL: nothing ages out within the test, so the claims must
+    // match the no-TTL run exactly — this exercises the
+    // ProcessingTimeTimeout branch (setTimeoutDuration per update and the
+    // hasTimedOut cleanup path) without making timing part of the assertion.
+    // Trigger.Once per micro-batch (not processAllAvailable): with
+    // processing-time timeouts every batch re-arms a future timeout, so the
+    // engine always "requires another batch" and processAllAvailable
+    // livelocks; one-shot triggers over a shared checkpoint pin exactly one
+    // batch per run while state carries across restarts.
+    val claims = StreamingDedup.bandClaims(
+      stream.toDS().toDF("doc_id", "text"),
+      stateTtl = Some(java.time.Duration.ofHours(1)))
+    val ckpt = java.nio.file.Files.createTempDirectory("ttl_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ttl_out").toString
+    def runOnce(): Unit = {
+      val q = claims.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    stream.addData(b1.toIndexedSeq); runOnce()
+    stream.addData(b2.toIndexedSeq); runOnce()
+
+    val kept = StreamingDedup.keptDocs(spark.read.parquet(outDir))
+      .collect().map(_.getLong(0)).toSet
+    val later = Dedup.minhashLsh(table(spark, sfDir, "documents"), 32, 4)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(kept == docs.map(_._1).toSet -- later)
+  }
 }
