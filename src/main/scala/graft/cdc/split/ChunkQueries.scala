@@ -58,7 +58,26 @@ object ChunkQueries extends QueryPack {
     }),
 
     "sample_buckets" -> ((s, dir) =>
-      ChunkPlanner.sampleBuckets(table(s, dir, "customer"), "c_custkey", 8))
+      ChunkPlanner.sampleBuckets(table(s, dir, "customer"), "c_custkey", 8)),
+
+    // string split key (reference splits on any comparable column,
+    // MySqlChunkSplitter.java:63-510): uneven boundaries over c_name
+    "chunk_ranges_string" -> ((s, dir) =>
+      KeyedChunkPlanner.unevenChunkRanges(table(s, dir, "customer"), Seq("c_name"), ChunkSize)
+        .select(col("split_id"),
+          col("split_start.c_name").as("split_start"),
+          col("split_end.c_name").as("split_end"))),
+
+    // composite split key (l_orderkey, l_linenumber), lexicographic
+    // boundaries flattened to scalar columns for the compare
+    "chunk_ranges_composite" -> ((s, dir) =>
+      KeyedChunkPlanner.unevenChunkRanges(
+          table(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"), 2048)
+        .select(col("split_id"),
+          col("split_start.l_orderkey").as("start_okey"),
+          col("split_start.l_linenumber").as("start_lnum"),
+          col("split_end.l_orderkey").as("end_okey"),
+          col("split_end.l_linenumber").as("end_lnum")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -120,6 +139,37 @@ object ChunkQueries extends QueryPack {
         |                  ntile(8) OVER (ORDER BY c_custkey) AS bucket
         |           FROM customer)
         |SELECT bucket, count(*) AS cnt, min(k) AS lo, max(k) AS hi
-        |FROM t GROUP BY bucket""".stripMargin
+        |FROM t GROUP BY bucket""".stripMargin,
+
+    // DuckDB default collation is binary and c_name is ASCII, so ORDER BY
+    // matches Spark's UTF8 string order exactly
+    "chunk_ranges_string" ->
+      s"""WITH d AS (SELECT DISTINCT c_name AS k FROM customer),
+         |b AS (SELECT k AS boundary, row_number() OVER (ORDER BY k) AS rn FROM d
+         |      QUALIFY rn % $ChunkSize = 0)
+         |SELECT (rn // $ChunkSize) - 1 AS split_id,
+         |       lag(boundary) OVER (ORDER BY rn) AS split_start,
+         |       boundary AS split_end
+         |FROM b
+         |UNION ALL
+         |SELECT count(*) AS split_id, max(boundary) AS split_start,
+         |       CAST(NULL AS VARCHAR) AS split_end
+         |FROM b""".stripMargin,
+
+    "chunk_ranges_composite" ->
+      s"""WITH d AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem),
+         |b AS (SELECT l_orderkey AS bk1, l_linenumber AS bk2,
+         |        row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+         |      FROM d QUALIFY rn % 2048 = 0)
+         |SELECT (rn // 2048) - 1 AS split_id,
+         |       lag(bk1) OVER (ORDER BY rn) AS start_okey,
+         |       lag(bk2) OVER (ORDER BY rn) AS start_lnum,
+         |       bk1 AS end_okey, bk2 AS end_lnum
+         |FROM b
+         |UNION ALL
+         |SELECT count(*) AS split_id, arg_max(bk1, rn) AS start_okey,
+         |       arg_max(bk2, rn) AS start_lnum,
+         |       CAST(NULL AS BIGINT) AS end_okey, CAST(NULL AS INTEGER) AS end_lnum
+         |FROM b""".stripMargin
   )
 }

@@ -1,0 +1,187 @@
+package graft.cdc.split
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Chunk planning over GENERAL split keys — string, numeric, or composite
+  * (multi-column) — the part of the reference's splitter that
+  * [[ChunkPlanner]]'s single-`Long` fast path does not cover.
+  *
+  * The reference splits on any comparable column including composite PKs
+  * (MySqlChunkSplitter.java:63-510 works on `Object[]` split keys;
+  * RecordUtils.java:302-337 compares them component-wise), so the planner
+  * here models a boundary as one value per key column under LEXICOGRAPHIC
+  * order — exactly Spark's own struct ordering, which lets every aggregate
+  * (min/max/TakeOrdered) run natively on a `struct(keys*)` column with no
+  * UDFs.
+  *
+  * Range convention: (start, end] — start exclusive, end inclusive, `None` =
+  * unbounded — matching [[ChunkPlanner.unevenChunkRangesIterative]] and its
+  * disjoint-cover property.
+  *
+  * Scale notes: stats and probes are the same distributed one-row
+  * aggregations as the Long path; the window variant orders DISTINCT key
+  * tuples only (planning metadata, like [[ChunkPlanner.unevenChunkRanges]]);
+  * the probe loop is the reference's own serial planning pattern
+  * (MySqlChunkSplitter.java:188-221), never in the data path.
+  */
+object KeyedChunkPlanner {
+
+  /** A chunk boundary: one value per key column, compared lexicographically. */
+  type Boundary = Seq[Any]
+
+  /** Lexicographic `key tuple > b` as a Column (null-free keys). */
+  def tupleGreater(keys: Seq[Column], b: Boundary): Column = {
+    require(keys.length == b.length, s"${keys.length} key cols vs ${b.length} boundary values")
+    def go(parts: List[(Column, Any)]): Column = parts match {
+      case (k, v) :: Nil => k > lit(v)
+      case (k, v) :: rest => (k > lit(v)) || (k === lit(v) && go(rest))
+      case Nil => lit(false)
+    }
+    go(keys.zip(b).toList)
+  }
+
+  /** Lexicographic `key tuple <= b`. */
+  def tupleLessEq(keys: Seq[Column], b: Boundary): Column = !tupleGreater(keys, b)
+
+  /** Row-in-range under the (start, end] convention — the membership test a
+    * chunk scan pushes down.
+    */
+  def inRange(keys: Seq[Column], lo: Option[Boundary], hi: Option[Boundary]): Column =
+    lo.map(tupleGreater(keys, _)).getOrElse(lit(true)) &&
+      hi.map(tupleLessEq(keys, _)).getOrElse(lit(true))
+
+  /** A1/A2 generalized — one-row stats: lexicographic min/max key tuple +
+    * count, a single distributed partial aggregation.
+    */
+  def analyze(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val kt = struct(keys.map(col): _*)
+    df.agg(min(kt).as("min_k"), max(kt).as("max_k"), count(lit(1)).as("cnt"))
+  }
+
+  /** A4/O1 generalized — max of the next `chunkSize` rows strictly past
+    * `lowerExclusive` (None = from the start): TakeOrdered over the struct
+    * column, per-partition top-k, no full sort.
+    */
+  def nextChunkMax(
+      df: DataFrame,
+      keys: Seq[String],
+      lowerExclusive: Option[Boundary],
+      chunkSize: Int
+  ): DataFrame = {
+    val keyCols = keys.map(col)
+    df.where(lowerExclusive.map(tupleGreater(keyCols, _)).getOrElse(lit(true)))
+      .select(struct(keyCols: _*).as("kt"))
+      .orderBy(col("kt"))
+      .limit(chunkSize)
+      .agg(max(col("kt")).as("next_max"))
+  }
+
+  /** Uneven ranges, window form (the oracle-checkable shape of
+    * [[ChunkPlanner.unevenChunkRanges]] over general keys): every
+    * `chunkSize`-th DISTINCT key tuple is a boundary; emits split_id +
+    * struct-typed split_start/split_end (null = unbounded). Planning
+    * metadata only — ~cnt/chunkSize output rows.
+    */
+  def unevenChunkRanges(df: DataFrame, keys: Seq[String], chunkSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val distinctKeys = df.select(struct(keys.map(col): _*).as("kt")).distinct()
+    val ktType = distinctKeys.schema("kt").dataType
+    val w = Window.orderBy(col("kt"))
+    val boundaries = distinctKeys
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") % chunkSize === 0)
+      .select(col("kt").as("boundary"), (col("rn") / chunkSize).cast("long").as("bid"))
+    val wb = Window.orderBy(col("bid"))
+    val bounded = boundaries
+      .withColumn("split_start", lag(col("boundary"), 1).over(wb))
+      .select(
+        (col("bid") - 1).as("split_id"),
+        col("split_start"),
+        col("boundary").as("split_end")
+      )
+    val last = boundaries.agg(
+      count(lit(1)).as("split_id"),
+      max_by(col("boundary"), col("bid")).as("split_start")
+    ).select(col("split_id"), col("split_start"),
+      lit(null).cast(ktType).as("split_end"))
+    bounded.unionByName(last)
+  }
+
+  /** The reference's probe-driven splitter over general keys
+    * (MySqlChunkSplitter.java:188-221 with `Object[]` boundaries): each probe
+    * is a distributed TakeOrdered job; the loop itself is driver-side
+    * planning, bounded by `maxChunks`. Returns (start, end] ranges exactly
+    * covering the key space.
+    */
+  def unevenChunkRangesIterative(
+      df: DataFrame,
+      keys: Seq[String],
+      chunkSize: Int,
+      maxChunks: Int = 10000
+  ): Seq[(Option[Boundary], Option[Boundary])] = {
+    val stats = analyze(df, keys).collect()(0)
+    if (stats.isNullAt(0) || stats.getLong(2) == 0L) return Seq((None, None))
+    val maxK: Boundary = stats.getStruct(1).toSeq
+    val ranges = Seq.newBuilder[(Option[Boundary], Option[Boundary])]
+    var start: Option[Boundary] = None
+    var done = false
+    var n = 0
+    while (!done) {
+      if (n >= maxChunks)
+        throw new IllegalStateException(
+          s"keyed uneven splitter exceeded maxChunks=$maxChunks before covering the key space; " +
+            "raise maxChunks or use a sampled strategy for this table")
+      val nm = nextChunkMax(df, keys, start, chunkSize).collect()(0)
+      val boundary: Boundary = if (nm.isNullAt(0)) maxK else nm.getStruct(0).toSeq
+      if (compareBoundaries(boundary, maxK) >= 0) {
+        ranges += ((start, None))
+        done = true
+      } else {
+        ranges += ((start, Some(boundary)))
+        start = Some(boundary)
+      }
+      n += 1
+    }
+    ranges.result()
+  }
+
+  /** Driver-side lexicographic compare of two boundaries (components must be
+    * mutually Comparable — Long/Int/String/etc as Spark rows return them).
+    */
+  def compareBoundaries(a: Boundary, b: Boundary): Int =
+    a.zip(b).iterator.map { case (x, y) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }.find(_ != 0).getOrElse(0)
+
+  /** Render (start, end] ranges as JDBC partition predicates with
+    * lexicographic comparisons — the composite-key form of
+    * [[ChunkPlanner.jdbcPredicates]] (reference StatementUtils.java:132-188
+    * emits the same expanded OR-chains for composite split keys). String
+    * values are single-quote escaped.
+    */
+  def jdbcPredicates(
+      keys: Seq[String],
+      ranges: Seq[(Option[Boundary], Option[Boundary])]
+  ): Array[String] = {
+    def sqlLit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other => String.valueOf(other)
+    }
+    def gtSql(parts: List[(String, Any)]): String = parts match {
+      case (k, v) :: Nil => s"$k > ${sqlLit(v)}"
+      case (k, v) :: rest => s"($k > ${sqlLit(v)} OR ($k = ${sqlLit(v)} AND ${gtSql(rest)}))"
+      case Nil => "1 = 1"
+    }
+    def leSql(parts: List[(String, Any)]): String = parts match {
+      case (k, v) :: Nil => s"$k <= ${sqlLit(v)}"
+      case (k, v) :: rest => s"($k < ${sqlLit(v)} OR ($k = ${sqlLit(v)} AND ${leSql(rest)}))"
+      case Nil => "1 = 1"
+    }
+    ranges.map { case (lo, hi) =>
+      val parts = lo.map(b => gtSql(keys.zip(b).toList)).toSeq ++
+        hi.map(b => leSql(keys.zip(b).toList))
+      if (parts.isEmpty) "1 = 1" else parts.mkString(" AND ")
+    }.toArray
+  }
+}

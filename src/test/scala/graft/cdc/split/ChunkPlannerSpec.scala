@@ -107,4 +107,62 @@ class ChunkPlannerSpec extends SparkTestBase {
     assert(r.getAs[Number]("min_k").longValue <= r.getAs[Number]("max_k").longValue)
     assert(r.getAs[Long]("cnt") == customer.count())
   }
+
+  test("string-keyed iterative ranges are disjoint and cover every key") {
+    for (chunkSize <- Seq(64, 300)) {
+      val ranges = KeyedChunkPlanner.unevenChunkRangesIterative(
+        customer, Seq("c_name"), chunkSize)
+      assert(ranges.head._1.isEmpty && ranges.last._2.isEmpty)
+      ranges.sliding(2).foreach {
+        case Seq((_, Some(e)), (Some(s2), _)) => assert(e == s2)
+        case _ => ()
+      }
+      val names = customer.select(col("c_name")).collect().map(_.getString(0))
+      for (k <- names) {
+        val n = ranges.count { case (lo, hi) =>
+          lo.forall(b => k > b.head.asInstanceOf[String]) &&
+            hi.forall(b => k <= b.head.asInstanceOf[String])
+        }
+        assert(n == 1, s"name $k in $n chunks (chunkSize=$chunkSize)")
+      }
+    }
+  }
+
+  test("composite-keyed iterative ranges are disjoint and cover every tuple") {
+    val li = table(spark, sfDir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val ranges = KeyedChunkPlanner.unevenChunkRangesIterative(li, keys, 512)
+    assert(ranges.length >= 2, "fixture too small for a meaningful composite split")
+    // membership checked THROUGH the Column algebra (tupleGreater/LessEq) so
+    // the spec also proves inRange: each row lands in exactly one range
+    val keyCols = keys.map(col)
+    val flags = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      when(KeyedChunkPlanner.inRange(keyCols, lo, hi), 1).otherwise(0).as(s"r$i")
+    }
+    val counts = li.select(flags.reduce(_ + _).as("n")).groupBy(col("n")).count().collect()
+    assert(counts.length == 1 && counts(0).getInt(0) == 1,
+      s"rows not in exactly one range: ${counts.mkString(",")}")
+  }
+
+  test("keyed jdbc predicates render lexicographic SQL that covers exactly once") {
+    val li = table(spark, sfDir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val ranges = KeyedChunkPlanner.unevenChunkRangesIterative(li, keys, 1024)
+    val preds = KeyedChunkPlanner.jdbcPredicates(keys, ranges)
+    val total = li.count()
+    val sum = preds.map(p => li.where(expr(p)).count()).sum
+    assert(sum == total, s"predicates over/under-cover: $sum vs $total\n${preds.mkString("\n")}")
+    // string literal escaping
+    val sp = KeyedChunkPlanner.jdbcPredicates(
+      Seq("name"), Seq((Some(Seq("o'brien")), None)))
+    assert(sp.head == "name > 'o''brien'")
+  }
+
+  test("keyed analyze agrees with the Long-path analyze on a single numeric key") {
+    val a = ChunkPlanner.analyze(customer, "c_custkey").collect()(0)
+    val b = KeyedChunkPlanner.analyze(customer, Seq("c_custkey")).collect()(0)
+    assert(b.getStruct(0).getLong(0) == a.getAs[Number]("min_k").longValue)
+    assert(b.getStruct(1).getLong(0) == a.getAs[Number]("max_k").longValue)
+    assert(b.getLong(2) == a.getAs[Long]("cnt"))
+  }
 }
