@@ -130,6 +130,26 @@ object CdcSource {
       applyStartupMode(cl, initial = None)
     }
 
+    /** Debezium-topic face of the facade: the same option validation,
+      * capture-list filter and startup algebra over a Kafka-SHAPED input —
+      * any DataFrame with [[graft.cdc.streaming.KafkaEnvelope.kafkaSchema]]'s
+      * columns, batch or streaming. In production that is
+      * `spark.readStream.format("kafka").option("subscribe", topic).load()`;
+      * in tests an injected MemoryStream. The table filter uses the
+      * ENVELOPE's source.table (the reference filters on the captured
+      * table's identity, not a derived shard), then drops the metadata
+      * column so downstream operators see the plain changelog IR.
+      */
+    def loadStreamFrom(kafkaShaped: DataFrame): DataFrame = {
+      validateOptions()
+      val cl0 = graft.cdc.streaming.KafkaEnvelope.decode(kafkaShaped)
+      val cl = (opts.get("table-name") match {
+        case Some(re) => cl0.where(col("table_name").rlike(re))
+        case None => cl0
+      }).drop("table_name")
+      applyStartupMode(cl, initial = None)
+    }
+
     private def applyStartupMode(
         cl: DataFrame,
         initial: Option[() => DataFrame]

@@ -31,7 +31,16 @@ object SourceQueries extends QueryPack {
     // is the direct materialization of the whole changelog, which the
     // pipeline must reproduce exactly-once
     "hybrid_pipeline_materialize" -> ((s, dir) =>
-      HybridPipeline.materialize(s, dir))
+      HybridPipeline.materialize(s, dir)),
+
+    // §3.1 Debezium-topic transport: encode the changelog as Kafka-shaped
+    // envelope records, decode through the facade's stream adapter — the
+    // oracle is the identity (a faithful transport returns the IR exactly;
+    // double -> shortest-string -> double is bit-exact)
+    "kafka_envelope_roundtrip" -> ((s, dir) =>
+      graft.cdc.streaming.KafkaEnvelope.decode(
+        graft.cdc.streaming.KafkaEnvelope.encode(
+          changelog(s, dir), topic = "inventory.users", nPartitions = 4)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -55,6 +64,12 @@ object SourceQueries extends QueryPack {
          |FROM customer
          |UNION ALL
          |SELECT "offset", pk, op, ts_ms, val, props FROM changelog
-         |WHERE op <> 'r'""".stripMargin
+         |WHERE op <> 'r'""".stripMargin,
+
+    "kafka_envelope_roundtrip" ->
+      s"""$changelogSql
+         |SELECT "offset", pk, op, ts_ms, val,
+         |       'users_' || (pk % 3) AS table_name
+         |FROM changelog""".stripMargin
   )
 }
