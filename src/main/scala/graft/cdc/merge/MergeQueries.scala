@@ -58,6 +58,33 @@ object MergeQueries extends QueryPack {
     "tidb_resolved_ts_flush" -> ((s, dir) =>
       ChangelogOps.resolvedTsFlush(changelog(s, dir), TsThreshold)),
 
+    // T9 with a real payload: the schema history stores full
+    // TableChange JSON documents (FlinkJsonTableChangeSerializer shape);
+    // the query persists the encoded payload per table, then DECODES it
+    // back to a typed struct and derives the restart-visible facts
+    // (column count, pk, rendered DDL) from the decoded form — proving the
+    // round trip inside the correctness gate
+    "schema_history_decoded" -> ((s, dir) => {
+      import graft.cdc.model.TableChangeCodec
+      val hist = changelog(s, dir)
+        .withColumn("tbl", ChangelogOps.tableNameCol)
+        .groupBy(col("tbl"))
+        .agg(min(col("offset")).as("created_offset"),
+          max(col("offset")).as("altered_offset"))
+        .withColumn("change_json",
+          TableChangeCodec.encode(
+            TableChangeCodec.usersChange(lit("ALTER"), col("tbl"))))
+      val dec = TableChangeCodec.decode(col("change_json"))
+      hist.select(
+        col("tbl"), col("created_offset"), col("altered_offset"),
+        dec.getField("type").as("change_type"),
+        dec.getField("id").as("table_id"),
+        size(dec.getField("table").getField("columns")).as("n_columns"),
+        array_join(dec.getField("table").getField("primaryKeyColumnNames"), ",")
+          .as("pk_cols"),
+        TableChangeCodec.ddl(dec).as("ddl"))
+    }),
+
     "startup_timestamp" -> ((s, dir) =>
       changelog(s, dir).where(col("ts_ms") >= TsThreshold)
         .select(col("offset"), col("pk"), col("op"), col("ts_ms"))),
@@ -234,6 +261,19 @@ object MergeQueries extends QueryPack {
          |SELECT "offset", pk, ts_ms,
          |       row_number() OVER (ORDER BY ts_ms, "offset") AS commit_rank
          |FROM changelog WHERE ts_ms <= $TsThreshold""".stripMargin,
+
+    "schema_history_decoded" ->
+      s"""$changelogSql
+         |SELECT 'users_' || (pk % 3) AS tbl,
+         |       min("offset") AS created_offset,
+         |       max("offset") AS altered_offset,
+         |       'ALTER' AS change_type,
+         |       'inventory.users_' || (pk % 3) AS table_id,
+         |       3 AS n_columns,
+         |       'pk' AS pk_cols,
+         |       'ALTER TABLE inventory.users_' || (pk % 3) ||
+         |       ' (pk BIGINT NOT NULL, val DOUBLE NOT NULL, k INT(11), PRIMARY KEY (pk))' AS ddl
+         |FROM changelog GROUP BY pk % 3""".stripMargin,
 
     "startup_timestamp" ->
       s"""$changelogSql

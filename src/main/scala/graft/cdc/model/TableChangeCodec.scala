@@ -1,0 +1,106 @@
+package graft.cdc.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-history payload codec (T9) — the reference round-trips full
+  * `TableChanges.TableChange` documents through state so a restarted job can
+  * rebuild every captured table's schema (FlinkJsonTableChangeSerializer
+  * .java:40-120: type/id/table{defaultCharsetName, primaryKeyColumnNames,
+  * columns[{name, jdbcType, typeName, length, scale, position, optional}]}).
+  *
+  * Spark-first: the document is a typed STRUCT column; encode/decode are
+  * `to_json`/`from_json` (codegen'd, schema-checked at analysis time), so a
+  * schema-history table is just a DataFrame of (offset, table, change_json)
+  * rows persisted to any sink and decoded back on restart — no custom
+  * serializer class, no binary state format.
+  */
+object TableChangeCodec {
+
+  /** One column spec, mirroring the serializer's column document. */
+  val columnType: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("jdbcType", IntegerType, nullable = false),
+    StructField("typeName", StringType, nullable = false),
+    StructField("length", IntegerType, nullable = true),
+    StructField("scale", IntegerType, nullable = true),
+    StructField("position", IntegerType, nullable = false),
+    StructField("optional", BooleanType, nullable = false)
+  ))
+
+  /** The TableChange document: CREATE | ALTER | DROP + table identity +
+    * the full table spec.
+    */
+  val tableChangeType: StructType = StructType(Seq(
+    StructField("type", StringType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("table", StructType(Seq(
+      StructField("defaultCharsetName", StringType, nullable = true),
+      StructField("primaryKeyColumnNames", ArrayType(StringType, containsNull = false)),
+      StructField("columns", ArrayType(columnType, containsNull = false))
+    )))
+  ))
+
+  /** Struct -> JSON payload (what the history table stores). */
+  def encode(change: Column): Column = to_json(change)
+
+  /** JSON payload -> typed struct (what a restarting reader consumes). */
+  def decode(json: Column): Column = from_json(json, tableChangeType)
+
+  /** Render a decoded change as DDL — the `ddl` field a Debezium
+    * HistoryRecord carries next to the document. Deterministic string
+    * build so it is oracle-checkable: `CREATE TABLE id (col TYPE[(len)]
+    * [NOT NULL], ..., PRIMARY KEY (pks))` (ALTER/DROP render their verb).
+    */
+  def ddl(change: Column): Column = {
+    val cols = aggregate(
+      transform(change.getField("table").getField("columns"),
+        c => concat(
+          c.getField("name"), lit(" "), c.getField("typeName"),
+          when(c.getField("length").isNotNull,
+            concat(lit("("), c.getField("length").cast("string"), lit(")")))
+            .otherwise(lit("")),
+          when(!c.getField("optional"), lit(" NOT NULL")).otherwise(lit("")))),
+      lit(""),
+      (acc, x) => when(acc === "", x).otherwise(concat(acc, lit(", "), x)))
+    val pk = array_join(change.getField("table").getField("primaryKeyColumnNames"), ", ")
+    val body = concat(
+      lit("("), cols,
+      when(pk =!= "", concat(lit(", PRIMARY KEY ("), pk, lit(")"))).otherwise(lit("")),
+      lit(")"))
+    when(change.getField("type") === "DROP",
+      concat(lit("DROP TABLE "), change.getField("id")))
+      .when(change.getField("type") === "ALTER",
+        concat(lit("ALTER TABLE "), change.getField("id"), lit(" "), body))
+      .otherwise(concat(lit("CREATE TABLE "), change.getField("id"), lit(" "), body))
+  }
+
+  /** The fixture's table spec as a change struct: the captured `users_N`
+    * shards carry (pk BIGINT, val DOUBLE, k INT nullable) with PRIMARY KEY
+    * (pk) — `k` is the props-payload column the ALTER introduces.
+    */
+  def usersChange(changeType: Column, tableName: Column): Column =
+    struct(
+      changeType.as("type"),
+      concat(lit("inventory."), tableName).as("id"),
+      struct(
+        lit("utf8mb4").as("defaultCharsetName"),
+        array(lit("pk")).as("primaryKeyColumnNames"),
+        array(
+          struct(lit("pk").as("name"), lit(-5).as("jdbcType"),
+            lit("BIGINT").as("typeName"), lit(null).cast("int").as("length"),
+            lit(null).cast("int").as("scale"), lit(1).as("position"),
+            lit(false).as("optional")),
+          struct(lit("val").as("name"), lit(8).as("jdbcType"),
+            lit("DOUBLE").as("typeName"), lit(null).cast("int").as("length"),
+            lit(null).cast("int").as("scale"), lit(2).as("position"),
+            lit(false).as("optional")),
+          struct(lit("k").as("name"), lit(4).as("jdbcType"),
+            lit("INT").as("typeName"), lit(11).as("length"),
+            lit(null).cast("int").as("scale"), lit(3).as("position"),
+            lit(true).as("optional"))
+        ).as("columns")
+      ).as("table")
+    )
+}
