@@ -89,6 +89,21 @@ object MergeQueries extends QueryPack {
       changelog(s, dir).where(col("ts_ms") >= TsThreshold)
         .select(col("offset"), col("pk"), col("op"), col("ts_ms"))),
 
+    // Mongo change-stream offsets: per-event resume token (hex KeyString
+    // "82" + t + i), decoded back to the BsonTimestamp value the offsets
+    // compare by; past_startup = the startup filter a resumed change stream
+    // applies (ChangeStreamOffset.compareTo by timestamp only)
+    "mongo_resume_tokens" -> ((s, dir) => {
+      import graft.cdc.offsets.MongoOffsets
+      val thr = (TsThreshold / 1000L) << 32
+      changelog(s, dir)
+        .withColumn("token", MongoOffsets.tokenCol(
+          expr("ts_ms div 1000"), pmod(col("offset"), lit(2147483647L))))
+        .select(col("offset"), col("token"),
+          MongoOffsets.decodeTsValue(col("token")).as("ts_value"),
+          (MongoOffsets.decodeTsValue(col("token")) > lit(thr)).as("past_startup"))
+    }),
+
     "startup_specific_offset" -> ((s, dir) =>
       BinlogOffsets.withFilePos(changelog(s, dir))
         .where(BinlogOffsets.filePosGreater(col("file"), col("pos"), "mysql-bin.000002", 500L))
@@ -279,6 +294,16 @@ object MergeQueries extends QueryPack {
       s"""$changelogSql
          |SELECT "offset", pk, op, ts_ms FROM changelog
          |WHERE ts_ms >= $TsThreshold""".stripMargin,
+
+    "mongo_resume_tokens" ->
+      s"""$changelogSql
+         |SELECT "offset",
+         |       '82' || printf('%08x', ts_ms // 1000)
+         |            || printf('%08x', "offset" % 2147483647) AS token,
+         |       (ts_ms // 1000) * 4294967296 + ("offset" % 2147483647) AS ts_value,
+         |       (ts_ms // 1000) * 4294967296 + ("offset" % 2147483647)
+         |         > ${(TsThreshold / 1000L) << 32} AS past_startup
+         |FROM changelog""".stripMargin,
 
     "startup_specific_offset" ->
       s"""$changelogSql,

@@ -130,6 +130,37 @@ object CdcSource {
       applyStartupMode(cl, initial = None)
     }
 
+    /** JDBC snapshot face of the facade — the reference's actual snapshot
+      * execution path (JdbcSourceChunkSplitter probes + per-chunk
+      * `SELECT ... WHERE key range` scans with a pooled connection and
+      * fetchsize, StatementUtils.java:132-188, MySqlSourceOptions
+      * .java:111-133): plan chunk ranges with the probe splitter, then hand
+      * them to `spark.read.jdbc(url, table, predicates, props)` — one JDBC
+      * connection per predicate, each executor pulling its own pushed-down
+      * key range, no coordinator in the data path. The validated
+      * `scan.snapshot.fetch.size` becomes the JDBC fetchsize;
+      * `connection.pool.size` caps Spark-side parallelism the way the
+      * reference's pool caps concurrent connections (numPartitions =
+      * min(chunks, pool size); Spark's JDBC source runs at most that many
+      * concurrent scans).
+      */
+    def loadJdbc(url: String, tableName: String, key: String): DataFrame = {
+      validateOptions()
+      val props = new java.util.Properties()
+      props.setProperty("fetchsize",
+        intOption("scan.snapshot.fetch.size", 1024, 1).toString)
+      val chunkSize = intOption("scan.incremental.snapshot.chunk.size", 8096, 1)
+      val probe = spark.read.jdbc(url, tableName, props)
+      val ranges = graft.cdc.split.ChunkPlanner
+        .unevenChunkRangesIterative(probe, key, chunkSize)
+      val preds = graft.cdc.split.ChunkPlanner.jdbcPredicates(key, ranges)
+      val pool = intOption("connection.pool.size", 20, 0)
+      val df = spark.read.jdbc(url, tableName, preds, props)
+      // pool cap: coalesce chunk partitions so at most `pool` concurrent
+      // JDBC connections are open, like the reference's connection pool
+      if (preds.length > pool) df.coalesce(pool) else df
+    }
+
     /** Debezium-topic face of the facade: the same option validation,
       * capture-list filter and startup algebra over a Kafka-SHAPED input —
       * any DataFrame with [[graft.cdc.streaming.KafkaEnvelope.kafkaSchema]]'s
