@@ -127,25 +127,10 @@ object ChangelogOps {
     * buffer flush, not globally (TiKVRichParallelSourceFunction.java:224-260);
     * this preserves its commit-ts flush order at any scale.
     */
-  def resolvedTsFlush(changelog: DataFrame, resolvedTsMs: Long): DataFrame = {
-    val filtered = changelog.where(col("ts_ms") <= resolvedTsMs)
-      .select(col("offset"), col("pk"), col("ts_ms"))
-    val parted = filtered
-      .repartitionByRange(col("ts_ms"), col("offset"))
-      .withColumn("pid", spark_partition_id())
-    // local rank within each range partition (distributed: keyed by pid)
-    val local = parted.withColumn("local_rank", row_number().over(
-      Window.partitionBy(col("pid")).orderBy(col("ts_ms"), col("offset"))))
-    // per-partition bases: base(p) = sum of counts of partitions before p.
-    // Window-free (tiny triangular self-join over <= nPartitions rows) so no
-    // partition-less Window node appears anywhere in the plan.
-    val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-    val bases = counts.as("a")
-      .join(broadcast(counts.as("b")), col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.pid").as("pid"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("base"))
-    local.join(broadcast(bases), Seq("pid"))
-      .select(col("offset"), col("pk"), col("ts_ms"),
-        (col("base") + col("local_rank")).as("commit_rank"))
-  }
+  def resolvedTsFlush(changelog: DataFrame, resolvedTsMs: Long): DataFrame =
+    graft.cdc.split.DistributedRank.withGlobalRowNumber(
+      changelog.where(col("ts_ms") <= resolvedTsMs)
+        .select(col("offset"), col("pk"), col("ts_ms")),
+      "commit_rank",
+      Seq(col("ts_ms"), col("offset")))
 }

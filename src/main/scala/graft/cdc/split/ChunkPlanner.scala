@@ -107,12 +107,14 @@ object ChunkPlanner {
     */
   def unevenChunkRanges(df: DataFrame, key: String, chunkSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val distinctKeys = df.select(col(key).as("k")).distinct()
-    val w = Window.orderBy(col("k"))
-    val boundaries = distinctKeys
-      .withColumn("rn", row_number().over(w))
+    // distinct + distributed global rank in one shuffle (DistributedRank) —
+    // the key set never drains through one partition; only the boundary rows
+    // hit the lag window
+    val boundaries = DistributedRank
+      .withGlobalRowNumber(df.select(col(key).as("k")), "rn", Seq(col("k")),
+        dedupSorted = true)
       .where(col("rn") % chunkSize === 0)
-      .select(col("k").as("boundary"), (col("rn") / chunkSize).cast("long").as("bid"))
+      .select(col("k").as("boundary"), expr(s"rn div $chunkSize").as("bid"))
     val wb = Window.orderBy(col("bid"))
     val bounded = boundaries
       .withColumn("split_start", lag(col("boundary"), 1).over(wb))

@@ -85,13 +85,16 @@ object KeyedChunkPlanner {
     */
   def unevenChunkRanges(df: DataFrame, keys: Seq[String], chunkSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val distinctKeys = df.select(struct(keys.map(col): _*).as("kt")).distinct()
-    val ktType = distinctKeys.schema("kt").dataType
-    val w = Window.orderBy(col("kt"))
-    val boundaries = distinctKeys
-      .withColumn("rn", row_number().over(w))
+    val keyTuples = df.select(struct(keys.map(col): _*).as("kt"))
+    val ktType = keyTuples.schema("kt").dataType
+    // distinct + distributed global rank fused into ONE shuffle
+    // (DistributedRank dedupSorted) — no single-partition window over the
+    // key set; only the ~cnt/chunkSize boundary rows below flow through the
+    // tiny lag window
+    val boundaries = DistributedRank
+      .withGlobalRowNumber(keyTuples, "rn", Seq(col("kt")), dedupSorted = true)
       .where(col("rn") % chunkSize === 0)
-      .select(col("kt").as("boundary"), (col("rn") / chunkSize).cast("long").as("bid"))
+      .select(col("kt").as("boundary"), expr(s"rn div $chunkSize").as("bid"))
     val wb = Window.orderBy(col("bid"))
     val bounded = boundaries
       .withColumn("split_start", lag(col("boundary"), 1).over(wb))

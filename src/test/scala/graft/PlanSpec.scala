@@ -108,10 +108,11 @@ class PlanSpec extends SparkTestBase {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val ws = windows(plan)
-    assert(ws.nonEmpty, plan.toString)
-    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+    // the distributed rank plans NO Window at all (range partition + sorted
+    // mapPartitions); if one ever reappears it must be partitioned
+    windows(plan).foreach(w => assert(w.partitionSpec.nonEmpty,
       s"partition-less Window in tidb_resolved_ts_flush:\n$plan"))
+    assert(plan.toString.contains("MapPartitions"), plan.toString)
   }
 
   test("IVF runs no driver-side model fit: seed selection is a bounded TakeOrdered") {
