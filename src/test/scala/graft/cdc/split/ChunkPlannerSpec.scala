@@ -158,6 +158,45 @@ class ChunkPlannerSpec extends SparkTestBase {
     assert(sp.head == "name > 'o''brien'")
   }
 
+  test("window-form keyed ranges agree with the iterative probe on unique keys") {
+    // two formulations of the same operator must not drift (round-1 lesson:
+    // test every variant): over a unique key the window form's distinct-rank
+    // boundaries equal the probe loop's row boundaries exactly
+    val chunkSize = 300
+    val win = KeyedChunkPlanner.unevenChunkRanges(customer, Seq("c_name"), chunkSize)
+      .select(col("split_id"), col("split_start.c_name"), col("split_end.c_name"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+      .sortBy(_._1)
+    val iter = KeyedChunkPlanner
+      .unevenChunkRangesIterative(customer, Seq("c_name"), chunkSize)
+      .zipWithIndex
+      .map { case ((lo, hi), i) =>
+        (i.toLong, lo.map(_.head.asInstanceOf[String]), hi.map(_.head.asInstanceOf[String]))
+      }
+    assert(win.toSeq == iter)
+  }
+
+  test("window-form composite ranges cover every distinct tuple exactly once") {
+    val li = table(spark, sfDir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val ranges = KeyedChunkPlanner.unevenChunkRanges(li, keys, 2048)
+      .collect()
+      .map { r =>
+        def b(i: Int): Option[Seq[Any]] =
+          if (r.isNullAt(i)) None else Some(r.getStruct(i).toSeq)
+        (b(1), b(2))
+      }
+    val keyCols = keys.map(col)
+    val flags = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      when(KeyedChunkPlanner.inRange(keyCols, lo, hi), 1).otherwise(0).as(s"r$i")
+    }
+    val counts = li.select(keyCols: _*).distinct()
+      .select(flags.reduce(_ + _).as("n")).groupBy(col("n")).count().collect()
+    assert(counts.length == 1 && counts(0).getInt(0) == 1,
+      s"tuples not in exactly one window-form range: ${counts.mkString(",")}")
+  }
+
   test("keyed analyze agrees with the Long-path analyze on a single numeric key") {
     val a = ChunkPlanner.analyze(customer, "c_custkey").collect()(0)
     val b = KeyedChunkPlanner.analyze(customer, Seq("c_custkey")).collect()(0)
