@@ -169,4 +169,60 @@ class AlgebraPropertySpec extends AnyFunSuite {
       fps == windowMins && fps.subsetOf(hs.toSet)
     })
   }
+
+  // --- Mongo change-stream offsets ---------------------------------------
+
+  private val bsonTsGen: Gen[(Long, Long)] = for {
+    t <- Gen.choose(0L, Int.MaxValue.toLong)
+    i <- Gen.choose(0L, Int.MaxValue.toLong)
+  } yield (t, i)
+
+  test("mongo resume-token order: lexicographic on (t, i), token-independent, NO_STOPPING maximal") {
+    import MongoOffsets._
+    check(Prop.forAll(bsonTsGen, bsonTsGen) { case ((t1, i1), (t2, i2)) =>
+      val a = ChangeStreamOffset((t1 << 32) | i1, Some("tokA"))
+      val b = ChangeStreamOffset((t2 << 32) | i2, Some("tokB"))
+      val expected = if (t1 != t2) java.lang.Long.compare(t1, t2)
+        else java.lang.Long.compare(i1, i2)
+      Integer.signum(compare(a, b)) == Integer.signum(expected) &&
+        compare(a, NoStopping) <= 0 &&
+        (compare(a, NoStopping) == 0) == (a.tsValue == NoStopping.tsValue)
+    })
+  }
+
+  test("mongo resume-token hex round trip at random timestamps") {
+    import MongoOffsets._
+    check(Prop.forAll(bsonTsGen) { case (t, i) =>
+      val hexTok = f"82$t%08x$i%08x"
+      val p = parseHex(hexTok)
+      p.seconds == t && p.increment == i && p.tsValue == ((t << 32) | i)
+    })
+  }
+
+  // --- keyed boundary compare --------------------------------------------
+
+  private val boundaryGen: Gen[Seq[Any]] = for {
+    k1 <- Gen.choose(-50L, 50L)
+    k2 <- Gen.alphaLowerStr.map(_.take(4))
+  } yield Seq[Any](k1, k2)
+
+  test("compareBoundaries is a lexicographic total order (antisymmetric, transitive)") {
+    import graft.cdc.split.KeyedChunkPlanner.compareBoundaries
+    check(Prop.forAll(boundaryGen, boundaryGen, boundaryGen) { (a, b, c) =>
+      val ab = Integer.signum(compareBoundaries(a, b))
+      val ba = Integer.signum(compareBoundaries(b, a))
+      val expected = {
+        val c1 = java.lang.Long.compare(a.head.asInstanceOf[Long], b.head.asInstanceOf[Long])
+        if (c1 != 0) c1
+        else a(1).asInstanceOf[String].compareTo(b(1).asInstanceOf[String])
+      }
+      val antisym = ab == -ba && ab == Integer.signum(expected)
+      // transitivity on this triple
+      val (x, y, z) = (a, b, c)
+      val trans =
+        !(compareBoundaries(x, y) <= 0 && compareBoundaries(y, z) <= 0) ||
+          compareBoundaries(x, z) <= 0
+      antisym && trans
+    })
+  }
 }
