@@ -70,6 +70,19 @@ object RelationalQueries extends QueryPack {
     // T4-adjacent — session windows: gap > 30 min starts a new session per
     // user; output one row per session with bounds and event count. The
     // lag/cumulative-sum formulation shuffles once by user.
+    // T4 — event-time tumbling windows: the SAME window() operator the
+    // streaming path uses under a watermark (StreamingSpec T4 test), here in
+    // its batch form so the gate hash-checks the window algebra; min/max are
+    // selections (bit-exact doubles), never float sums
+    "event_time_windows" -> ((s, dir) =>
+      changelog(s, dir)
+        .groupBy(window(timestamp_millis(col("ts_ms")), "1 hour").as("win"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+        .select(unix_millis(col("win.start")).as("win_start_ms"),
+          unix_millis(col("win.end")).as("win_end_ms"),
+          col("n_events"), col("min_val"), col("max_val"))),
+
     "session_windows" -> ((s, dir) => {
       val w = Window.partitionBy(col("pk")).orderBy(col("ts_ms"), col("offset"))
       changelog(s, dir)
@@ -164,6 +177,14 @@ object RelationalQueries extends QueryPack {
          |FROM changelog a JOIN changelog b
          |  ON a.pk = b.pk AND a."offset" < b."offset"
          | AND abs(a.ts_ms - b.ts_ms) <= 3600000""".stripMargin,
+
+    "event_time_windows" ->
+      s"""$changelogSql
+         |SELECT bucket * 3600000 AS win_start_ms,
+         |       bucket * 3600000 + 3600000 AS win_end_ms,
+         |       count(*) AS n_events, min(val) AS min_val, max(val) AS max_val
+         |FROM (SELECT ts_ms // 3600000 AS bucket, val FROM changelog)
+         |GROUP BY bucket""".stripMargin,
 
     "session_windows" ->
       s"""$changelogSql,
