@@ -278,6 +278,73 @@ case class MinhashSig(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_shingle_minhash(array<string> words, n, k) -> array<bigint>`:
+  * fused shingle->MinHash ([[graft.ext.Hashing.shingleMinhash]]) — hashes
+  * every n-word shingle straight from the word bytes (no shingle strings,
+  * no intermediate array) and folds the k-mix minima in the same compiled
+  * loop. Same hash family and output as
+  * `graft_minhash(array_distinct(transform(...)), k)`, at one pass per doc.
+  * `n` and `k` must be foldable ints.
+  */
+case class ShingleMinhash(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.IntegerType)
+          if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable int n, foldable int k), got " +
+          s"${first.dataType.catalogString}, ${second.dataType.catalogString}, " +
+          s"${third.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(ws: Any, n: Any, k: Any): Any =
+    graft.ext.Hashing.shingleMinhash(
+      ws.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.ext.Hashing.shingleMinhash($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ShingleMinhash =
+    copy(first = f, second = s, third = t)
+}
+
+/** `graft_shingle_simhash64(array<string> words, n) -> bigint`: fused
+  * shingle->SimHash ([[graft.ext.Hashing.shingleSimhash64]]) — distinct
+  * n-word shingle hashes voted per bit in one compiled pass. Same output as
+  * `graft_simhash64(array_distinct(transform(...)))`.
+  */
+case class ShingleSimhash64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_shingle_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType)
+        if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable int), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(ws: Any, n: Any): Any =
+    graft.ext.Hashing.shingleSimhash64(
+      ws.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.Hashing.shingleSimhash64($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleSimhash64 =
+    copy(left = newLeft, right = newRight)
+}
+
 case class WkbGeoJson(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_wkb_geojson"
@@ -349,6 +416,22 @@ object GraftFunctions {
         case children =>
           throw new IllegalArgumentException(
             s"graft_mix64 expects exactly 2 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinhash].getName, "graft_shingle_minhash"),
+      {
+        case Seq(a, b, c) => ShingleMinhash(a, b, c)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_shingle_minhash expects exactly 3 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_shingle_simhash64"),
+      new ExpressionInfo(classOf[ShingleSimhash64].getName, "graft_shingle_simhash64"),
+      {
+        case Seq(a, b) => ShingleSimhash64(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_shingle_simhash64 expects exactly 2 arguments, got ${children.length}")
       }),
     (FunctionIdentifier("graft_gtid_contains"),
       new ExpressionInfo(classOf[GtidContains].getName, "graft_gtid_contains"),

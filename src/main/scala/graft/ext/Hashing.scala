@@ -95,6 +95,94 @@ object Hashing {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** FNV-1a 64 of the n-word shingle `ws[start..start+n)` joined by a
+    * single space — hashed straight from the word bytes, no shingle string
+    * ever allocated. Null words contribute nothing, including their
+    * separator (matching `concat_ws(' ', slice(...))`). Tail shingles
+    * shorter than n hash their remaining words, exactly like `slice`.
+    */
+  private def shingleFnv(
+      ws: org.apache.spark.sql.catalyst.util.ArrayData, start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    val end = math.min(start + n, ws.numElements())
+    var first = true
+    var j = start
+    while (j < end) {
+      if (!ws.isNullAt(j)) {
+        if (!first) { h ^= 0x20L; h *= 0x100000001b3L }
+        first = false
+        val bytes = ws.getUTF8String(j).getBytes
+        var b = 0
+        while (b < bytes.length) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+      }
+      j += 1
+    }
+    h
+  }
+
+  /** Number of n-shingles the HOF form emits: max(size - n, 0) + 1 —
+    * including the single short shingle of an under-length document.
+    */
+  private def shingleCount(size: Int, n: Int): Int = math.max(size - n, 0) + 1
+
+  /** Fused shingle->MinHash: signature element k = min over n-word shingles
+    * of mix64(shingleFnv, k). Identical to `minhashSig(shingles(ws, n))` —
+    * min is unaffected by duplicate shingles, so no dedup pass is needed —
+    * but one compiled loop from the word array, no shingle strings.
+    */
+  def shingleMinhash(
+      ws: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int,
+      numHashes: Int
+  ): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val cnt = shingleCount(ws.numElements(), n)
+    var i = 0
+    while (i < cnt) {
+      val h = shingleFnv(ws, i, n)
+      var k = 0
+      while (k < numHashes) {
+        val m = mix64(h, k.toLong)
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** Fused shingle->SimHash: per-bit majority vote over the DISTINCT n-word
+    * shingles (the HOF form dedupes shingle strings; here duplicates are
+    * dropped by hash — equivalent unless two distinct shingles of one
+    * document collide in FNV-64, a ~2^-64-per-pair event the oracle would
+    * surface).
+    */
+  def shingleSimhash64(
+      ws: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): Long = {
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val cnt = shingleCount(ws.numElements(), n)
+    var i = 0
+    while (i < cnt) {
+      val h = shingleFnv(ws, i, n)
+      if (seen.add(h)) {
+        var j = 0
+        while (j < 64) {
+          votes(j) += (((h >>> j) & 1L).toInt << 1) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** MinHash signature over a string array: element i is
     * min over shingles of mix64(fnv1a64(shingle), i). Same family as the
     * aggregated form (min is order-independent), one compiled loop per

@@ -128,6 +128,34 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("fused shingle expressions equal the composed shingle-array formulation") {
+    graft.cdc.types.GraftFunctions.register(spark)
+    val docs = table(spark, sfDir, "documents")
+    val composed = Dedup.shingleArray(docs).select(col("doc_id"),
+      expr("graft_minhash(sh, 32)").as("ms"),
+      expr("graft_simhash64(sh)").as("sh64"))
+    val fused = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("graft_shingle_minhash(ws, 3, 32)").as("ms"),
+        expr("graft_shingle_simhash64(ws, 3)").as("sh64"))
+    val c = composed.collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val f = fused.collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(c.keySet == f.keySet && c.nonEmpty)
+    c.foreach { case (id, v) => assert(f(id) == v, s"doc $id diverged") }
+    // under-length and empty documents follow the slice-clamp semantics too
+    val s = spark
+    import s.implicits._
+    val edge = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("doc_id", "text")
+    val ce = Dedup.shingleArray(edge).select(col("doc_id"),
+      expr("graft_minhash(sh, 8)").as("ms"), expr("graft_simhash64(sh)").as("sh64"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val fe = edge.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr("graft_shingle_minhash(ws, 3, 8)").as("ms"),
+        expr("graft_shingle_simhash64(ws, 3)").as("sh64"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(ce == fe)
+  }
+
   test("LSH bucketing adapts to the embedding dimension (not hardcoded 64)") {
     val dim8 = (0L until 40L).map(i =>
       (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat), 0))
