@@ -112,7 +112,7 @@ object ChunkPlanner {
     // hit the lag window
     val boundaries = DistributedRank
       .withGlobalRowNumber(df.select(col(key).as("k")), "rn", Seq(col("k")),
-        dedupSorted = true)
+        dedup = true)
       .where(col("rn") % chunkSize === 0)
       .select(col("k").as("boundary"), expr(s"rn div $chunkSize").as("bid"))
     val wb = Window.orderBy(col("bid"))

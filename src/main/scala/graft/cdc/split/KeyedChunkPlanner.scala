@@ -88,11 +88,11 @@ object KeyedChunkPlanner {
     val keyTuples = df.select(struct(keys.map(col): _*).as("kt"))
     val ktType = keyTuples.schema("kt").dataType
     // distinct + distributed global rank fused into ONE shuffle
-    // (DistributedRank dedupSorted) — no single-partition window over the
+    // (DistributedRank dedup) — no single-partition window over the
     // key set; only the ~cnt/chunkSize boundary rows below flow through the
     // tiny lag window
     val boundaries = DistributedRank
-      .withGlobalRowNumber(keyTuples, "rn", Seq(col("kt")), dedupSorted = true)
+      .withGlobalRowNumber(keyTuples, "rn", Seq(col("kt")), dedup = true)
       .where(col("rn") % chunkSize === 0)
       .select(col("kt").as("boundary"), expr(s"rn div $chunkSize").as("bid"))
     val wb = Window.orderBy(col("bid"))

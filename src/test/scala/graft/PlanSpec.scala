@@ -108,11 +108,12 @@ class PlanSpec extends SparkTestBase {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    // the distributed rank plans NO Window at all (range partition + sorted
-    // mapPartitions); if one ever reappears it must be partitioned
+    // the distributed rank plans NO Window at all (range partition +
+    // in-partition sort + monotonically_increasing_id decode); if one ever
+    // reappears it must be partitioned
     windows(plan).foreach(w => assert(w.partitionSpec.nonEmpty,
       s"partition-less Window in tidb_resolved_ts_flush:\n$plan"))
-    assert(plan.toString.contains("MapPartitions"), plan.toString)
+    assert(plan.toString.contains("rangepartitioning"), plan.toString)
   }
 
   test("IVF runs no driver-side model fit: seed selection is a bounded TakeOrdered") {
