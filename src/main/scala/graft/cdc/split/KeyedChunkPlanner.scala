@@ -149,6 +149,41 @@ object KeyedChunkPlanner {
     ranges.result()
   }
 
+  /** The 100 TB path for general keys — sampling-based boundaries, the
+    * analog of [[ChunkPlanner.quantileRanges]] for key types approxQuantile
+    * cannot sketch (strings, composites): sample the key tuples
+    * (reference: SampleBucketSplitStrategy's `$sample`), rank the distinct
+    * sampled tuples with [[DistributedRank]], and take `n - 1` equi-spaced
+    * tuples as boundaries. One sampled pass + a boundary collect of at most
+    * `n - 1` rows — no full-table rank, no serial probe loop. Boundary
+    * precision degrades gracefully with `fraction` exactly like the
+    * reference's sample rate; the returned (start, end] chain covers the
+    * key space for ANY boundary set, so correctness never depends on the
+    * sample.
+    */
+  def sampledChunkRanges(
+      df: DataFrame,
+      keys: Seq[String],
+      n: Int,
+      fraction: Double,
+      seed: Long = 42L
+  ): Seq[(Option[Boundary], Option[Boundary])] = {
+    require(n >= 1, s"need at least one bucket, got $n")
+    if (n == 1) return Seq((None, None))
+    val sampled = df.select(struct(keys.map(col): _*).as("kt")).sample(fraction, seed)
+    val ranked = DistributedRank
+      .withGlobalRowNumber(sampled, "rn", Seq(col("kt")), dedup = true)
+    val total = ranked.agg(max(col("rn"))).collect()(0)
+    if (total.isNullAt(0)) return Seq((None, None))
+    val step = math.max(total.getLong(0) / n, 1L)
+    val bounds = ranked.where(col("rn") % step === 0 && col("rn") < total.getLong(0))
+      .orderBy(col("rn")).limit(n - 1)
+      .collect().map(r => r.getStruct(0).toSeq: Boundary)
+      .distinct
+    val opts = bounds.map(Option(_)).toSeq
+    ((None +: opts) zip (opts :+ None)).toSeq
+  }
+
   /** Driver-side lexicographic compare of two boundaries (components must be
     * mutually Comparable — Long/Int/String/etc as Spark rows return them).
     */

@@ -197,6 +197,33 @@ class ChunkPlannerSpec extends SparkTestBase {
       s"tuples not in exactly one window-form range: ${counts.mkString(",")}")
   }
 
+  test("sampled keyed ranges cover exactly once and are roughly equi-depth") {
+    val li = table(spark, sfDir, "lineitem")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val keyCols = keys.map(col)
+    val total = li.count()
+    for (n <- Seq(1, 4, 8)) {
+      val ranges = KeyedChunkPlanner.sampledChunkRanges(li, keys, n, fraction = 0.3)
+      // cover-exactly-once holds for ANY boundary set by construction
+      val flags = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+        when(KeyedChunkPlanner.inRange(keyCols, lo, hi), 1).otherwise(0).as(s"r$i")
+      }
+      val counts = li.select(flags.reduce(_ + _).as("n")).groupBy(col("n")).count().collect()
+      assert(counts.length == 1 && counts(0).getInt(0) == 1,
+        s"n=$n: rows not in exactly one sampled range")
+      if (n > 1) {
+        assert(ranges.length > 1, s"n=$n produced a single range on a 30% sample")
+        // near-uniform key distribution: sampled buckets within 3x of ideal
+        val perRange = ranges.map { case (lo, hi) =>
+          li.where(KeyedChunkPlanner.inRange(keyCols, lo, hi)).count()
+        }
+        val ideal = total.toDouble / ranges.length
+        perRange.foreach(c => assert(c < ideal * 3,
+          s"n=$n unbalanced: ${perRange.mkString(",")}"))
+      }
+    }
+  }
+
   test("keyed analyze agrees with the Long-path analyze on a single numeric key") {
     val a = ChunkPlanner.analyze(customer, "c_custkey").collect()(0)
     val b = KeyedChunkPlanner.analyze(customer, Seq("c_custkey")).collect()(0)
