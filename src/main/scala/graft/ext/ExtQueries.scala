@@ -48,6 +48,9 @@ object ExtQueries extends QueryPack {
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 
+    "text_bpe_token_count" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
+
     "text_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(table(s, dir, "documents"))),
 
@@ -356,6 +359,20 @@ object ExtQueries extends QueryPack {
         |       len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[a-z]+')) AS re_tokens
         |FROM documents""".stripMargin,
+
+    // same lookahead-free GPT-2-style pattern under RE2 (DuckDB strings
+    // keep backslashes literal, so only the quote needs doubling);
+    // covered_chars == n_chars2 cross-checks that both engines tile the
+    // string identically
+    "text_bpe_token_count" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars2,
+         |             regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}') AS toks
+         |           FROM documents)
+         |SELECT doc_id, len(toks) AS bpe_tokens,
+         |       CAST(list_sum(list_prepend(0, list_transform(toks, t -> length(t)))) AS INTEGER)
+         |         AS covered_chars,
+         |       n_chars2
+         |FROM t""".stripMargin,
 
     "text_quality_score" ->
       """SELECT doc_id, n_chars,

@@ -18,6 +18,32 @@ object TextAnalysis {
       size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("re_tokens")
     )
 
+  /** GPT-2-style pre-tokenizer regex (contractions | space-prefixed word |
+    * space-prefixed number | space-prefixed punctuation run | whitespace
+    * run) — the "BPE-ish" token accounting a training pipeline budgets by.
+    * Lookahead-free so the same pattern runs under Java regex and RE2
+    * (the corpus is ASCII, so the ASCII classes equal the \p{L}/\p{N}
+    * originals).
+    */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  /** Per-doc BPE-ish pre-token count + the byte length those tokens cover
+    * (the pattern tiles the whole string, so covered == length — asserted
+    * in the oracle as a cross-engine regex-semantics check).
+    */
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      // Column-arg form: the pattern's quote and backslashes never pass
+      // through SQL-literal escape processing
+      .withColumn("toks",
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("bpe_tokens"),
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t)).as("covered_chars"),
+        length(col("text")).as("n_chars2")
+      )
+
   /** Quality signals. Every ratio is a single int/int division so the value
     * is the correctly-rounded IEEE quotient in any engine (oracle-exact).
     */
