@@ -52,6 +52,10 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
     scored
+      // project to scalars BEFORE the rank window: the shuffle by qid must
+      // move (qid, nid, sim), never the embedding arrays (at 2M x 64 dims
+      // that is ~20 GB of payload the rank does not need)
+      .select(col("qid"), col("nid"), col("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
       .where(col("rank") <= k)
@@ -116,6 +120,8 @@ object Similarity {
     n.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+      // scalars only through the rank shuffle (see bruteForceTopK)
+      .select(col("qid"), col("nid"), col("cell"), col("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
       .where(col("rank") <= k)
@@ -152,6 +158,8 @@ object Similarity {
     n.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+      // scalars only through the rank shuffle (see bruteForceTopK)
+      .select(col("qid"), col("nid"), col("bucket"), col("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
       .where(col("rank") <= k)
