@@ -57,6 +57,9 @@ object ExtQueries extends QueryPack {
     "text_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(table(s, dir, "documents"))),
 
+    "text_lang_id_ngram" -> ((s, dir) =>
+      TextAnalysis.langIdNgram(table(s, dir, "documents"))),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(table(s, dir, "documents"))),
 
@@ -393,6 +396,26 @@ object ExtQueries extends QueryPack {
         |            WHEN text LIKE '% der %' THEN 'de'
         |            WHEN text LIKE '% la %' THEN 'fr'
         |            ELSE 'unk' END AS lang_guess
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the fold picks en first, de only if strictly greater, fr only if
+    // strictly greater than the en/de winner — replicated by the CASE order
+    "text_lang_id_ngram" -> {
+      def hitSql(g: String) = s"(length(text) - length(replace(text, '$g', ''))) // 3"
+      val scores = TextAnalysis.LangTrigrams.map { case (lang, gs) =>
+        lang -> gs.map(hitSql).mkString("(", " + ", ")")
+      }.toMap
+      s"""WITH s AS (SELECT doc_id, lang,
+         |             ${scores("en")} AS score_en,
+         |             ${scores("de")} AS score_de,
+         |             ${scores("fr")} AS score_fr
+         |           FROM documents)
+         |SELECT doc_id, lang, score_en, score_de, score_fr,
+         |       CASE WHEN greatest(score_en, score_de, score_fr) = 0 THEN 'unk'
+         |            WHEN score_fr > greatest(score_en, score_de) THEN 'fr'
+         |            WHEN score_de > score_en THEN 'de'
+         |            ELSE 'en' END AS lang_guess
+         |FROM s""".stripMargin
+    }
   )
 }

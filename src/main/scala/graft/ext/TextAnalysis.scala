@@ -73,6 +73,42 @@ object TextAnalysis {
         .otherwise("unk").as("lang_guess")
     )
 
+  /** Per-language character-trigram profiles (the highest-frequency trigrams
+    * of each language's function words) for the n-gram heuristic.
+    */
+  val LangTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion", "ent"),
+    "de" -> Seq("der", "ein", "sch", "und", "ich"),
+    "fr" -> Seq("les", "ent", "eur", "que", "ais")
+  )
+
+  /** N-gram-profile language ID: count each profile trigram's
+    * (non-overlapping) occurrences in the text, score per language = total
+    * hits, guess = argmax with ties broken by profile order, 'unk' when
+    * nothing hits. Occurrence counting is
+    * `(len(text) - len(replace(text, g, ''))) div 3` — exact integer
+    * arithmetic both engines replicate; the whole scorer is one narrow
+    * projection, no UDFs.
+    */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    def hits(g: String): Column =
+      expr(s"(length(text) - length(replace(text, '$g', ''))) div 3")
+    val scores = LangTrigrams.map { case (lang, gs) =>
+      lang -> gs.map(hits).reduce(_ + _)
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("score"),
+          struct(sc.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    docs.select(
+      (col("doc_id") +: col("lang") +:
+        scores.map { case (l, sc) => sc.as(s"score_$l") } :+
+        when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise(lit("unk")).as("lang_guess")): _*)
+  }
+
   /** Winnowing fingerprints (the Schleimer/Wilkerson/Aiken rolling-hash
     * scheme): hash every k-char gram, slide a w-hash window, keep each
     * window's minimum, dedupe — the standard selective fingerprint for
