@@ -51,21 +51,32 @@ object MongoOffsets {
 
   /** Encode (seconds, increment) as the hex `_data` KeyString: "82" +
     * 8-hex-digit t + 8-hex-digit i (lowercase, like Mongo renders v1
-    * tokens).
+    * tokens). Both fields are uint32 in the KeyString layout — values
+    * outside [0, 2^32) cannot be represented (hex() would emit more than 8
+    * digits and lpad would silently truncate to a CORRUPT token), so they
+    * yield null instead, surfacing at the P9 validator hook.
     */
-  def tokenCol(seconds: Column, increment: Column): Column =
-    concat(lit("82"),
-      lpad(lower(hex(seconds.cast("long"))), 8, "0"),
-      lpad(lower(hex(increment.cast("long"))), 8, "0"))
+  def tokenCol(seconds: Column, increment: Column): Column = {
+    val s = seconds.cast("long")
+    val i = increment.cast("long")
+    val inRange = (c: Column) => c >= 0L && c <= 0xffffffffL
+    when(inRange(s) && inRange(i),
+      concat(lit("82"),
+        lpad(lower(hex(s)), 8, "0"),
+        lpad(lower(hex(i)), 8, "0")))
+  }
 
   /** Decode a hex `_data` KeyString column to the BsonTimestamp value
-    * `(t << 32) | i`; null when the kType tag is not a timestamp (pair with
-    * the P9 validator hook where the reference would throw).
+    * `(t << 32) | i`; null when the kType tag is not a timestamp OR the
+    * token is shorter than the 18 hex digits the v0/v1 layout requires
+    * (a truncated token would otherwise decode partial substrings into a
+    * silently wrong offset). Pair with the P9 validator hook where the
+    * reference would throw.
     */
   def decodeTsValue(token: Column): Column = {
     val kType = conv(substring(token, 1, 2), 16, 10).cast("int")
     val t = conv(substring(token, 3, 8), 16, 10).cast("long")
     val i = conv(substring(token, 11, 8), 16, 10).cast("long")
-    when(kType === KTimestamp, shiftleft(t, 32).bitwiseOR(i))
+    when(length(token) >= 18 && kType === KTimestamp, shiftleft(t, 32).bitwiseOR(i))
   }
 }

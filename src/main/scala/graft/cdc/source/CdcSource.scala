@@ -150,9 +150,11 @@ object CdcSource {
       props.setProperty("fetchsize",
         intOption("scan.snapshot.fetch.size", 1024, 1).toString)
       val chunkSize = intOption("scan.incremental.snapshot.chunk.size", 8096, 1)
-      val probe = spark.read.jdbc(url, tableName, props)
+      // probes run as pushed-down SQL in the database — ONE row back per
+      // probe (the reference's StatementUtils cost), not a Spark job over a
+      // V1 JDBC frame that can't push ORDER BY/LIMIT
       val ranges = graft.cdc.split.ChunkPlanner
-        .unevenChunkRangesIterative(probe, key, chunkSize)
+        .unevenChunkRangesJdbc(url, tableName, key, chunkSize)
       val preds = graft.cdc.split.ChunkPlanner.jdbcPredicates(key, ranges)
       val pool = intOption("connection.pool.size", 20, 0)
       val df = spark.read.jdbc(url, tableName, preds, props)

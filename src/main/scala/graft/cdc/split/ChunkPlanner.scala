@@ -208,6 +208,73 @@ object ChunkPlanner {
     ranges.result()
   }
 
+  /** The probe-driven splitter executed IN the source database — the exact
+    * planning cost of the reference (StatementUtils.java:99-130: each probe
+    * is `SELECT MAX(k) FROM (SELECT k ... WHERE k >= ? ORDER BY k LIMIT
+    * chunkSize)` returning ONE row). [[unevenChunkRangesIterative]] over a
+    * DSv1 `spark.read.jdbc` frame cannot do this: V1 JDBC pushes filters but
+    * not ORDER BY/LIMIT, so each probe would ship every remaining row
+    * through JDBC (O(rows²/chunkSize) planning transfer). This variant runs
+    * the probes as pushed-down SQL on a driver-side connection — one row
+    * back per probe, like the reference's serial probe loop against MySQL.
+    *
+    * `fetchClause` renders the row limit (ANSI `FETCH FIRST n ROWS ONLY` by
+    * default, which Derby/Postgres/Oracle/SQLServer accept; pass
+    * `n => s"LIMIT n"` for MySQL).
+    */
+  def unevenChunkRangesJdbc(
+      url: String,
+      table: String,
+      key: String,
+      chunkSize: Int,
+      props: java.util.Properties = new java.util.Properties(),
+      maxChunks: Int = 10000,
+      fetchClause: Int => String = n => s"FETCH FIRST $n ROWS ONLY"
+  ): Seq[(Option[Long], Option[Long])] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val stats = conn.createStatement()
+      val rs = stats.executeQuery(s"SELECT MIN($key), MAX($key) FROM $table")
+      rs.next()
+      val minK = rs.getLong(1); val minNull = rs.wasNull()
+      val maxK = rs.getLong(2)
+      rs.close(); stats.close()
+      if (minNull) return Seq((None, None))
+      val probe = conn.prepareStatement(
+        s"SELECT MAX(k) FROM (SELECT $key AS k FROM $table WHERE $key >= ? " +
+          s"ORDER BY $key ${fetchClause(chunkSize)}) probe_t")
+      try {
+        val ranges = Seq.newBuilder[(Option[Long], Option[Long])]
+        var start: Option[Long] = None
+        var lower = minK
+        var done = false
+        var n = 0
+        while (!done) {
+          if (n >= maxChunks)
+            throw new IllegalStateException(
+              s"JDBC uneven splitter exceeded maxChunks=$maxChunks before covering the " +
+                "key space; raise maxChunks or use quantileRanges for this table")
+          probe.setLong(1, lower)
+          val prs = probe.executeQuery()
+          prs.next()
+          val nm = prs.getLong(1); val nmNull = prs.wasNull()
+          prs.close()
+          val boundary = if (nmNull) maxK else nm
+          if (boundary >= maxK) {
+            ranges += ((start, None))
+            done = true
+          } else {
+            ranges += ((start, Some(boundary)))
+            start = Some(boundary)
+            lower = boundary + 1
+          }
+          n += 1
+        }
+        ranges.result()
+      } finally probe.close()
+    } finally conn.close()
+  }
+
   /** S1/S2 — render planned chunk ranges as `spark.read.jdbc(url, table,
     * predicates, props)` partition predicates: one JDBC connection per
     * predicate, each a half-open range like the reference's chunk scans

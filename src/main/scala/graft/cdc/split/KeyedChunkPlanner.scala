@@ -202,9 +202,24 @@ object KeyedChunkPlanner {
       keys: Seq[String],
       ranges: Seq[(Option[Boundary], Option[Boundary])]
   ): Array[String] = {
+    // every type a Spark row can hand back for a comparable key column gets
+    // an explicit rendering; anything else fails loudly rather than leaking
+    // an unquoted String.valueOf into the pushed-down SQL
     def sqlLit(v: Any): String = v match {
       case s: String => "'" + s.replace("'", "''") + "'"
-      case other => String.valueOf(other)
+      case d: java.sql.Date => s"DATE '$d'"
+      case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+      case d: java.time.LocalDate => s"DATE '$d'"
+      case t: java.time.Instant => s"TIMESTAMP '${java.sql.Timestamp.from(t)}'"
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: BigDecimal => d.underlying.toPlainString
+      case n @ (_: Long | _: Int | _: Short | _: Byte | _: Double | _: Float) =>
+        String.valueOf(n)
+      case b: Boolean => String.valueOf(b)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported split-key literal type for JDBC predicate rendering: " +
+            s"${other.getClass.getName} ($other)")
     }
     def gtSql(parts: List[(String, Any)]): String = parts match {
       case (k, v) :: Nil => s"$k > ${sqlLit(v)}"

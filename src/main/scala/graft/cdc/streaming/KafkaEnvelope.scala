@@ -89,12 +89,21 @@ object KafkaEnvelope {
     * ts_ms, val) + `table_name` from the envelope's source block (the
     * capture-list filter key, P7). The change image is `after` for upserts
     * and `before` for deletes.
+    *
+    * The IR's global `offset` comes from the ENVELOPE's `source.pos` (the
+    * log position Debezium and the reference order by,
+    * BinlogOffset.java:173-246) — NOT the Kafka transport offset, which is
+    * only per-partition monotone: with nPartitions > 1 transport offsets
+    * collide across partitions and carry no global order, so every
+    * order-sensitive consumer (max_by upsert winners, commit ranks,
+    * specific-offset startup) would pick wrong winners. The transport
+    * offset is kept only as a fallback for envelopes missing `source.pos`.
     */
   def decode(kafka: DataFrame): DataFrame = {
     val env = from_json(col("value").cast("string"), envelopeSchema)
-    kafka.select(col("offset"), env.as("env"))
+    kafka.select(col("offset").as("transport_offset"), env.as("env"))
       .select(
-        col("offset"),
+        coalesce(col("env.source.pos"), col("transport_offset")).as("offset"),
         coalesce(col("env.after.pk"), col("env.before.pk")).as("pk"),
         col("env.op").as("op"),
         col("env.ts_ms").as("ts_ms"),

@@ -39,6 +39,30 @@ class MongoOffsetsSpec extends SparkTestBase {
     assert(NoStopping.seconds == Int.MaxValue.toLong && NoStopping.increment == Int.MaxValue.toLong)
   }
 
+  test("out-of-uint32-range encode inputs yield null, never a truncated token") {
+    val s = spark
+    import s.implicits._
+    // 2^32 (seconds overflow — the year-2106 case), unbounded increment,
+    // and negatives: all unrepresentable in the 8-hex-digit KeyString slots
+    val cases = Seq((4294967296L, 0L), (0L, 4294967296L), (-1L, 0L), (0L, -1L),
+      (Long.MaxValue, Long.MaxValue))
+    val rows = cases.toDF("t", "i")
+      .select(tokenCol(col("t"), col("i")).as("token")).collect()
+    rows.foreach(r => assert(r.isNullAt(0), s"expected null token, got ${r.get(0)}"))
+    // boundary values still encode
+    val ok = Seq((4294967295L, 4294967295L)).toDF("t", "i")
+      .select(tokenCol(col("t"), col("i")).as("token")).collect()(0).getString(0)
+    assert(ok == "82ffffffffffffffff")
+  }
+
+  test("undersized tokens decode to null, not a partial-substring offset") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq("82", "8200000001", "82000000010000000", "").toDF("token")
+      .select(decodeTsValue(col("token")).as("v")).collect()
+    rows.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("non-timestamp kType: column decode nulls, driver parse throws") {
     val s = spark
     import s.implicits._

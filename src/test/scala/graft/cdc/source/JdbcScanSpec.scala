@@ -57,6 +57,17 @@ class JdbcScanSpec extends SparkTestBase {
     assert(df.count() == Changelog.table(spark, sfDir, "customer").count())
   }
 
+  test("in-database probe planner agrees with the DataFrame probe planner") {
+    url // force fixture
+    val viaJdbc = graft.cdc.split.ChunkPlanner
+      .unevenChunkRangesJdbc(url, "customer", "C_CUSTKEY", chunkSize = 64)
+    val viaDf = graft.cdc.split.ChunkPlanner.unevenChunkRangesIterative(
+      Changelog.table(spark, sfDir, "customer")
+        .selectExpr("c_custkey AS C_CUSTKEY"), "C_CUSTKEY", 64)
+    assert(viaJdbc == viaDf)
+    assert(viaJdbc.length > 1)
+  }
+
   test("facade option validation still guards the JDBC path") {
     intercept[CdcSource.ValidationException] {
       CdcSource.read(spark)

@@ -156,6 +156,20 @@ class ChunkPlannerSpec extends SparkTestBase {
     val sp = KeyedChunkPlanner.jdbcPredicates(
       Seq("name"), Seq((Some(Seq("o'brien")), None)))
     assert(sp.head == "name > 'o''brien'")
+    // temporal/decimal keys render typed literals, not bare toString
+    val tp = KeyedChunkPlanner.jdbcPredicates(
+      Seq("d", "ts", "amt"),
+      Seq((Some(Seq(java.sql.Date.valueOf("2024-01-31"),
+        java.sql.Timestamp.valueOf("2024-01-31 10:30:00"),
+        new java.math.BigDecimal("12.3400"))), None)))
+    assert(tp.head.contains("d > DATE '2024-01-31'"))
+    assert(tp.head.contains("ts > TIMESTAMP '2024-01-31 10:30:00"))
+    assert(tp.head.contains("amt > 12.3400"))
+    // unsupported literal types fail loudly instead of leaking unquoted SQL
+    intercept[IllegalArgumentException] {
+      KeyedChunkPlanner.jdbcPredicates(
+        Seq("k"), Seq((Some(Seq(new Object)), None)))
+    }
   }
 
   test("window-form keyed ranges agree with the iterative probe on unique keys") {

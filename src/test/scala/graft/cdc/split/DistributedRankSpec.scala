@@ -1,0 +1,60 @@
+package graft.cdc.split
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Runtime self-check for [[DistributedRank]]: its correctness leans on two
+  * undocumented-contract Spark behaviors — the bit layout of
+  * `monotonically_increasing_id` (pid << 33 | local record number) and the
+  * optimizer pinning the nondeterministic projection above the
+  * range-partitioned sort. PlanSpec guards the plan SHAPE; this spec guards
+  * the VALUES against the reference formulation (`row_number() OVER (ORDER
+  * BY ...)`), so a Spark upgrade changing either contract fails loudly here
+  * instead of silently corrupting every rank-derived result (commit ranks,
+  * chunk boundaries).
+  */
+class DistributedRankSpec extends SparkTestBase {
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame,
+      order: Seq[org.apache.spark.sql.Column]) =
+    df.withColumn("rn_w", row_number().over(Window.orderBy(order: _*)).cast("long"))
+
+  test("withGlobalRowNumber equals row_number() over a global window (values, not plan)") {
+    val s = spark
+    import s.implicits._
+    // adversarial fixture: duplicate keys (tie-broken by a second column),
+    // skewed distribution, forced multi-partition input
+    val df = (1 to 5000).map(i => (i % 977, i)).toDF("k", "tb").repartition(7)
+    val order = Seq(col("k"), col("tb"))
+    val got = DistributedRank.withGlobalRowNumber(df, "rn", order)
+      .select($"k", $"tb", $"rn").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val want = viaWindow(df, order)
+      .select($"k", $"tb", $"rn_w").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.size == 5000)
+  }
+
+  test("dedup = true ranks the distinct rows exactly like distinct + window") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 4000).map(i => i % 613).toDF("k").repartition(5)
+    val got = DistributedRank.withGlobalRowNumber(df, "rn", Seq(col("k")), dedup = true)
+      .select($"k", $"rn").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val want = viaWindow(df.dropDuplicates(), Seq(col("k")))
+      .select($"k", $"rn_w").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.size == 613)
+  }
+
+  test("ranks stay dense and unique on an already-sorted single-partition input") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).toDF("k").coalesce(1)
+    val rns = DistributedRank.withGlobalRowNumber(df, "rn", Seq(col("k")))
+      .select($"rn").collect().map(_.getLong(0)).sorted
+    assert(rns.toSeq == (1L to 100L))
+  }
+}

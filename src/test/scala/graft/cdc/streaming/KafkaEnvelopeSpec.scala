@@ -42,6 +42,23 @@ class KafkaEnvelopeSpec extends SparkTestBase {
     assert(decoded.nonEmpty)
   }
 
+  test("decode orders by the envelope's source.pos, not the transport offset") {
+    // real Kafka offsets are per-partition monotone only: simulate the
+    // collision by replacing the transport offset with a per-partition
+    // sequence (0,1,2,... within each partition) — the IR offset must still
+    // be the envelope's global source.pos, bit-exact
+    import org.apache.spark.sql.expressions.Window
+    val perPartition = kafkaShaped.withColumn("offset",
+      row_number().over(Window.partitionBy(col("partition")).orderBy(col("offset"))).cast("long") - 1)
+    // transport offsets now collide across partitions
+    assert(perPartition.groupBy("offset").count().where(col("count") > 1).count() > 0)
+    val decoded = KafkaEnvelope.decode(perPartition).select("offset").collect()
+      .map(_.getLong(0)).toSet
+    val original = Changelog.changelog(spark, sfDir).select("offset").collect()
+      .map(_.getLong(0)).toSet
+    assert(decoded == original)
+  }
+
   test("deletes carry the image in before, upserts in after (Debezium contract)") {
     val env = kafkaShaped.select(col("value").cast("string").as("v"))
     val parsed = env.select(from_json(col("v"), KafkaEnvelope.envelopeSchema).as("e"))
