@@ -163,6 +163,83 @@ object CdcSource {
       if (preds.length > pool) df.coalesce(pool) else df
     }
 
+    /** DataSourceV2 streaming face of the facade: a REAL `MicroBatchStream`
+      * tailing a mutating JDBC change table (see [[CdcMicroBatch]]) — the
+      * reference's enumerator/reader architecture, not a file glob. The
+      * builder translates the startup-mode algebra into the stream's
+      * exclusive starting sequence:
+      *
+      *   - earliest-offset  -> read the whole retained log (default)
+      *   - specific-offset  -> file/pos mapped back through the synthetic
+      *     binlog layout ([[BinlogOffsets.withFilePos]]'s inverse), or a
+      *     direct `starting-seq`
+      *   - timestamp        -> one in-database probe for the first SEQ at or
+      *     after the timestamp (the reference's seek-to-timestamp latch, P10)
+      *   - latest-offset    -> one probe for the current log end
+      *   - initial          -> run the batch snapshot via load()/loadJdbc and
+      *     seed StreamingOps.upsertMaterializeStreamFrom, then stream from
+      *     earliest/specific — same handover contract as loadStream
+      */
+    def loadMicroBatch(url: String, dbtable: String = "GRAFT_CHANGELOG"): DataFrame = {
+      validateOptions()
+      val mode = opts.getOrElse("scan.startup.mode", StartupMode.Earliest).toLowerCase
+      def probe(sql: String): Option[Long] = {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(sql)
+            rs.next()
+            val v = rs.getLong(1)
+            if (rs.wasNull()) None else Some(v)
+          } finally st.close()
+        } finally conn.close()
+      }
+      val startingSeq: Option[Long] = mode match {
+        case StartupMode.Earliest => None
+        case StartupMode.Latest => probe(s"SELECT MAX(SEQ) FROM $dbtable")
+        case StartupMode.Timestamp =>
+          val ts = opts.getOrElse("scan.startup.timestamp-millis",
+            throw new ValidationException(
+              "'scan.startup.timestamp-millis' is required in timestamp startup mode"))
+          // first event at/after ts starts the stream -> exclusive start is
+          // one before it; empty probe (ts beyond log end) -> start at end
+          probe(s"SELECT MIN(SEQ) - 1 FROM $dbtable WHERE TS_MS >= " +
+              numeric("scan.startup.timestamp-millis", ts, _.toLong))
+            .orElse(probe(s"SELECT MAX(SEQ) FROM $dbtable"))
+        case StartupMode.SpecificOffset =>
+          (opts.get("scan.startup.specific-offset.file"),
+            opts.get("scan.startup.specific-offset.pos")) match {
+            case (Some(f), Some(p)) =>
+              // invert the synthetic binlog layout (BinlogOffsets.withFilePos):
+              // seq = fileNum * EventsPerFile + (pos - 4) / 4
+              val fileNum = f.stripPrefix("mysql-bin.").toLong
+              val pos = numeric("scan.startup.specific-offset.pos", p, _.toLong)
+              Some(fileNum * BinlogOffsets.EventsPerFile + (pos - 4) / 4)
+            case _ =>
+              Some(opts.getOrElse("starting-seq",
+                throw new ValidationException(
+                  "specific-offset startup over the micro-batch stream needs " +
+                    "scan.startup.specific-offset.file/pos or starting-seq")).toLong)
+          }
+        case StartupMode.Initial =>
+          throw new ValidationException(
+            "'initial' startup mode needs the batch snapshot phase — run the " +
+              "snapshot with load()/loadJdbc and hand its state to " +
+              "StreamingOps.upsertMaterializeStreamFrom, then loadMicroBatch " +
+              "from 'earliest-offset'")
+        case other =>
+          throw new ValidationException(
+            s"Invalid value for option 'scan.startup.mode'. Supported values are " +
+              s"[${StartupMode.all.mkString(", ")}], but was: $other")
+      }
+      val reader = spark.readStream.format("graft-cdc-stream")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .options(opts -- Seq("scan.startup.mode", "starting-seq"))
+      startingSeq.fold(reader)(s => reader.option("starting-seq", s)).load()
+    }
+
     /** Debezium-topic face of the facade: the same option validation,
       * capture-list filter and startup algebra over a Kafka-SHAPED input —
       * any DataFrame with [[graft.cdc.streaming.KafkaEnvelope.kafkaSchema]]'s

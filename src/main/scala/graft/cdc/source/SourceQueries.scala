@@ -33,6 +33,35 @@ object SourceQueries extends QueryPack {
     "hybrid_pipeline_materialize" -> ((s, dir) =>
       HybridPipeline.materialize(s, dir)),
 
+    // S1/S3 as a REAL DataSourceV2 MicroBatchStream: the changelog is staged
+    // into an embedded-Derby change table (fixture synthesis standing in for
+    // the external database — the stand-in proven by JdbcScanSpec), tailed
+    // through readStream.format("graft-cdc-stream") in admission-controlled
+    // micro-batches, then materialized with the batch upsert operator. The
+    // oracle is the direct batch materialization of the same log prefix —
+    // the stream must deliver every event exactly once for the hash to
+    // match. Capped at a fixed offset so the fixture cost is sf-independent.
+    "microbatch_stream_materialize" -> ((s, dir) => {
+      val cap = 20000L
+      val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("derby_q").toString}/logdb;create=true"
+      val rows = changelog(s, dir).where(col("offset") < cap)
+        .select("offset", "pk", "op", "ts_ms", "val").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(_._1)
+      CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG", rows.iterator)
+      val sink = "mb_q_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = CdcSource.read(s)
+        .option("max-events-per-trigger", 8192)
+        .loadMicroBatch(url)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.cdc.model.Changelog.upsertMaterialize(
+        s.table(sink).limit(0).withColumnRenamed("value", "val"),
+        s.table(sink).withColumnRenamed("value", "val"))
+    }),
+
     // §3.1 Debezium-topic transport: encode the changelog as Kafka-shaped
     // envelope records, decode through the facade's stream adapter — the
     // oracle is the identity (a faithful transport returns the IR exactly;
@@ -70,6 +99,14 @@ object SourceQueries extends QueryPack {
       s"""$changelogSql
          |SELECT "offset", pk, op, ts_ms, val,
          |       'users_' || (pk % 3) AS table_name
-         |FROM changelog""".stripMargin
+         |FROM changelog""".stripMargin,
+
+    "microbatch_stream_materialize" ->
+      s"""$changelogSql
+         |SELECT pk, max("offset") AS last_offset, arg_max(op, "offset") AS last_op,
+         |       arg_max(val, "offset") AS val
+         |FROM changelog WHERE "offset" < 20000
+         |GROUP BY pk
+         |HAVING arg_max(op, "offset") <> 'd'""".stripMargin
   )
 }

@@ -1,0 +1,170 @@
+package graft.cdc.source
+
+import graft.SparkTestBase
+import graft.cdc.model.Changelog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The DataSourceV2 `MicroBatchStream` against a live (mutating) embedded
+  * Derby change table: planned splits, admission control, startup-offset
+  * algebra, checkpoint restart, availableNow drain — the source architecture
+  * the reference exercises through MySqlSourceITCase, minus a real MySQL.
+  */
+class CdcMicroBatchSpec extends SparkTestBase {
+
+  /** Fresh Derby database holding the sf0.001 changelog as a change table. */
+  private def freshLog(): (String, Array[(Long, Long, String, Long, Double)]) = {
+    val dir = java.nio.file.Files.createTempDirectory("derby_mb").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    val rows = Changelog.changelog(spark, sfDir)
+      .select("offset", "pk", "op", "ts_ms", "val")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG", rows.iterator)
+    (url, rows)
+  }
+
+  test("stream delivers the whole log exactly once across admission-controlled batches") {
+    val (url, rows) = freshLog()
+    val df = CdcSource.read(spark)
+      .option("max-events-per-trigger", 100)
+      .loadMicroBatch(url)
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("mb_all")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // admission control actually split the run into multiple micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      s"expected >1 non-empty micro-batch, got ${q.recentProgress.length}")
+    q.stop()
+    val got = spark.table("mb_all").select("offset").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "duplicate offsets delivered")
+    assert(got.toSet == rows.map(_._1).toSet)
+    // values survive the trip
+    val gotFull = spark.table("mb_all")
+      .select("offset", "pk", "op", "ts_ms", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(gotFull == rows.toSet)
+  }
+
+  test("checkpoint restart resumes mid-log and picks up rows appended while down") {
+    val (url, rows) = freshLog()
+    val sink = java.nio.file.Files.createTempDirectory("mb_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mb_ckpt").toString
+
+    def start() = CdcSource.read(spark)
+      .option("max-events-per-trigger", 100)
+      .loadMicroBatch(url)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$sink/batch_id=$id")
+      }
+      .start()
+
+    val q1 = start()
+    val deadline = System.nanoTime + 60L * 1000000000L
+    def committed() = Option(new java.io.File(sink).listFiles)
+      .exists(_.exists(_.getName.startsWith("batch_id=")))
+    while (!committed() && System.nanoTime < deadline) Thread.sleep(20)
+    q1.stop()
+
+    // the log keeps growing while the stream is down
+    val maxSeq = rows.map(_._1).max
+    val extra = (1L to 57L).map(i => (maxSeq + i, i % 97, "u", 4200000L + i, i * 1.5))
+    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG", extra.iterator)
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(sink).select("offset").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "duplicated offsets after restart")
+    assert(got.toSet == rows.map(_._1).toSet ++ extra.map(_._1))
+  }
+
+  test("startup algebra: specific-offset file/pos, timestamp probe, latest") {
+    val (url, rows) = freshLog()
+
+    // specific-offset: (file, pos) inverted through the synthetic binlog
+    // layout — stream starts strictly after that position
+    val seq = 400L
+    val file = f"mysql-bin.${seq / graft.cdc.offsets.BinlogOffsets.EventsPerFile}%06d"
+    val pos = (seq % graft.cdc.offsets.BinlogOffsets.EventsPerFile) * 4 + 4
+    val q1 = CdcSource.read(spark)
+      .option("scan.startup.mode", "specific-offset")
+      .option("scan.startup.specific-offset.file", file)
+      .option("scan.startup.specific-offset.pos", pos)
+      .loadMicroBatch(url)
+      .writeStream.format("memory").queryName("mb_spec").outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    val gotSpec = spark.table("mb_spec").select("offset").collect().map(_.getLong(0)).toSet
+    assert(gotSpec == rows.map(_._1).filter(_ > seq).toSet)
+
+    // timestamp: the in-database latch probe
+    val tsCut = rows.map(_._4).sorted.apply(rows.length / 2)
+    val q2 = CdcSource.read(spark)
+      .option("scan.startup.mode", "timestamp")
+      .option("scan.startup.timestamp-millis", tsCut)
+      .loadMicroBatch(url)
+      .writeStream.format("memory").queryName("mb_ts").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val expectTs = rows.filter(r => r._1 >= rows.filter(_._4 >= tsCut).map(_._1).min)
+      .map(_._1).toSet
+    val gotTs = spark.table("mb_ts").select("offset").collect().map(_.getLong(0)).toSet
+    assert(gotTs == expectTs)
+
+    // latest: nothing until the writer appends, then only the tail
+    val q3 = CdcSource.read(spark)
+      .option("scan.startup.mode", "latest-offset")
+      .loadMicroBatch(url)
+      .writeStream.format("memory").queryName("mb_latest").outputMode("append").start()
+    q3.processAllAvailable()
+    assert(spark.table("mb_latest").count() == 0)
+    val maxSeq = rows.map(_._1).max
+    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG",
+      Iterator((maxSeq + 1, 7L, "u", 999L, 1.0), (maxSeq + 2, 8L, "d", 1000L, 2.0)))
+    q3.processAllAvailable(); q3.stop()
+    val gotLatest = spark.table("mb_latest").select("offset").collect().map(_.getLong(0)).toSet
+    assert(gotLatest == Set(maxSeq + 1, maxSeq + 2))
+  }
+
+  test("availableNow drains the pinned log end and terminates") {
+    val (url, rows) = freshLog()
+    val q = CdcSource.read(spark)
+      .option("max-events-per-trigger", 128)
+      .loadMicroBatch(url)
+      .writeStream.format("memory").queryName("mb_now").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "availableNow query did not terminate")
+    val got = spark.table("mb_now").select("offset").collect().map(_.getLong(0))
+    assert(got.toSet == rows.map(_._1).toSet)
+    assert(got.length == rows.length)
+  }
+
+  test("split planning slices the offset range into chunk-sized ranges") {
+    val stream = new CdcMicroBatchStream(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("url", "jdbc:derby:memory:unused;create=true",
+        "scan.incremental.snapshot.chunk.size", "100")))
+    val parts = stream.planInputPartitions(CdcStreamOffset(-1L), CdcStreamOffset(250L))
+    assert(parts.toSeq == Seq(CdcChunk(-1L, 99L), CdcChunk(99L, 199L), CdcChunk(199L, 250L)))
+    // ranges tile the interval: exclusive lo, inclusive hi, no gaps/overlap
+    assert(stream.planInputPartitions(CdcStreamOffset(5L), CdcStreamOffset(5L)).isEmpty)
+  }
+
+  test("facade validation guards the micro-batch path") {
+    intercept[CdcSource.ValidationException] {
+      CdcSource.read(spark)
+        .option("scan.startup.mode", "initial")
+        .loadMicroBatch("jdbc:derby:memory:unused2;create=true")
+    }
+    intercept[CdcSource.ValidationException] {
+      CdcSource.read(spark)
+        .option("scan.incremental.snapshot.chunk.size", 0)
+        .loadMicroBatch("jdbc:derby:memory:unused2;create=true")
+    }
+  }
+}
