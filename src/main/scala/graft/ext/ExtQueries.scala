@@ -32,6 +32,14 @@ object ExtQueries extends QueryPack {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)),
 
+    // pairs -> clusters: the transitive closure that actually dedups a
+    // corpus (A~B~C collapses to one keeper even when A~C never paired)
+    "dedup_cluster_assign" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.clusterAssign(docs,
+        Dedup.minhashLsh(docs, numHashes = 32, rowsPerBand = 4))
+    }),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosine(table(s, dir, "embeddings"), 0.4)),
 
@@ -182,6 +190,33 @@ object ExtQueries extends QueryPack {
          |FROM bands x JOIN bands y
          |  ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
          |GROUP BY 1, 2""".stripMargin,
+
+    // same LSH candidate pairs, then connected components as a recursive
+    // CTE: labels flood along undirected edges, min per node = the
+    // component's minimum doc_id — exactly what the iterative min-label
+    // propagation in Dedup.clusterAssign converges to
+    "dedup_cluster_assign" ->
+      s"""${shingleHashSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |fam AS (SELECT doc_id, t.i AS i, hu, CAST(t.i AS UBIGINT) AS iu
+         |        FROM h CROSS JOIN range(32) t(i)),
+         |mins AS (SELECT doc_id, i, min(${toSignedSql("zf")}) AS m
+         |         FROM ${mixChainSql("fam", "doc_id, i")} GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS band_id, list(m ORDER BY i) AS sig
+         |          FROM mins GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bands x JOIN bands y
+         |            ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+         |lbl AS (SELECT id, min(lab) AS keeper_id FROM reach GROUP BY id),
+         |sz AS (SELECT keeper_id, count(*) AS cluster_size FROM lbl GROUP BY keeper_id)
+         |SELECT l.id AS doc_id, l.keeper_id, s.cluster_size
+         |FROM lbl l JOIN sz s ON l.keeper_id = s.keeper_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""$shingleHashSql,

@@ -31,6 +31,49 @@ class ExtOpsSpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("clusterAssign equals the transitive closure (union-find) on generated graphs") {
+    // deterministic pseudo-random graphs via the library's own mix64 — three
+    // shapes: sparse, chain-heavy (deep components), and dense
+    for ((n, m, salt) <- Seq((60, 25, 1L), (80, 79, 2L), (50, 120, 3L))) {
+      val edges = (0 until m).map { i =>
+        val a = math.floorMod(Hashing.mix64(salt * 1000 + i, 0L), n).toLong
+        val b = math.floorMod(Hashing.mix64(salt * 1000 + i, 1L), n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.clusterAssign(docs, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val keeper = (0 until n).map(i => i.toLong -> {
+        // component keeper = min node id in the component
+        val root = find(i)
+        (0 until n).filter(j => find(j) == root).min.toLong
+      }).toMap
+      val size = keeper.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val expect = (0 until n).map(i =>
+        (i.toLong, keeper(i.toLong), size(keeper(i.toLong)))).toSet
+      assert(got == expect, s"mismatch on graph (n=$n, m=$m, salt=$salt)")
+    }
+  }
+
+  test("clusterAssign collapses a pure chain to one keeper (multi-hop closure)") {
+    // path 0-1-2-...-19: no pair (0,19) ever generated, yet one cluster
+    val docs = (0L until 20L).toDF("doc_id")
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterAssign(docs, pairs).collect()
+    assert(got.forall(_.getLong(1) == 0L))
+    assert(got.forall(_.getLong(2) == 20L))
+    assert(got.length == 20)
+  }
+
   test("identical docs have simhash hamming 0; disjoint docs don't pair at low threshold") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 10L),
