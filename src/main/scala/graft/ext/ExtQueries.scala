@@ -78,7 +78,14 @@ object ExtQueries extends QueryPack {
       TextAnalysis.bigramFreq(table(s, dir, "documents"), minCount = 5)),
 
     "multimodal_frames" -> ((s, dir) =>
-      Multimodal.frames(Multimodal.asBinary(table(s, dir, "documents")), frameSize = 256))
+      Multimodal.frames(Multimodal.asBinary(table(s, dir, "documents")), frameSize = 256)),
+
+    // REAL image decode: documents rendered to PNG bytes (ImageIO encode),
+    // decoded back through the batched ImageIO reader path; the oracle
+    // recomputes the pixel statistics analytically from the text bytes
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeBatched(
+        Multimodal.encodePng(table(s, dir, "documents")), batchSize = 64).toDF)
   )
 
   /** DuckDB rendering of [[Similarity]]'s sequential double fold: prepending
@@ -177,6 +184,21 @@ object ExtQueries extends QueryPack {
          |SELECT doc_id, frame_idx, length(frame) AS frame_len,
          |       ${fnvSignedSql("frame", "fv")} AS feature
          |FROM f""".stripMargin,
+
+    // pixel layout of the PNG fixture is analytic (one grayscale pixel per
+    // ASCII byte, 16 per row, zero padding): width/height/px_sum follow from
+    // the text alone; mean is one exact int/int double division
+    "multimodal_decode" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |s AS (SELECT doc_id,
+         |        greatest(1, (len + 15) // 16) AS height,
+         |        list_reduce(list_prepend(0::BIGINT,
+         |          list_transform(range(1, len + 1), i -> ord(text[i])::BIGINT)),
+         |          (a, b) -> a + b) AS px_sum
+         |      FROM d)
+         |SELECT doc_id, 16 AS width, CAST(height AS INTEGER) AS height, px_sum,
+         |       px_sum::DOUBLE / (16 * height) AS mean_lum
+         |FROM s""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""$shingleHashSql,

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata, plus frame sampling and feature extraction.
   *
-  * The real decode step (JPEG/PCM/H.264) needs native libraries that are not
-  * in this container — per the build contract it is STUBBED with a
-  * deterministic fake (xxhash64 of the frame bytes plays the "feature
-  * vector"), while the Spark-side plumbing — schema, binary slicing,
-  * per-frame explosion, partitioning — is real and tested.
+  * The image decode path is REAL: payloads are PNG byte streams decoded with
+  * `javax.imageio` (pure-JVM, on every classpath) inside a batched
+  * `mapPartitions` — codec acquired once per batch, pixels read from the
+  * raster, features = dimensions + channel statistics. Video/audio codecs
+  * (H.264/PCM) aren't in this container; those payloads go through
+  * [[frames]]' opaque byte-slicing path instead.
   */
 object Multimodal {
 
@@ -28,35 +29,89 @@ object Multimodal {
       ).as("meta")
     )
 
-  /** One decoded payload: id + stub feature vector. */
-  case class Decoded(doc_id: Long, feature: Array[Long], nbytes: Int)
-
-  /** Batched decode over partitions — the Scala analog of a Pandas-UDF
-    * `mapInPandas` pipeline: each executor task pulls its partition in
-    * `batchSize` groups and hands the whole batch to the decoder at once
-    * (real image/audio decoders amortize model/codec setup per batch).
-    *
-    * STUB: the per-batch "decoder" derives a deterministic 4-long feature
-    * from the payload bytes (`???`-grade stand-in — the native codec isn't
-    * in this container); the batching, schema, and partition plumbing are
-    * real.
+  /** Image width of the synthetic PNG fixture: one grayscale pixel per text
+    * byte, [[PngWidth]] pixels per row, zero-padded final row.
     */
-  def decodeBatched(binDocs: DataFrame, batchSize: Int): Dataset[Decoded] = {
-    val spark = binDocs.sparkSession
+  val PngWidth = 16
+
+  /** Deterministic PNG fixture generation — REAL `ImageIO` encoding of each
+    * document's bytes as a grayscale image (the external image corpus
+    * stand-in, since no image files ship with the testdata). Pixel layout is
+    * analytically known, so decode results have an exact engine-independent
+    * oracle: px_sum == sum of the text's byte values.
+    */
+  def encodePng(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    binDocs.select(col("doc_id"), col("payload"))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, pngBytes(text)) })
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("image/png").as("mime"),
+          octet_length(col("payload")).as("nbytes"),
+          lit("synthetic").as("origin")
+        ).as("meta"))
+  }
+
+  private[ext] def pngBytes(text: String): Array[Byte] = {
+    val w = PngWidth
+    val len = text.length
+    val h = math.max(1, (len + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var i = 0
+    while (i < w * h) {
+      val v = if (i < len) text.charAt(i).toInt & 0xff else 0
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One decoded image: dimensions + channel statistics. The mean is a
+    * single int/int double division — exact, engine-replicable.
+    */
+  case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int, px_sum: Long, mean_lum: Double)
+
+  /** Batched REAL image decode over partitions — the Scala analog of a
+    * Pandas-UDF `mapInPandas` pipeline: each executor task pulls its
+    * partition in `batchSize` groups and amortizes codec setup per batch
+    * (one `ImageReader` instance per batch — acquisition is the expensive,
+    * non-thread-safe step real decoders pay). Features come from the decoded
+    * raster: width × height plus the sum/mean of the luminance band.
+    */
+  def decodeBatched(binImgs: DataFrame, batchSize: Int): Dataset[ImageFeatures] = {
+    val spark = binImgs.sparkSession
+    import spark.implicits._
+    binImgs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // batch-level decode: one "codec init" per batch, then per-item
-          // features. Salt is the configured batch size, NOT batch.size —
-          // trailing batches are smaller and batch composition depends on
-          // partitioning, which would make features non-deterministic.
-          val codecSalt = batchSize.toLong
-          batch.map { case (id, payload) =>
-            val h = payload.foldLeft(codecSalt)((a, b) => a * 31 + (b & 0xff))
-            Decoded(id, Array(h, h ^ id, payload.length.toLong, codecSalt), payload.length)
-          }
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("png").next()
+          try {
+            batch.map { case (id, bytes) =>
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              reader.setInput(iis)
+              val img = try reader.read(0) finally iis.close()
+              val w = img.getWidth
+              val h = img.getHeight
+              // r == g == b in the fixture; band 0 is the luminance
+              val samples = img.getRaster.getSamples(0, 0, w, h, 0,
+                null.asInstanceOf[Array[Int]])
+              var s = 0L
+              var j = 0
+              while (j < samples.length) { s += samples(j); j += 1 }
+              ImageFeatures(id, w, h, s, s.toDouble / (w * h))
+            }
+          } finally reader.dispose()
         }
       }
   }

@@ -149,17 +149,28 @@ class ExtOpsSpec extends SparkTestBase {
     lsh.foreach { case (k, s) => assert(math.abs(bf(k) - s) < 1e-12) }
   }
 
-  test("batched decode covers every doc once with deterministic features") {
+  test("batched PNG decode recovers exact pixel statistics for every doc") {
     val docs = table(spark, sfDir, "documents")
-    val decoded = Multimodal.decodeBatched(Multimodal.asBinary(docs), batchSize = 64)
+    val decoded = Multimodal.decodeBatched(Multimodal.encodePng(docs), batchSize = 64)
       .collect()
     assert(decoded.length == docs.count())
     assert(decoded.map(_.doc_id).distinct.length == decoded.length)
-    decoded.foreach(d => assert(d.feature.length == 4 && d.nbytes > 0))
-    // determinism across runs
-    val again = Multimodal.decodeBatched(Multimodal.asBinary(docs), 64).collect()
-    assert(again.map(d => (d.doc_id, d.feature.toSeq)).toSet ==
-      decoded.map(d => (d.doc_id, d.feature.toSeq)).toSet)
+    // decode is a REAL codec round-trip: px_sum must equal the analytic
+    // byte sum of the text the PNG was rendered from
+    val expect = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    decoded.foreach { d =>
+      val t = expect(d.doc_id)
+      assert(d.width == Multimodal.PngWidth)
+      assert(d.height == math.max(1, (t.length + 15) / 16))
+      assert(d.px_sum == t.iterator.map(_.toInt & 0xff).map(_.toLong).sum,
+        s"pixel sum mismatch for doc ${d.doc_id}")
+      assert(d.mean_lum == d.px_sum.toDouble / (d.width * d.height))
+    }
+    // determinism across runs (same JVM encoder + decoder)
+    val again = Multimodal.decodeBatched(Multimodal.encodePng(docs), 64).collect()
+    assert(again.map(d => (d.doc_id, d.px_sum)).toSet ==
+      decoded.map(d => (d.doc_id, d.px_sum)).toSet)
   }
 
   test("empty payload yields zero frames, not garbage negative indices") {
