@@ -33,6 +33,13 @@ object SourceQueries extends QueryPack {
     "hybrid_pipeline_materialize" -> ((s, dir) =>
       HybridPipeline.materialize(s, dir)),
 
+    // T8 — the newly-added-tables flow: capture {users_0, users_1}
+    // snapshotted at offset 300, users_2 added + snapshotted at 600, both
+    // log tails merged; must equal direct materialization of the whole log
+    // (the same guarantee the reference's newly-added-tables ITCase asserts)
+    "newly_added_tables_materialize" -> ((s, dir) =>
+      NewTablesFlow.materializeWithLateTable(s, dir, w = 300L, p = 600L)),
+
     // S1/S3 as a REAL DataSourceV2 MicroBatchStream: the changelog is staged
     // into an embedded-Derby change table (fixture synthesis standing in for
     // the external database — the stand-in proven by JdbcScanSpec), tailed
@@ -100,6 +107,13 @@ object SourceQueries extends QueryPack {
          |SELECT "offset", pk, op, ts_ms, val,
          |       'users_' || (pk % 3) AS table_name
          |FROM changelog""".stripMargin,
+
+    "newly_added_tables_materialize" ->
+      s"""$changelogSql
+         |SELECT pk, max("offset") AS last_offset, arg_max(val, "offset") AS val
+         |FROM changelog
+         |GROUP BY pk
+         |HAVING arg_max(op, "offset") <> 'd'""".stripMargin,
 
     "microbatch_stream_materialize" ->
       s"""$changelogSql
