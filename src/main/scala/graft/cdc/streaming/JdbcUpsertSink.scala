@@ -109,6 +109,24 @@ object JdbcUpsertSink {
     }
   }
 
+  /** Rows-only application (no ledger) — the executor half of a batch
+    * commit. Package-visible so the chaos specs can crash a commit between
+    * rows landing and the ledger mark, the exact window a task-manager kill
+    * exposes.
+    */
+  private[streaming] def applyRows(batch: DataFrame, url: String, table: String): Unit =
+    batch.select("offset", "pk", "op", "value").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          rows.foreach { r =>
+            applyRow(conn, table, r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
+          }
+          conn.commit()
+        } finally conn.close()
+    }
+
   /** Write one micro-batch exactly-once. Idempotent: safe to call again with
     * the same batchId (ledger skip) or with overlapping redelivered rows
     * (offset guard).
@@ -123,17 +141,7 @@ object JdbcUpsertSink {
     val replay = try epochCommitted(ledger, sinkId, batchId) finally ledger.close()
     if (replay) return
 
-    batch.select("offset", "pk", "op", "value").foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val conn = DriverManager.getConnection(url)
-        try {
-          conn.setAutoCommit(false)
-          rows.foreach { r =>
-            applyRow(conn, table, r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
-          }
-          conn.commit()
-        } finally conn.close()
-    }
+    applyRows(batch, url, table)
 
     val mark = DriverManager.getConnection(url)
     try {
