@@ -109,6 +109,23 @@ object MergeQueries extends QueryPack {
         .where(BinlogOffsets.filePosGreater(col("file"), col("pos"), "mysql-bin.000002", 500L))
         .select(col("offset"), col("pk"), col("file"), col("pos"))),
 
+    // F18 — the restart-skip-events tiebreak in an oracled query: events are
+    // grouped four to a "transaction" (same (file,pos), skip = index within
+    // the transaction, exactly how the reference restarts mid-transaction,
+    // BinlogOffset.java:173-246); startup lands INSIDE a transaction, so
+    // events sharing the startup (file,pos) are kept iff their skip count
+    // exceeds the startup's
+    "startup_skip_events" -> ((s, dir) =>
+      changelog(s, dir)
+        .withColumn("tx", expr("`offset` div 4"))
+        .withColumn("skip_events", expr("`offset` % 4"))
+        .withColumn("file", concat(lit("mysql-bin."),
+          lpad(expr(s"cast(tx div ${BinlogOffsets.EventsPerFile} as string)"), 6, "0")))
+        .withColumn("pos", expr(s"(tx % ${BinlogOffsets.EventsPerFile}) * 4 + 4"))
+        .where(BinlogOffsets.filePosSkipGreater(
+          col("file"), col("pos"), col("skip_events"), "mysql-bin.000001", 204L, 2L))
+        .select(col("offset"), col("pk"), col("file"), col("pos"), col("skip_events"))),
+
     "min_starting_offset" -> ((s, dir) =>
       changelog(s, dir)
         .groupBy(pmod(col("pk"), lit(8)).as("split_id"))
@@ -311,6 +328,19 @@ object MergeQueries extends QueryPack {
          |SELECT "offset", pk, file, pos FROM o
          |WHERE file > 'mysql-bin.000002'
          |   OR (file = 'mysql-bin.000002' AND pos > 500)""".stripMargin,
+
+    "startup_skip_events" ->
+      s"""$changelogSql,
+         |o AS (SELECT "offset", pk, "offset" // 4 AS tx, "offset" % 4 AS skip_events
+         |      FROM changelog),
+         |f AS (SELECT "offset", pk, skip_events,
+         |        'mysql-bin.' || lpad(CAST(tx // ${BinlogOffsets.EventsPerFile} AS VARCHAR), 6, '0') AS file,
+         |        (tx % ${BinlogOffsets.EventsPerFile}) * 4 + 4 AS pos
+         |      FROM o)
+         |SELECT "offset", pk, file, pos, skip_events FROM f
+         |WHERE file > 'mysql-bin.000001'
+         |   OR (file = 'mysql-bin.000001' AND pos > 204)
+         |   OR (file = 'mysql-bin.000001' AND pos = 204 AND skip_events > 2)""".stripMargin,
 
     "min_starting_offset" ->
       s"""$changelogSql,

@@ -49,6 +49,20 @@ object BinlogOffsets {
   def filePosGreater(file: Column, pos: Column, f: String, p: Long): Column =
     (file > f) || (file === f && pos > p)
 
+  /** The FULL same-server comparison including the restart-skip-events
+    * tiebreak (BinlogOffset.java:173-246's last compare step): events inside
+    * one transaction share (file, pos) and are distinguished only by how
+    * many events to skip past the position on restart. Column form of
+    * [[compareOffsets]]'s same-server branch, used by the specific-offset
+    * startup filter when the requested offset sits INSIDE a transaction.
+    */
+  def filePosSkipGreater(
+      file: Column, pos: Column, skip: Column,
+      f: String, p: Long, k: Long): Column =
+    (file > f) ||
+      (file === f && pos > p) ||
+      (file === f && pos === p && skip > k)
+
   // ---------------------------------------------------------------------------
   // GTID set algebra (BinlogOffset.java:185-202 delegates to
   // io.debezium.connector.mysql.GtidSet — public format:

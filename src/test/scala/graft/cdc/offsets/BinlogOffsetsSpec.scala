@@ -90,6 +90,29 @@ class BinlogOffsetsSpec extends AnyFunSuite {
     }
   }
 
+  test("filePosSkipGreater Column agrees with compareOffsets on every same-server triple") {
+    val spark = graft.SparkTestBase.session
+    import org.apache.spark.sql.functions.col
+    val ref = off(file = "mysql-bin.000001", pos = 12, skip = 2)
+    val triples = for {
+      f <- Seq("mysql-bin.000000", "mysql-bin.000001", "mysql-bin.000002")
+      p <- Seq(4L, 12L, 20L)
+      k <- Seq(0L, 2L, 5L)
+    } yield (f, p, k)
+    import spark.implicits._
+    val got = triples.toDF("file", "pos", "skip")
+      .where(BinlogOffsets.filePosSkipGreater(
+        col("file"), col("pos"), col("skip"), ref.file, ref.pos, ref.restartSkipEvents))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = triples.filter { case (f, p, k) =>
+      compareOffsets(off(file = f, pos = p, skip = k), ref) > 0
+    }.toSet
+    assert(got == want)
+    // the skip tiebreak really fires: same (file,pos), higher skip is kept
+    assert(got.contains(("mysql-bin.000001", 12L, 5L)))
+    assert(!got.contains(("mysql-bin.000001", 12L, 2L)))
+  }
+
   test("property: compareOffsets is an antisymmetric total order on (file,pos)") {
     val offs = for (f <- 0 to 3; p <- 0L to 40L by 7) yield off(file = f"mysql-bin.$f%06d", pos = p)
     for (a <- offs; b <- offs; c <- offs) {
