@@ -56,7 +56,54 @@ object Bench {
       .mkString("{", ",", "}")
     val fq = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fq,"sf":"$sfDir"}""")
+    val oracleWall = duckDbOracleWall(sfDir)
+    val ratio = oracleWall.filter(_ > 0).map(w => total / w)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fq,""" +
+      s""""oracle_wall_s":${oracleWall.getOrElse(-1.0)},""" +
+      s""""bench_vs_baseline":${ratio.getOrElse(-1.0)},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Single-node baseline: wall-clock of the FULL DuckDB oracle suite over
+    * the same parquet at the same SF — measured, not inferred. Runs the
+    * driver-side duckdb (the oracle engine) via python3; when that
+    * environment isn't present the field reports -1 and the bench line is
+    * otherwise unchanged.
+    */
+  private def duckDbOracleWall(sfDir: String): Option[Double] =
+    try {
+      val oracleJson = java.io.File.createTempFile("bench_oracle", ".json")
+      oracleJson.deleteOnExit()
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      java.nio.file.Files.writeString(oracleJson.toPath,
+        SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+          .mkString("{", ",", "}"))
+      val script =
+        s"""import json, sys, time
+           |import duckdb
+           |sqls = json.load(open(${"\"" + oracleJson.getAbsolutePath + "\""}))
+           |con = duckdb.connect()
+           |for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+           |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('$sfDir/{t}.parquet')")
+           |t0 = time.time()
+           |for name, sql in sorted(sqls.items()):
+           |    con.execute(sql).fetchall()
+           |print("ORACLE_WALL=%.3f" % (time.time() - t0))
+           |""".stripMargin
+      val pb = new ProcessBuilder("python3", "-c", script)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      val done = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { proc.destroyForcibly(); None }
+      else "ORACLE_WALL=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
 }
