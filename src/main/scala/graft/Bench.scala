@@ -58,9 +58,27 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val oracleWall = duckDbOracleWall(sfDir)
     val ratio = oracleWall.filter(_ > 0).map(w => total / w)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fq,""" +
-      s""""oracle_wall_s":${oracleWall.getOrElse(-1.0)},""" +
-      s""""bench_vs_baseline":${ratio.getOrElse(-1.0)},"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fq,""" +
+        s""""oracle_wall_s":${oracleWall.getOrElse(-1.0)},""" +
+        s""""bench_vs_baseline":${ratio.getOrElse(-1.0)},"sf":"$sfDir"}"""
+    println(fullLine)
+    // The harness that captures this output keeps only the final ~2000
+    // characters, and the full per-query map has outgrown that window (the
+    // headline fields were being truncated away). Persist the full line to
+    // a repo file, then print a compact summary LAST — headline totals plus
+    // the slowest queries — sized to survive the tail capture intact.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("/root/repo/BENCH_SELF.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries":$slow,"failed":$fq,""" +
+      s""""oracle_wall_s":${r3(oracleWall.getOrElse(-1.0))},""" +
+      s""""bench_vs_baseline":${r3(ratio.getOrElse(-1.0))},""" +
+      s""""queries_full":"BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()
   }
 
