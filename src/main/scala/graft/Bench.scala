@@ -56,7 +56,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fq = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val oracleWall = duckDbOracleWall(sfDir)
+    // the DuckDB baseline pass costs real wall time (full oracle suite);
+    // on by default because the per-round bench line carries the ratio, but
+    // SPARK_GRAFT_ORACLE_WALL=0 skips it for quick local iterations
+    val oracleWall =
+      if (sys.env.getOrElse("SPARK_GRAFT_ORACLE_WALL", "1") == "0") None
+      else duckDbOracleWall(sfDir)
     val ratio = oracleWall.filter(_ > 0).map(w => total / w)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fq,""" +
@@ -68,9 +73,13 @@ object Bench {
     // headline fields were being truncated away). Persist the full line to
     // a repo file, then print a compact summary LAST — headline totals plus
     // the slowest queries — sized to survive the tail capture intact.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("/root/repo/BENCH_SELF.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Path.of(System.getProperty("user.dir"), "BENCH_SELF.json").toString)
+    try java.nio.file.Files.writeString(java.nio.file.Path.of(benchOut), fullLine + "\n")
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not persist full line to $benchOut: $e")
+    }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")

@@ -78,6 +78,7 @@ object CdcMicroBatch {
       url: String,
       table: String,
       rows: Iterator[(Long, Long, String, Long, Double)]): Unit = {
+    CdcSource.validIdentifier(table)
     val conn = DriverManager.getConnection(url)
     try {
       val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
@@ -177,7 +178,8 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private val url = Option(options.get("url")).getOrElse(
     throw new CdcSource.ValidationException(
       "option 'url' is required: the JDBC url of the change-table database"))
-  private val table = options.getOrDefault("dbtable", "GRAFT_CHANGELOG")
+  private val table =
+    CdcSource.validIdentifier(options.getOrDefault("dbtable", "GRAFT_CHANGELOG"))
   private val chunkSize = options.getLong("scan.incremental.snapshot.chunk.size", 8096L)
   private val fetchSize = options.getLong("scan.snapshot.fetch.size", 1024L).toInt
   private val maxPerTrigger: Option[Long] =
@@ -190,9 +192,21 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
     */
   @volatile private var pinnedEnd: Option[Long] = None
 
-  private def probe(sql: String): Option[Long] = {
-    val conn = DriverManager.getConnection(url)
-    try {
+  /** One cached driver-side connection for offset probes — the enumerator
+    * runs a MAX(SEQ) probe every micro-batch, and opening a fresh connection
+    * each time is per-trigger churn the reference avoids with its pooled
+    * JDBC connections (JdbcConnectionPools, pool size 20). A dead cached
+    * connection is dropped and reopened once.
+    */
+  private var probeConn: java.sql.Connection = _
+
+  private def probeConnection(): java.sql.Connection = synchronized {
+    if (probeConn == null || probeConn.isClosed) probeConn = DriverManager.getConnection(url)
+    probeConn
+  }
+
+  private def probe(sql: String): Option[Long] = synchronized {
+    def runOn(conn: java.sql.Connection): Option[Long] = {
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(sql)
@@ -200,7 +214,15 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
         val m = rs.getLong(1)
         if (rs.wasNull()) None else Some(m)
       } finally st.close()
-    } finally conn.close()
+    }
+    try runOn(probeConnection())
+    catch {
+      case _: java.sql.SQLException =>
+        // stale cached connection (server restart, idle timeout): reopen once
+        try { if (probeConn != null) probeConn.close() } catch { case _: Throwable => () }
+        probeConn = null
+        runOn(probeConnection())
+    }
   }
 
   /** Resolved start position: an explicit `starting-seq`, else "earliest" =
@@ -260,7 +282,10 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
     */
   override def commit(end: Offset): Unit = ()
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = synchronized {
+    try { if (probeConn != null) probeConn.close() } catch { case _: Throwable => () }
+    probeConn = null
+  }
 }
 
 /** One planned split: change-log rows with lo < SEQ <= hi. */
@@ -279,19 +304,29 @@ class CdcReaderFactory(url: String, table: String, fetchSize: Int)
 class CdcPartitionReader(url: String, table: String, fetchSize: Int, chunk: CdcChunk)
     extends PartitionReader[InternalRow] {
 
-  private lazy val conn = DriverManager.getConnection(url)
-  private lazy val stmt = {
+  // opened on first next(), not lazily from close(): a reader cancelled (or
+  // limit-truncated) before any next() must not open a connection and run
+  // the range SELECT just to tear it down
+  private var conn: java.sql.Connection = _
+  private var stmt: java.sql.PreparedStatement = _
+  private var rs: java.sql.ResultSet = _
+
+  private def open(): Unit = {
+    conn = DriverManager.getConnection(url)
     val st = conn.prepareStatement(
       s"SELECT ${CdcMicroBatch.columnsSql} FROM $table " +
         "WHERE SEQ > ? AND SEQ <= ? ORDER BY SEQ")
     st.setFetchSize(fetchSize)
     st.setLong(1, chunk.lo)
     st.setLong(2, chunk.hi)
-    st
+    stmt = st
+    rs = st.executeQuery()
   }
-  private lazy val rs = stmt.executeQuery()
 
-  override def next(): Boolean = rs.next()
+  override def next(): Boolean = {
+    if (rs == null) open()
+    rs.next()
+  }
 
   override def get(): InternalRow =
     InternalRow(
@@ -302,8 +337,10 @@ class CdcPartitionReader(url: String, table: String, fetchSize: Int, chunk: CdcC
       rs.getDouble(5))
 
   override def close(): Unit = {
-    try rs.close() finally {
-      try stmt.close() finally conn.close()
+    try { if (rs != null) rs.close() } finally {
+      try { if (stmt != null) stmt.close() } finally {
+        if (conn != null) conn.close()
+      }
     }
   }
 }

@@ -30,6 +30,18 @@ object CdcSource {
   final class ValidationException(msg: String, cause: Throwable = null)
       extends IllegalArgumentException(msg, cause)
 
+  /** Table names taken from caller options are interpolated into SQL text
+    * (change-table scans, sink upserts); a strict identifier grammar closes
+    * the injection / syntax-breakage surface the way the reference quotes
+    * identifiers before statement assembly (StatementUtils.quote).
+    */
+  def validIdentifier(name: String): String = {
+    if (name == null || !name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      throw new ValidationException(
+        s"Invalid SQL identifier '$name': must match [A-Za-z_][A-Za-z0-9_]*")
+    name
+  }
+
   def read(spark: SparkSession): Builder = new Builder(spark)
 
   final class Builder(spark: SparkSession) {
@@ -182,20 +194,24 @@ object CdcSource {
       */
     def loadMicroBatch(url: String, dbtable: String = "GRAFT_CHANGELOG"): DataFrame = {
       validateOptions()
+      validIdentifier(dbtable)
       val mode = opts.getOrElse("scan.startup.mode", StartupMode.Earliest).toLowerCase
+      // startup probes share ONE connection, opened lazily (earliest mode
+      // probes nothing) and closed before the stream starts — the stream's
+      // own enumerator keeps its own cached probe connection
+      var startupConn: java.sql.Connection = null
       def probe(sql: String): Option[Long] = {
-        val conn = java.sql.DriverManager.getConnection(url)
+        if (startupConn == null)
+          startupConn = java.sql.DriverManager.getConnection(url)
+        val st = startupConn.createStatement()
         try {
-          val st = conn.createStatement()
-          try {
-            val rs = st.executeQuery(sql)
-            rs.next()
-            val v = rs.getLong(1)
-            if (rs.wasNull()) None else Some(v)
-          } finally st.close()
-        } finally conn.close()
+          val rs = st.executeQuery(sql)
+          rs.next()
+          val v = rs.getLong(1)
+          if (rs.wasNull()) None else Some(v)
+        } finally st.close()
       }
-      val startingSeq: Option[Long] = mode match {
+      val startingSeq: Option[Long] = try mode match {
         case StartupMode.Earliest => None
         case StartupMode.Latest => probe(s"SELECT MAX(SEQ) FROM $dbtable")
         case StartupMode.Timestamp =>
@@ -232,6 +248,9 @@ object CdcSource {
           throw new ValidationException(
             s"Invalid value for option 'scan.startup.mode'. Supported values are " +
               s"[${StartupMode.all.mkString(", ")}], but was: $other")
+      } finally {
+        if (startupConn != null)
+          try startupConn.close() catch { case _: Throwable => () }
       }
       val reader = spark.readStream.format("graft-cdc-stream")
         .option("url", url)

@@ -54,23 +54,29 @@ object SourceQueries extends QueryPack {
         .select("offset", "pk", "op", "ts_ms", "val").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
         .sortBy(_._1)
-      // staging is keyed by (sf dir, row count) and reused across calls in
-      // one JVM — the log is an external database in real life; re-creating
-      // it per bench pass would time fixture setup, not the source
-      val stageKey = java.lang.Long.toHexString(
-        graft.ext.Hashing.mix64(dir.hashCode.toLong, rows.length.toLong))
+      // staging is keyed by a strong hash of the full sf path (embedded
+      // Derby is single-JVM; distinct sf dirs must never collide on a 32-bit
+      // String.hashCode) and reused across calls in one JVM — the log is an
+      // external database in real life; re-creating it per bench pass would
+      // time fixture setup, not the source
+      val stageKey = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_mb_$stageKey"
       val url = s"jdbc:derby:$base/logdb;create=true"
+      // content verification, not just row count: a partial stage from a
+      // killed JVM must fail BOTH the count and the max-seq probe to be
+      // (wrongly) reused
       val staged = try {
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           val st = conn.createStatement()
           try {
-            val rs = st.executeQuery("SELECT COUNT(*) FROM GRAFT_CHANGELOG")
+            val rs = st.executeQuery("SELECT COUNT(*), MAX(SEQ) FROM GRAFT_CHANGELOG")
             rs.next()
             val n = rs.getLong(1)
+            val maxSeq = rs.getLong(2)
             rs.close()
-            n == rows.length
+            n == rows.length && (rows.isEmpty || maxSeq == rows.last._1)
           } finally st.close()
         } finally conn.close()
       } catch { case _: java.sql.SQLException => false }

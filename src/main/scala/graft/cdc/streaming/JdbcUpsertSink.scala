@@ -32,6 +32,7 @@ object JdbcUpsertSink {
 
   /** Target-state DDL: pk-keyed materialized rows. */
   def createTables(url: String, table: String): Unit = {
+    graft.cdc.source.CdcSource.validIdentifier(table)
     val conn = DriverManager.getConnection(url)
     try {
       def tableExists(name: String): Boolean = {
@@ -114,7 +115,8 @@ object JdbcUpsertSink {
     * rows landing and the ledger mark, the exact window a task-manager kill
     * exposes.
     */
-  private[streaming] def applyRows(batch: DataFrame, url: String, table: String): Unit =
+  private[streaming] def applyRows(batch: DataFrame, url: String, table: String): Unit = {
+    graft.cdc.source.CdcSource.validIdentifier(table)
     batch.select("offset", "pk", "op", "value").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val conn = DriverManager.getConnection(url)
@@ -126,6 +128,7 @@ object JdbcUpsertSink {
           conn.commit()
         } finally conn.close()
     }
+  }
 
   /** Write one micro-batch exactly-once. Idempotent: safe to call again with
     * the same batchId (ledger skip) or with overlapping redelivered rows
@@ -173,6 +176,7 @@ object JdbcUpsertSink {
     * to the JDBC scan.
     */
   def readState(spark: org.apache.spark.sql.SparkSession, url: String, table: String): DataFrame =
-    spark.read.jdbc(url, table, new java.util.Properties())
+    spark.read.jdbc(url, graft.cdc.source.CdcSource.validIdentifier(table),
+        new java.util.Properties())
       .where(org.apache.spark.sql.functions.col("LAST_OP") =!= "d")
 }
