@@ -12,6 +12,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     cdc.model.ModelQueries,
+    cdc.model.RowImageQueries,
     cdc.split.ChunkQueries,
     cdc.merge.MergeQueries,
     cdc.types.TypeQueries,

@@ -58,17 +58,50 @@ object ChangelogOps {
   def dropHeartbeats: Column =
     !(col("op") === OpRead && col("val") < 50)
 
-  /** P8 — metadata projection: database/table/schema name + op_ts (0 for
-    * snapshot rows, T3).
+  /** Per-dialect metadata configuration — which virtual columns a source
+    * dialect exposes, and the config values they carry. The reference ships
+    * one ReadableMetadata enum per connector (MySqlReadableMetadata.java:
+    * 31-106: database_name/table_name/op_ts; PostgreSQL adds schema_name;
+    * OceanBaseReadableMetadata adds tenant_name; MongoDBReadableMetadata
+    * exposes collection_name); here one projection is driven by the dialect
+    * config instead of per-connector classes.
+    */
+  case class DialectMeta(
+      databaseName: String,
+      schemaName: Option[String] = None,
+      tenantName: Option[String] = None,
+      collections: Boolean = false)
+
+  object DialectMeta {
+    val mysql: DialectMeta = DialectMeta("inventory")
+    val postgres: DialectMeta = DialectMeta("inventory", schemaName = Some("public"))
+    val oceanbase: DialectMeta = DialectMeta("inventory", tenantName = Some("sys"))
+    val mongodb: DialectMeta = DialectMeta("inventory", collections = true)
+  }
+
+  /** P8 — metadata projection: database/table identity per the dialect
+    * config + op_ts (0 for snapshot rows, T3). The captured shard name
+    * plays table_name (and collection_name under a document-store dialect,
+    * where the captured namespace is database.collection).
+    */
+  def withMetadata(changelog: DataFrame, d: DialectMeta): DataFrame = {
+    val base = Seq(
+      col("offset"), col("pk"), col("op"),
+      lit(d.databaseName).as("database_name"),
+      tableNameCol.as("table_name"))
+    val dialect =
+      d.schemaName.map(s => lit(s).as("schema_name")).toSeq ++
+        d.tenantName.map(t => lit(t).as("tenant_name")).toSeq ++
+        (if (d.collections) Seq(tableNameCol.as("collection_name")) else Nil)
+    val opTs = when(col("op") === OpRead, lit(0L)).otherwise(col("ts_ms")).as("op_ts")
+    changelog.select(base ++ dialect :+ opTs: _*)
+  }
+
+  /** Back-compat face: the Postgres-shaped projection the earlier rounds
+    * exposed (schema_name from config, not hardwired).
     */
   def withMetadata(changelog: DataFrame): DataFrame =
-    changelog.select(
-      col("offset"), col("pk"), col("op"),
-      lit("inventory").as("database_name"),
-      tableNameCol.as("table_name"),
-      lit("public").as("schema_name"),
-      when(col("op") === OpRead, lit(0L)).otherwise(col("ts_ms")).as("op_ts")
-    )
+    withMetadata(changelog, DialectMeta.postgres)
 
   /** P9 — row-value validator hook (reference: RowDataDebeziumDeserialize
     * Schema.ValueValidator / PostgresValueValidator): the returned frame

@@ -37,8 +37,15 @@ object MergeQueries extends QueryPack {
       changelog(s, dir).where(ChangelogOps.dropHeartbeats)
         .select(col("offset"), col("pk"), col("op"), col("ts_ms"), col("val"))),
 
+    // P8 — every dialect's metadata surface in one projection (the union of
+    // the per-connector ReadableMetadata enums): schema_name (Postgres),
+    // tenant_name (OceanBase), collection_name (MongoDB) next to the common
+    // database/table/op_ts
     "metadata_columns" -> ((s, dir) =>
-      ChangelogOps.withMetadata(changelog(s, dir))),
+      ChangelogOps.withMetadata(changelog(s, dir),
+        ChangelogOps.DialectMeta("inventory",
+          schemaName = Some("public"), tenantName = Some("sys"),
+          collections = true))),
 
     "snapshot_ts_zeroing" -> ((s, dir) =>
       snapshot(s, dir).unionByName(changelog(s, dir))
@@ -108,6 +115,17 @@ object MergeQueries extends QueryPack {
       BinlogOffsets.withFilePos(changelog(s, dir))
         .where(BinlogOffsets.filePosGreater(col("file"), col("pos"), "mysql-bin.000002", 500L))
         .select(col("offset"), col("pk"), col("file"), col("pos"))),
+
+    // F18/§3.1 — GTID-set startup through the FULL facade path: the
+    // codegen'd GtidContains containment filter drops every event whose
+    // cumulative GTID set is already covered (set has a gap past 3000, so
+    // coverage stops there; reference MySqlTableSourceFactory.java:196-268,
+    // BinlogOffset.java:185-202)
+    "startup_gtid_set" -> ((s, dir) =>
+      graft.cdc.source.CdcSource.read(s)
+        .option("scan.startup.mode", "specific-offset")
+        .option("scan.startup.specific-offset.gtid-set", "s1:1-3000,s1:3501-4000")
+        .load(dir)),
 
     // F18 — the restart-skip-events tiebreak in an oracled query: events are
     // grouped four to a "transaction" (same (file,pos), skip = index within
@@ -224,6 +242,8 @@ object MergeQueries extends QueryPack {
          |       'inventory' AS database_name,
          |       'users_' || (pk % 3) AS table_name,
          |       'public' AS schema_name,
+         |       'sys' AS tenant_name,
+         |       'users_' || (pk % 3) AS collection_name,
          |       CASE WHEN op = 'r' THEN 0 ELSE ts_ms END AS op_ts
          |FROM changelog""".stripMargin,
 
@@ -328,6 +348,11 @@ object MergeQueries extends QueryPack {
          |SELECT "offset", pk, file, pos FROM o
          |WHERE file > 'mysql-bin.000002'
          |   OR (file = 'mysql-bin.000002' AND pos > 500)""".stripMargin,
+
+    "startup_gtid_set" ->
+      s"""$changelogSql
+         |SELECT "offset", pk, op, ts_ms, val, props FROM changelog
+         |WHERE "offset" + 1 > 3000""".stripMargin,
 
     "startup_skip_events" ->
       s"""$changelogSql,

@@ -87,7 +87,9 @@ object RowImage {
     case DateType      => c => unix_date(c)
     case TimestampType => c => unix_micros(c)
     case d: DecimalType =>
-      c => (c * lit(java.math.BigDecimal.valueOf(1L, -d.scale).toBigInteger))
+      // unscaled value: multiply out the scale (exact: 10^s is a scale-0
+      // decimal literal; the product is integral by construction)
+      c => (c * lit(java.math.BigDecimal.TEN.pow(d.scale)))
         .cast(DecimalType(d.precision, 0)).cast(StringType)
     case BinaryType => c => base64(c)
     case other      => c => c.cast(wireType(other))
@@ -147,10 +149,98 @@ object RowImage {
       .drop("_before_w", "_after_w")
     val key = struct(table.pkCols.map(c =>
       coalesce(col("after").getField(c), col("before").getField(c)).as(c)): _*)
+      .cast(table.keyType)
     withImages.withColumn("key", key)
       .select(col("offset"), col("op"), col("ts_ms"),
         col("key"), col("before"), col("after"))
   }
+
+  // --------------------------------------------------------------------
+  // Envelope-native operators. The decoded-IR forms below are correct but,
+  // when an operator is composed DIRECTLY over decodeEnvelope in one plan,
+  // Catalyst's projection collapse inlines the full decode into every
+  // grouping/filter expression that touches a decoded field — from_json
+  // re-evaluates per referenced field (measured ~25-50 parses/row at
+  // sf0.1). These forms keep the wire string opaque through shuffle and
+  // parse at most: the PK fields pre-shuffle (O(pk), not O(row)), and the
+  // full image only for rows that SURVIVE the operator — which is also the
+  // topology you want at 100 TB (decode after merge, not before).
+  // --------------------------------------------------------------------
+
+  /** The record key parsed straight off the wire frames at pk-only cost:
+    * from_json with just the key fields' wire schema (unknown JSON fields
+    * are skipped), after-image first, before for deletes.
+    */
+  def keyColumn(table: DeclaredTable, overrides: ConverterOverrides = NoOverrides): Column = {
+    val kws = wireSchema(table.keyType)
+    val pa = from_json(col("after"), kws)
+    val pb = from_json(col("before"), kws)
+    // the outer cast names the struct fields authoritatively — per-field
+    // aliases on non-trivial expressions can be normalized away (col1/col2)
+    // by the Column-node conversion
+    struct(table.pkCols.map { c =>
+      val f = table.schema(c)
+      val conv = overrides.applyOrElse(f, (ff: StructField) => decodeField(ff))
+      conv(coalesce(pa.getField(c), pb.getField(c))).as(c)
+    }: _*).cast(table.keyType)
+  }
+
+  /** J1/W1 straight over wire envelopes: group by the pk-parsed key, carry
+    * the winning after-image as an OPAQUE JSON string through the one
+    * shuffle (map-side partial max_by), then decode only the survivors.
+    */
+  def upsertMaterializeEnvelope(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      overrides: ConverterOverrides = NoOverrides): DataFrame = {
+    val merged = envelope
+      .groupBy(keyColumn(table, overrides).as("key"))
+      .agg(max_by(struct(col("offset"), col("op"), col("after")), col("offset")).as("last"))
+      .where(col("last.op") =!= Changelog.OpDelete)
+    val parsed = from_json(col("last.after"), wireSchema(table.schema))
+    val pkOut = table.pkCols.map(c => col("key").getField(c).as(c))
+    val valOut = table.valueCols.map { c =>
+      val f = table.schema(c)
+      val conv = overrides.applyOrElse(f, (ff: StructField) => decodeField(ff))
+      conv(parsed.getField(c)).as(c)
+    }
+    merged.select(pkOut ++ (col("last.offset").as("last_offset") +: valOut): _*)
+  }
+
+  /** P2 straight over wire envelopes: route the RAW image strings through
+    * the kind expansion and explode, then decode once per EMITTED row.
+    */
+  def extractRowsEnvelope(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      overrides: ConverterOverrides = NoOverrides): DataFrame = {
+    val kinds = when(col("op").isin(Changelog.OpInsert, Changelog.OpRead),
+        array(struct(lit("+I").as("row_kind"), col("after").as("img_json"))))
+      .when(col("op") === Changelog.OpUpdate,
+        array(
+          struct(lit("-U").as("row_kind"), col("before").as("img_json")),
+          struct(lit("+U").as("row_kind"), col("after").as("img_json"))))
+      .otherwise(
+        array(struct(lit("-D").as("row_kind"), col("before").as("img_json"))))
+    val exploded = envelope
+      .select(col("offset"), keyColumn(table, overrides).as("key"), explode(kinds).as("k"))
+    val img = decodeImage(
+      from_json(col("k.img_json"), wireSchema(table.schema)),
+      col("k.img_json"), table, overrides)
+    exploded.select(col("offset"), col("key"),
+      col("k.row_kind").as("row_kind"), img.as("img"))
+  }
+
+  /** J2 straight over wire envelopes: the split ranges compare against the
+    * pk-parsed key; image strings pass through untouched (decode nothing —
+    * the filter never looks at value fields).
+    */
+  def emitFilterEnvelope(
+      envelope: DataFrame,
+      splits: DataFrame,
+      table: DeclaredTable,
+      overrides: ConverterOverrides = NoOverrides): DataFrame =
+    emitFilter(envelope.withColumn("key", keyColumn(table, overrides)), splits)
 
   /** J1/W1 on the generic IR — last-writer-wins per COMPOSITE key, trailing
     * deletes dropped, exactly [[Changelog.upsertMaterialize]]'s single hash
@@ -168,6 +258,28 @@ object RowImage {
     merged.select(pkOut ++ (col("last.offset").as("last_offset") +: valOut): _*)
   }
 
+  /** P1/P2 on the generic IR — row-kind expansion with envelope-carried
+    * before images: c/r -> +I(after), u -> -U(before)+U(after),
+    * d -> -D(before). The scalar path (ChangelogOps.extractRows) had to
+    * reconstruct before-images with a lag() window because its fixture has
+    * none; here the envelope carries them (the reference's Envelope.before,
+    * RowDataDebeziumDeserializeSchema.java:118-158), so the expansion is a
+    * pure narrow projection + explode — NO shuffle at any scale.
+    */
+  def extractRows(rows: DataFrame): DataFrame = {
+    val kinds = when(col("op").isin(Changelog.OpInsert, Changelog.OpRead),
+        array(struct(lit("+I").as("row_kind"), col("after").as("img"))))
+      .when(col("op") === Changelog.OpUpdate,
+        array(
+          struct(lit("-U").as("row_kind"), col("before").as("img")),
+          struct(lit("+U").as("row_kind"), col("after").as("img"))))
+      .otherwise(
+        array(struct(lit("-D").as("row_kind"), col("before").as("img"))))
+    rows.select(col("offset"), col("key"), explode(kinds).as("k"))
+      .select(col("offset"), col("key"),
+        col("k.row_kind").as("row_kind"), col("k.img").as("img"))
+  }
+
   /** J2 on the generic IR — per-split emit filter with COMPOSITE split
     * ranges. `splits` carries (lo: struct|null, hi: struct|null, hwm: long)
     * with lo/hi typed as [[DeclaredTable.keyType]]; struct comparison in
@@ -182,5 +294,166 @@ object RowImage {
         col("offset") > splits("hwm")
     rows.where(col("op") =!= Changelog.OpRead)
       .join(broadcast(splits), cond, "left_semi")
+  }
+
+  // --------------------------------------------------------------------
+  // S9 on the generic IR — composite-key offset-guarded JDBC upserts.
+  // Same two-guard recipe as JdbcUpsertSink (offset guard per key; the
+  // epoch ledger is sink-id plumbing, orthogonal to the row schema), but
+  // the DDL, predicates and parameter binding are DERIVED from the
+  // declared schema instead of hard-wiring (pk BIGINT, val DOUBLE).
+  // --------------------------------------------------------------------
+
+  /** Declared Spark type -> portable SQL column type (Derby-compatible). */
+  def sqlType(dt: DataType): String = dt match {
+    case LongType       => "BIGINT"
+    case IntegerType    => "INTEGER"
+    case ShortType      => "SMALLINT"
+    case DoubleType     => "DOUBLE"
+    case FloatType      => "REAL"
+    case BooleanType    => "BOOLEAN"
+    case StringType     => "VARCHAR(1024)"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case DateType       => "DATE"
+    case TimestampType  => "TIMESTAMP"
+    case BinaryType     => "BLOB"
+    case other => throw new IllegalArgumentException(s"no SQL mapping for $other")
+  }
+
+  private def jdbcTypeCode(dt: DataType): Int = dt match {
+    case LongType       => java.sql.Types.BIGINT
+    case IntegerType    => java.sql.Types.INTEGER
+    case ShortType      => java.sql.Types.SMALLINT
+    case DoubleType     => java.sql.Types.DOUBLE
+    case FloatType      => java.sql.Types.REAL
+    case BooleanType    => java.sql.Types.BOOLEAN
+    case StringType     => java.sql.Types.VARCHAR
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case DateType       => java.sql.Types.DATE
+    case TimestampType  => java.sql.Types.TIMESTAMP
+    case BinaryType     => java.sql.Types.BLOB
+    case other => throw new IllegalArgumentException(s"no JDBC type for $other")
+  }
+
+  private def bind(ps: java.sql.PreparedStatement, i: Int, dt: DataType, v: Any): Unit =
+    if (v == null) ps.setNull(i, jdbcTypeCode(dt))
+    else dt match {
+      case BinaryType => ps.setBytes(i, v.asInstanceOf[Array[Byte]])
+      case _          => ps.setObject(i, v)
+    }
+
+  /** State-table DDL for a declared table: pk columns (NOT NULL, composite
+    * PRIMARY KEY) + offset watermark + tombstone op + value columns.
+    */
+  def createStateTable(url: String, table: DeclaredTable, sqlName: String): Unit = {
+    graft.cdc.source.CdcSource.validIdentifier(sqlName)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null, sqlName.toUpperCase, null)
+        try rs.next() finally rs.close()
+      }
+      if (!exists) {
+        val pkDefs = table.pkCols.map(c => s"$c ${sqlType(table.schema(c).dataType)} NOT NULL")
+        val valDefs = table.valueCols.map(c => s"$c ${sqlType(table.schema(c).dataType)}")
+        val ddl = s"CREATE TABLE $sqlName (" +
+          (pkDefs ++ Seq("LAST_OFFSET BIGINT", "LAST_OP VARCHAR(1)") ++ valDefs)
+            .mkString(", ") +
+          s", PRIMARY KEY (${table.pkCols.mkString(", ")}))"
+        val st = conn.createStatement()
+        try st.executeUpdate(ddl) finally st.close()
+      }
+    } finally conn.close()
+  }
+
+  /** Offset-guarded upsert of decoded generic-IR rows (executor-parallel,
+    * one connection per partition — JdbcUpsertSink's concurrency model).
+    * Deletes tombstone (LAST_OP='d') rather than physically delete, for the
+    * same replay-resurrection reason. Input: [[decodeEnvelope]] output.
+    */
+  def applyRows(rows: DataFrame, table: DeclaredTable, url: String, sqlName: String): Unit = {
+    graft.cdc.source.CdcSource.validIdentifier(sqlName)
+    val pkTypes = table.pkCols.map(c => table.schema(c).dataType)
+    val valTypes = table.valueCols.map(c => table.schema(c).dataType)
+    val pkCols = table.pkCols
+    val valCols = table.valueCols
+    val updateSql = s"UPDATE $sqlName SET LAST_OFFSET = ?, LAST_OP = ?" +
+      valCols.map(c => s", $c = ?").mkString +
+      s" WHERE ${pkCols.map(c => s"$c = ?").mkString(" AND ")} AND LAST_OFFSET < ?"
+    val probeSql = s"SELECT 1 FROM $sqlName WHERE ${pkCols.map(c => s"$c = ?").mkString(" AND ")}"
+    val insertSql = s"INSERT INTO $sqlName (" +
+      (pkCols ++ Seq("LAST_OFFSET", "LAST_OP") ++ valCols).mkString(", ") +
+      s") VALUES (${Seq.fill(pkCols.size + 2 + valCols.size)("?").mkString(", ")})"
+
+    // flatten: pk cols from key, value cols from after (null for deletes)
+    val flat = rows.select(
+      (col("offset") +: col("op") +:
+        pkCols.map(c => col("key").getField(c).as(c))) ++
+        valCols.map(c => col("after").getField(c).as(c)): _*)
+
+    flat.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        it.foreach { r =>
+          val offset = r.getLong(0)
+          val op = r.getString(1)
+          val pkVals = pkTypes.indices.map(i => r.get(2 + i))
+          val valVals = valTypes.indices.map(i => r.get(2 + pkTypes.size + i))
+
+          def tryUpdate(): Int = {
+            val upd = conn.prepareStatement(updateSql)
+            try {
+              upd.setLong(1, offset); upd.setString(2, op)
+              valTypes.indices.foreach(i => bind(upd, 3 + i, valTypes(i), valVals(i)))
+              val base = 3 + valTypes.size
+              pkTypes.indices.foreach(i => bind(upd, base + i, pkTypes(i), pkVals(i)))
+              upd.setLong(base + pkTypes.size, offset)
+              upd.executeUpdate()
+            } finally upd.close()
+          }
+
+          def applyOne(): Unit = if (tryUpdate() == 0) {
+            val probe = conn.prepareStatement(probeSql)
+            val present = try {
+              pkTypes.indices.foreach(i => bind(probe, 1 + i, pkTypes(i), pkVals(i)))
+              val rs = probe.executeQuery()
+              try rs.next() finally rs.close()
+            } finally probe.close()
+            if (!present) {
+              val ins = conn.prepareStatement(insertSql)
+              try {
+                pkTypes.indices.foreach(i => bind(ins, 1 + i, pkTypes(i), pkVals(i)))
+                ins.setLong(1 + pkTypes.size, offset)
+                ins.setString(2 + pkTypes.size, op)
+                valTypes.indices.foreach(i =>
+                  bind(ins, 3 + pkTypes.size + i, valTypes(i), valVals(i)))
+                ins.executeUpdate()
+              } catch {
+                // concurrent first writer for this key: retry as update
+                case _: java.sql.SQLIntegrityConstraintViolationException => applyOne()
+              } finally ins.close()
+            }
+          }
+          applyOne()
+        }
+        conn.commit()
+      } finally conn.close()
+    }
+  }
+
+  /** Read the materialized generic state back, tombstones filtered; column
+    * case follows the declared schema (the database may uppercase).
+    */
+  def readState(
+      spark: org.apache.spark.sql.SparkSession,
+      table: DeclaredTable,
+      url: String,
+      sqlName: String): DataFrame = {
+    val raw = spark.read.jdbc(url,
+      graft.cdc.source.CdcSource.validIdentifier(sqlName), new java.util.Properties())
+    val renamed = raw.columns.foldLeft(raw)((df, c) => df.withColumnRenamed(c, c.toLowerCase))
+    renamed.where(col("last_op") =!= Changelog.OpDelete)
+      .select((table.pkCols.map(col) :+ col("last_offset")) ++ table.valueCols.map(col): _*)
   }
 }

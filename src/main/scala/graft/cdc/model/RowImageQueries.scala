@@ -1,0 +1,248 @@
+package graft.cdc.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.QueryPack
+import RowImage._
+
+/** P1 (full generality) through the correctness gate: the generic
+  * schema-driven envelope path exercised on a SECOND table shape —
+  * `lineitem` declared with a COMPOSITE primary key (l_partkey, l_suppkey)
+  * and six value columns spanning the whole wire-converter ladder
+  * (DECIMAL via unscaled-string, DATE via epoch days, TIMESTAMP via epoch
+  * micros, nullable STRING, BINARY via base64).
+  *
+  * The fixture synthesizes a changelog from `lineitem` deterministically
+  * (both sides of the oracle derive it with the same arithmetic):
+  *
+  *   - offset = ((l_orderkey*10 + l_linenumber)*1e6 + l_partkey)*1e5
+  *              + l_suppkey                       (unique, monotone)
+  *   - op     = R -> 'd', A -> 'u', else 'c'     (from l_returnflag)
+  *   - ts_ms  = epoch millis of l_shipdate
+  *   - after image  = the row's declared-typed values (absent for deletes),
+  *     with l_returnflag nulled for inserts so the null-field wire path runs
+  *   - before image = the row's values with l_quantity+5 and flag 'P'
+  *     (updates/deletes carry envelope before-images, Envelope.before)
+  *
+  * Every query here runs encode -> JSON wire -> [[RowImage.decodeEnvelope]]
+  * -> operator, so a hash match against DuckDB (which computes the result
+  * directly from `lineitem`) proves the whole generic path is lossless.
+  * Final projections cast DECIMAL to VARCHAR and BINARY to hex because the
+  * driver's compare cannot hash decimal/binary columns natively; the same
+  * casts appear in the oracle SQL.
+  */
+object RowImageQueries extends QueryPack {
+
+  /** The declared second table shape (reference: the RowType a user declares
+    * in the CREATE TABLE that RowDataDebeziumDeserializeSchema projects,
+    * :589-630).
+    */
+  val lineitemTable: DeclaredTable = DeclaredTable(
+    "lineitem",
+    StructType(Seq(
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_quantity", DecimalType(12, 2)),
+      StructField("l_extendedprice", DecimalType(14, 2)),
+      StructField("l_shipdate", DateType),
+      StructField("l_shipts", TimestampType),
+      StructField("l_returnflag", StringType),
+      StructField("l_flagbin", BinaryType)
+    )),
+    pkCols = Seq("l_partkey", "l_suppkey"))
+
+  private def image(qtyShift: Int, flag: Column): Column = struct(
+    col("l_partkey"),
+    col("l_suppkey"),
+    (col("l_quantity") + lit(qtyShift)).cast(DecimalType(12, 2)).as("l_quantity"),
+    col("l_extendedprice").cast(DecimalType(14, 2)).as("l_extendedprice"),
+    to_date(col("l_shipdate")).as("l_shipdate"),
+    col("l_shipdate").as("l_shipts"),
+    flag.as("l_returnflag"),
+    col("l_linestatus").cast(BinaryType).as("l_flagbin")
+  )
+
+  /** lineitem -> wire envelope frames (offset, op, ts_ms, before, after)
+    * with JSON-string images — the raw shape a Debezium topic delivers.
+    * Narrow projection; no shuffle.
+    */
+  def envelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val after = image(0, when(col("l_returnflag") === "N", lit(null).cast(StringType))
+      .otherwise(col("l_returnflag")))
+    val before = image(5, lit("P"))
+    Changelog.table(spark, sfDir, "lineitem")
+      // parquet timestamp[ms] surfaces as TIMESTAMP_NTZ in Spark 4; pin it
+      // to an instant (session tz is UTC everywhere) so the epoch-micros
+      // wire converter applies — DuckDB's naive TIMESTAMP epoch_ms agrees
+      .withColumn("l_shipdate", col("l_shipdate").cast(TimestampType))
+      .withColumn("op",
+        when(col("l_returnflag") === "R", Changelog.OpDelete)
+          .when(col("l_returnflag") === "A", Changelog.OpUpdate)
+          .otherwise(Changelog.OpInsert))
+      .select(
+        // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is the fixture's
+        // unique row identity (the driver's synthetic lineitem repeats
+        // (orderkey, linenumber) pairs); fold all four into one monotone
+        // int64 offset — max ~1.5e18 at sf1, no overflow
+        (((col("l_orderkey") * 10 + col("l_linenumber")) * lit(1000000L) +
+          col("l_partkey")) * lit(100000L) + col("l_suppkey")).as("offset"),
+        col("op"),
+        unix_millis(col("l_shipdate")).as("ts_ms"),
+        when(col("op").isin(Changelog.OpUpdate, Changelog.OpDelete),
+          encodeImage(before, lineitemTable)).as("before"),
+        when(col("op") =!= Changelog.OpDelete,
+          encodeImage(after, lineitemTable)).as("after")
+      )
+  }
+
+  /** Decoded generic IR rows for the fixture. */
+  def rows(spark: SparkSession, sfDir: String): DataFrame =
+    decodeEnvelope(envelope(spark, sfDir), lineitemTable)
+
+  /** Driver-compare-safe projection of one image's value columns. */
+  private def valueOut(img: Column): Seq[Column] = Seq(
+    img.getField("l_quantity").cast(StringType).as("l_quantity"),
+    img.getField("l_extendedprice").cast(StringType).as("l_extendedprice"),
+    img.getField("l_shipdate").as("l_shipdate"),
+    img.getField("l_shipts").as("l_shipts"),
+    img.getField("l_returnflag").as("l_returnflag"),
+    hex(img.getField("l_flagbin")).as("l_flagbin_hex")
+  )
+
+  /** The composite split table for the generic emit filter: three ranges
+    * over (l_partkey, l_suppkey) with distinct high watermarks.
+    */
+  private def splits(spark: SparkSession): DataFrame = {
+    val keyType = lineitemTable.keyType
+    def k(p: Long, sk: Long): Column =
+      struct(lit(p).as("l_partkey"), lit(sk).as("l_suppkey")).cast(keyType)
+    def row(lo: Column, hi: Column, hwm: Long): DataFrame =
+      spark.range(1).select(lo.as("lo"), hi.as("hi"), lit(hwm).as("hwm"))
+    val nul = lit(null).cast(keyType)
+    // hwm ~= orderkey-threshold * 1e12 on the folded offset layout
+    row(nul, k(500, 50), 1000000000000000L)
+      .unionByName(row(k(500, 50), k(1500, 25), 1200000000000000L))
+      .unionByName(row(k(1500, 25), nul, 400000000000000L))
+  }
+
+  /** Shared oracle prelude: the deterministic changelog derivation. */
+  private val clSql =
+    """WITH cl AS (
+      |  SELECT ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey)
+      |           * 100000 + l_suppkey AS o,
+      |         CASE l_returnflag WHEN 'R' THEN 'd' WHEN 'A' THEN 'u'
+      |              ELSE 'c' END AS op,
+      |         l_partkey, l_suppkey, l_quantity, l_extendedprice,
+      |         l_shipdate, l_returnflag, l_linestatus
+      |  FROM lineitem)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 full — wire decode of arbitrary multi-column images: every declared
+    // field survives encode -> JSON -> per-field converter -> typed column
+    "rowimage_decode" -> ((s, dir) => {
+      val r = rows(s, dir)
+      val img = when(col("op") === Changelog.OpDelete, col("before"))
+        .otherwise(col("after"))
+      r.select(
+        (col("offset") +: col("op") +: col("ts_ms") +:
+          col("key.l_partkey").as("l_partkey") +:
+          col("key.l_suppkey").as("l_suppkey") +:
+          valueOut(img)): _*)
+    }),
+
+    // P2 generic — row-kind expansion with envelope before-images
+    // (envelope-native: images decode once per emitted row, after explode)
+    "rowimage_extract_rows" -> ((s, dir) =>
+      extractRowsEnvelope(envelope(s, dir), lineitemTable).select(
+        col("offset"), col("row_kind"),
+        col("key.l_partkey").as("l_partkey"),
+        col("key.l_suppkey").as("l_suppkey"),
+        col("img.l_quantity").cast(StringType).as("l_quantity"),
+        col("img.l_returnflag").as("l_returnflag"))),
+
+    // J1/W1 generic — last-writer-wins per COMPOSITE key (envelope-native:
+    // pk-only parse pre-shuffle, winners decoded post-merge)
+    "rowimage_upsert_materialize" -> ((s, dir) => {
+      val m = upsertMaterializeEnvelope(envelope(s, dir), lineitemTable)
+      m.select(
+        col("l_partkey"), col("l_suppkey"), col("last_offset"),
+        col("l_quantity").cast(StringType).as("l_quantity"),
+        col("l_extendedprice").cast(StringType).as("l_extendedprice"),
+        col("l_shipdate"), col("l_shipts"), col("l_returnflag"),
+        hex(col("l_flagbin")).as("l_flagbin_hex"))
+    }),
+
+    // J2 generic — per-split emit filter over composite key ranges
+    // (envelope-native: only the pk fields are ever parsed)
+    "rowimage_emit_filter" -> ((s, dir) =>
+      emitFilterEnvelope(envelope(s, dir), splits(s), lineitemTable).select(
+        col("offset"), col("op"),
+        col("key.l_partkey").as("l_partkey"),
+        col("key.l_suppkey").as("l_suppkey")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "rowimage_decode" ->
+      s"""$clSql
+         |SELECT o AS "offset", op,
+         |       epoch_ms(l_shipdate) AS ts_ms,
+         |       l_partkey, l_suppkey,
+         |       CAST(CAST(l_quantity +
+         |              CASE WHEN op = 'd' THEN 5 ELSE 0 END
+         |            AS DECIMAL(12,2)) AS VARCHAR) AS l_quantity,
+         |       CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR)
+         |         AS l_extendedprice,
+         |       CAST(l_shipdate AS DATE) AS l_shipdate,
+         |       l_shipdate AS l_shipts,
+         |       CASE op WHEN 'd' THEN 'P' WHEN 'u' THEN l_returnflag
+         |            ELSE NULL END AS l_returnflag,
+         |       hex(encode(l_linestatus)) AS l_flagbin_hex
+         |FROM cl""".stripMargin,
+
+    "rowimage_extract_rows" ->
+      s"""$clSql
+         |SELECT o AS "offset", '+I' AS row_kind, l_partkey, l_suppkey,
+         |       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS l_quantity,
+         |       CAST(NULL AS VARCHAR) AS l_returnflag
+         |FROM cl WHERE op = 'c'
+         |UNION ALL
+         |SELECT o, '-U', l_partkey, l_suppkey,
+         |       CAST(CAST(l_quantity + 5 AS DECIMAL(12,2)) AS VARCHAR), 'P'
+         |FROM cl WHERE op = 'u'
+         |UNION ALL
+         |SELECT o, '+U', l_partkey, l_suppkey,
+         |       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR), l_returnflag
+         |FROM cl WHERE op = 'u'
+         |UNION ALL
+         |SELECT o, '-D', l_partkey, l_suppkey,
+         |       CAST(CAST(l_quantity + 5 AS DECIMAL(12,2)) AS VARCHAR), 'P'
+         |FROM cl WHERE op = 'd'""".stripMargin,
+
+    "rowimage_upsert_materialize" ->
+      s"""$clSql
+         |SELECT l_partkey, l_suppkey, max(o) AS last_offset,
+         |       CAST(CAST(arg_max(l_quantity, o) AS DECIMAL(12,2)) AS VARCHAR)
+         |         AS l_quantity,
+         |       CAST(CAST(arg_max(l_extendedprice, o) AS DECIMAL(14,2)) AS VARCHAR)
+         |         AS l_extendedprice,
+         |       CAST(arg_max(l_shipdate, o) AS DATE) AS l_shipdate,
+         |       arg_max(l_shipdate, o) AS l_shipts,
+         |       CASE WHEN arg_max(op, o) = 'u'
+         |            THEN arg_max(l_returnflag, o) END AS l_returnflag,
+         |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
+         |FROM cl GROUP BY l_partkey, l_suppkey
+         |HAVING arg_max(op, o) <> 'd'""".stripMargin,
+
+    "rowimage_emit_filter" ->
+      s"""$clSql
+         |SELECT o AS "offset", op, l_partkey, l_suppkey FROM cl
+         |WHERE ((l_partkey < 500 OR (l_partkey = 500 AND l_suppkey < 50))
+         |        AND o > 1000000000000000)
+         |   OR (NOT (l_partkey < 500 OR (l_partkey = 500 AND l_suppkey < 50))
+         |        AND (l_partkey < 1500 OR (l_partkey = 1500 AND l_suppkey < 25))
+         |        AND o > 1200000000000000)
+         |   OR (NOT (l_partkey < 1500 OR (l_partkey = 1500 AND l_suppkey < 25))
+         |        AND o > 400000000000000)""".stripMargin
+  )
+}

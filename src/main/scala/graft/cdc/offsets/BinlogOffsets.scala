@@ -94,7 +94,7 @@ object BinlogOffsets {
       */
     def parse(s: String): GtidSet = {
       if (s == null || s.trim.isEmpty) return GtidSet(Map.empty)
-      val m = s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { part =>
+      val parts = s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { part =>
         val pieces = part.split(":")
         val uuid = pieces.head
         val ivs = pieces.tail.toVector.map { r =>
@@ -104,9 +104,11 @@ object BinlogOffsets {
             case _ => throw new IllegalArgumentException(s"bad GTID range: $r in $s")
           }
         }
-        uuid -> merge(ivs)
-      }.toMap
-      GtidSet(m)
+        uuid -> ivs
+      }.toVector
+      // a uuid may appear in several comma segments ("s1:1-5,s1:7-9" as well
+      // as the canonical "s1:1-5:7-9") — union the intervals, never shadow
+      GtidSet(parts.groupMapReduce(_._1)(_._2)(_ ++ _).view.mapValues(merge).toMap)
     }
 
     private def merge(ivs: Vector[(Long, Long)]): Vector[(Long, Long)] = {
@@ -118,6 +120,21 @@ object BinlogOffsets {
       }
     }
   }
+
+  /** GTID-set startup resolution for the synthetic layout (event at offset
+    * k carries txid k+1, cumulative set "s1:1-(k+1)"): the exclusive
+    * starting sequence is the end of the covered prefix of `serverUuid` —
+    * the largest N with [1, N] fully covered delivers events from offset N
+    * on (events 0..N-1 are contained in the set). No covered prefix (or an
+    * absent server) means nothing is skipped -> None (earliest), matching
+    * the per-row containment filter of the batch facade exactly.
+    * (Reference: MySqlTableSourceFactory.java:196-268 maps
+    * scan.startup.specific-offset.gtid-set to BinlogOffset.ofGtidSet;
+    * the reader then skips events already in the set.)
+    */
+  def gtidStartingSeq(gtidSet: String, serverUuid: String = "s1"): Option[Long] =
+    GtidSet.parse(gtidSet).intervals.getOrElse(serverUuid, Vector.empty)
+      .collectFirst { case (lo, hi) if lo <= 1L => hi - 1L }
 
   /** Offset kinds with the NON_STOPPING = +∞ sentinel
     * (BinlogOffset.java:173-183).

@@ -59,25 +59,41 @@ object CdcMicroBatch {
     StructField("pk", LongType, nullable = false),
     StructField("op", StringType, nullable = false),
     StructField("ts_ms", LongType, nullable = false),
-    StructField("value", DoubleType, nullable = false)
+    StructField("value", DoubleType, nullable = false),
+    StructField("table_name", StringType, nullable = false)
   ))
 
-  /** Fixed physical column layout of the change table. */
-  val columnsSql = "SEQ, PK, OP, TS_MS, VAL"
+  /** Fixed physical column layout of the change table. The single log
+    * carries ALL captured tables' events tagged by table name — the
+    * reference's one-binlog-many-tables model (BinlogSplitReader tails one
+    * binlog; the capture list filters in the reader, :104-105).
+    */
+  val columnsSql = "SEQ, PK, OP, TS_MS, VAL, TBL"
 
   /** DDL for a change table an external writer appends to (tests + docs). */
   def createTableSql(table: String): String =
     s"CREATE TABLE $table (SEQ BIGINT PRIMARY KEY, PK BIGINT, OP VARCHAR(1), " +
-      "TS_MS BIGINT, VAL DOUBLE)"
+      "TS_MS BIGINT, VAL DOUBLE, TBL VARCHAR(128))"
 
-  /** Append rows (seq, pk, op, ts_ms, val) to a change table, creating it if
-    * absent — the stand-in for the external database writer whose log the
-    * stream tails (fixture plumbing, not a data path).
+  /** Append rows (seq, pk, op, ts_ms, val) to a change table, creating it
+    * if absent — the stand-in for the external database writer whose log
+    * the stream tails (fixture plumbing, not a data path). The table tag
+    * follows the synthetic shard routing (users_{pk % 3},
+    * [[graft.cdc.merge.ChangelogOps.tableNameCol]]) so batch and stream
+    * agree on every event's table identity.
     */
   def appendChangeTable(
       url: String,
       table: String,
-      rows: Iterator[(Long, Long, String, Long, Double)]): Unit = {
+      rows: Iterator[(Long, Long, String, Long, Double)]): Unit =
+    appendChangeTableTagged(url, table,
+      rows.map { case (seq, pk, op, ts, v) => (seq, pk, op, ts, v, s"users_${pk % 3}") })
+
+  /** Append rows with an explicit table tag per event. */
+  def appendChangeTableTagged(
+      url: String,
+      table: String,
+      rows: Iterator[(Long, Long, String, Long, Double, String)]): Unit = {
     CdcSource.validIdentifier(table)
     val conn = DriverManager.getConnection(url)
     try {
@@ -87,12 +103,12 @@ object CdcMicroBatch {
         val st = conn.createStatement()
         try st.executeUpdate(createTableSql(table)) finally st.close()
       }
-      val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+      val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?)")
       try {
         var n = 0
-        rows.foreach { case (seq, pk, op, ts, v) =>
+        rows.foreach { case (seq, pk, op, ts, v, tbl) =>
           ins.setLong(1, seq); ins.setLong(2, pk); ins.setString(3, op)
-          ins.setLong(4, ts); ins.setDouble(5, v)
+          ins.setLong(4, ts); ins.setDouble(5, v); ins.setString(6, tbl)
           ins.addBatch()
           n += 1
           if (n % 1000 == 0) ins.executeBatch()
@@ -130,6 +146,8 @@ object CdcStreamOffset {
   *   - `max-events-per-trigger` admission-control cap per micro-batch
   *   - `starting-seq` exclusive start position (specific-offset startup);
   *     default: everything in the log (earliest)
+  *   - `table-name` capture-list include regex applied in the readers —
+  *     the one log carries every captured table's events (TBL column)
   */
 class CdcStreamProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -184,6 +202,18 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private val fetchSize = options.getLong("scan.snapshot.fetch.size", 1024L).toInt
   private val maxPerTrigger: Option[Long] =
     Option(options.get("max-events-per-trigger")).map(_.toLong)
+  /** Capture-list include filter, applied IN the readers (the reference
+    * filters the one-binlog-many-tables stream client-side,
+    * BinlogSplitReader.java:104-105) — rlike semantics, matching the batch
+    * facade's table-name option.
+    */
+  private val tableRegex: Option[String] = Option(options.get("table-name")).map { re =>
+    try { java.util.regex.Pattern.compile(re); re }
+    catch {
+      case e: Exception => throw new CdcSource.ValidationException(
+        s"The table-name '$re' is not a valid regular expression", e)
+    }
+  }
   private val startingSeq = options.getLong("starting-seq", Long.MinValue)
   require(chunkSize > 0, s"chunk.size must be positive, got $chunkSize")
 
@@ -275,7 +305,7 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(url, table, fetchSize)
+    new CdcReaderFactory(url, table, fetchSize, tableRegex)
 
   /** Log retention is the external writer's concern (like binlog purge);
     * nothing to release on commit.
@@ -291,17 +321,22 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
 /** One planned split: change-log rows with lo < SEQ <= hi. */
 case class CdcChunk(lo: Long, hi: Long) extends InputPartition
 
-class CdcReaderFactory(url: String, table: String, fetchSize: Int)
+class CdcReaderFactory(url: String, table: String, fetchSize: Int, tableRegex: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdcPartitionReader(url, table, fetchSize, partition.asInstanceOf[CdcChunk])
+    new CdcPartitionReader(url, table, fetchSize, tableRegex, partition.asInstanceOf[CdcChunk])
 }
 
 /** Executor-side split reader: one pushed-down range scan per split on its
   * own connection, served off the SEQ primary-key index — the per-split
-  * `SELECT` the reference's readers run (StatementUtils.java:132-188).
+  * `SELECT` the reference's readers run (StatementUtils.java:132-188). The
+  * capture-list filter is applied HERE, row by row as the log is consumed
+  * (BinlogSplitReader.java:104-105) — offsets still advance over skipped
+  * rows, so an include-filtered stream checkpoints exactly like a full one.
   */
-class CdcPartitionReader(url: String, table: String, fetchSize: Int, chunk: CdcChunk)
+class CdcPartitionReader(
+    url: String, table: String, fetchSize: Int,
+    tableRegex: Option[String], chunk: CdcChunk)
     extends PartitionReader[InternalRow] {
 
   // opened on first next(), not lazily from close(): a reader cancelled (or
@@ -310,6 +345,8 @@ class CdcPartitionReader(url: String, table: String, fetchSize: Int, chunk: CdcC
   private var conn: java.sql.Connection = _
   private var stmt: java.sql.PreparedStatement = _
   private var rs: java.sql.ResultSet = _
+  // rlike semantics (find, not full match) — same as the batch facade
+  private val pattern = tableRegex.map(java.util.regex.Pattern.compile)
 
   private def open(): Unit = {
     conn = DriverManager.getConnection(url)
@@ -325,7 +362,10 @@ class CdcPartitionReader(url: String, table: String, fetchSize: Int, chunk: CdcC
 
   override def next(): Boolean = {
     if (rs == null) open()
-    rs.next()
+    var has = rs.next()
+    while (has && !pattern.forall(_.matcher(rs.getString(6)).find()))
+      has = rs.next()
+    has
   }
 
   override def get(): InternalRow =
@@ -334,7 +374,8 @@ class CdcPartitionReader(url: String, table: String, fetchSize: Int, chunk: CdcC
       rs.getLong(2),
       UTF8String.fromString(rs.getString(3)),
       rs.getLong(4),
-      rs.getDouble(5))
+      rs.getDouble(5),
+      UTF8String.fromString(rs.getString(6)))
 
   override def close(): Unit = {
     try { if (rs != null) rs.close() } finally {

@@ -224,9 +224,16 @@ object CdcSource {
               numeric("scan.startup.timestamp-millis", ts, _.toLong))
             .orElse(probe(s"SELECT MAX(SEQ) FROM $dbtable"))
         case StartupMode.SpecificOffset =>
-          (opts.get("scan.startup.specific-offset.file"),
+          (opts.get("scan.startup.specific-offset.gtid-set"),
+            opts.get("scan.startup.specific-offset.file"),
             opts.get("scan.startup.specific-offset.pos")) match {
-            case (Some(f), Some(p)) =>
+            case (Some(g), _, _) =>
+              // GTID-set start wins over file/pos (the reference's priority,
+              // MySqlTableSourceFactory.java:196-268): resolve the covered
+              // prefix to the exclusive starting sequence; a set covering
+              // nothing starts from earliest
+              BinlogOffsets.gtidStartingSeq(g)
+            case (None, Some(f), Some(p)) =>
               // invert the synthetic binlog layout (BinlogOffsets.withFilePos):
               // seq = fileNum * EventsPerFile + (pos - 4) / 4
               val fileNum = f.stripPrefix("mysql-bin.").toLong
@@ -236,6 +243,7 @@ object CdcSource {
               Some(opts.getOrElse("starting-seq",
                 throw new ValidationException(
                   "specific-offset startup over the micro-batch stream needs " +
+                    "scan.startup.specific-offset.gtid-set, " +
                     "scan.startup.specific-offset.file/pos or starting-seq")).toLong)
           }
         case StartupMode.Initial =>
@@ -311,20 +319,23 @@ object CdcSource {
                 "scan.startup.specific-offset.gtid-set, or " +
                 "scan.startup.specific-offset.file and " +
                 "scan.startup.specific-offset.pos are required.")
-          val withFp = BinlogOffsets.withFilePos(cl)
-          (file, pos) match {
-            case (Some(f), Some(p)) =>
-              withFp.where(BinlogOffsets.filePosGreater(col("file"), col("pos"), f,
-                  numeric("scan.startup.specific-offset.pos", p, _.toLong)))
-                .drop("file", "pos")
-            case _ =>
-              // GTID-set start: events whose per-row singleton GTID set is
-              // NOT already contained in the given set (native codegen
-              // expression — keeps the startup filter in whole-stage codegen)
+          gtid match {
+            case Some(g) =>
+              // GTID-set start wins over file/pos (reference priority,
+              // MySqlTableSourceFactory.java:196-268): keep events whose
+              // cumulative GTID set is NOT already contained in the given
+              // set (native codegen expression — the startup filter stays
+              // in whole-stage codegen)
               graft.cdc.types.GraftFunctions.register(spark)
               cl.withColumn("g", concat(lit("s1:1-"), (col("offset") + 1).cast("string")))
-                .where(!call_function("graft_gtid_contains", col("g"), lit(gtid.get)))
+                .where(!call_function("graft_gtid_contains", col("g"), lit(g)))
                 .drop("g")
+            case None =>
+              val f = file.get
+              val p = numeric("scan.startup.specific-offset.pos", pos.get, _.toLong)
+              BinlogOffsets.withFilePos(cl)
+                .where(BinlogOffsets.filePosGreater(col("file"), col("pos"), f, p))
+                .drop("file", "pos")
           }
         case other =>
           throw new ValidationException(

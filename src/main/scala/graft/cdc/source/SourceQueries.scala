@@ -61,7 +61,9 @@ object SourceQueries extends QueryPack {
       // time fixture setup, not the source
       val stageKey = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_mb_$stageKey"
+      // v2: the change-table layout grew a TBL column — a new staging root
+      // so a pre-existing 5-column stage from an older JVM is never reused
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_mb2_$stageKey"
       val url = s"jdbc:derby:$base/logdb;create=true"
       // content verification, not just row count: a partial stage from a
       // killed JVM must fail BOTH the count and the max-seq probe to be

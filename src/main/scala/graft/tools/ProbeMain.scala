@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc probe main used by the verify workflow (not part of the driver
   * contract).
@@ -9,25 +10,29 @@ object ProbeMain {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    import graft.cdc.streaming.StreamingOps._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-
-    val stream = MemoryStream[ChangeRecord]
-    val q = retractionStream(stream.toDS())
-      .writeStream.format("memory").queryName("probe_retract")
-      .outputMode("append").start()
-    // batch 1: insert then delete key 7 — tombstone must persist in state
-    stream.addData(ChangeRecord(1, 7, "c", 0, 1.0), ChangeRecord(2, 7, "d", 0, 0.0))
-    q.processAllAvailable()
-    // batch 2: re-insert after the tombstone + a stale lower-offset record
-    stream.addData(ChangeRecord(5, 7, "u", 0, 9.0), ChangeRecord(3, 7, "u", 0, 3.0))
-    q.processAllAvailable(); q.stop()
-    s.table("probe_retract").orderBy("offset", "row_kind").collect()
-      .foreach(r => println("ROW " + r.mkString(",")))
+    import graft.cdc.model.Changelog
+    import graft.cdc.source.{CdcMicroBatch, CdcSource}
+    println("GTIDSEQ " + graft.cdc.offsets.BinlogOffsets.gtidStartingSeq("s1:1-500,s1:601-700"))
+    val dir = java.nio.file.Files.createTempDirectory("derby_probe").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    val rows = Changelog.changelog(s, "/root/testdata/sf0.001")
+      .select("offset", "pk", "op", "ts_ms", "val").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG", rows.iterator)
+    val q = CdcSource.read(s)
+      .option("scan.startup.mode", "specific-offset")
+      .option("scan.startup.specific-offset.gtid-set", "s1:1-500,s1:601-700")
+      .loadMicroBatch(url)
+      .writeStream.format("memory").queryName("p_gtid").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = s.table("p_gtid").select("offset").collect().map(_.getLong(0))
+    println("GOT n=" + got.length + " min=" + got.min + " max=" + got.max)
     s.stop()
   }
 }

@@ -131,6 +131,30 @@ class CdcMicroBatchSpec extends SparkTestBase {
     assert(gotLatest == Set(maxSeq + 1, maxSeq + 2))
   }
 
+  test("startup algebra: gtid-set resolves the covered prefix to the stream start") {
+    val (url, rows) = freshLog()
+    // covered prefix 1..500 (the gap past 500 does not extend it): events
+    // 0..499 are already in the set, the stream starts at offset 500 — the
+    // same cut the batch facade's per-row containment filter produces
+    val q = CdcSource.read(spark)
+      .option("scan.startup.mode", "specific-offset")
+      .option("scan.startup.specific-offset.gtid-set", "s1:1-500,s1:601-700")
+      .loadMicroBatch(url)
+      .writeStream.format("memory").queryName("mb_gtid").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000))
+    val got = spark.table("mb_gtid").select("offset").collect().map(_.getLong(0)).toSet
+    assert(got == rows.map(_._1).filter(_ >= 500L).toSet)
+
+    // resolution algebra edges: merged adjacency extends the prefix; a set
+    // not covering txid 1 (or an unknown server) skips nothing
+    import graft.cdc.offsets.BinlogOffsets.gtidStartingSeq
+    assert(gtidStartingSeq("s1:1-300,s1:301-400") == Some(399L))
+    assert(gtidStartingSeq("s1:10-20") == None)
+    assert(gtidStartingSeq("other:1-500") == None)
+  }
+
   test("availableNow drains the pinned log end and terminates") {
     val (url, rows) = freshLog()
     val q = CdcSource.read(spark)
@@ -143,6 +167,32 @@ class CdcMicroBatchSpec extends SparkTestBase {
     val got = spark.table("mb_now").select("offset").collect().map(_.getLong(0))
     assert(got.toSet == rows.map(_._1).toSet)
     assert(got.length == rows.length)
+  }
+
+  test("in-stream capture-list filter: one tagged log, reader-side include regex") {
+    val (url, rows) = freshLog()
+    val q = CdcSource.read(spark)
+      .option("max-events-per-trigger", 200)
+      .option("table-name", "^users_[01]$")
+      .loadMicroBatch(url)
+      .writeStream.format("memory").queryName("mb_tbl").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000))
+    val got = spark.table("mb_tbl")
+      .select("offset", "pk", "table_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // exactly the users_0/users_1 shard of the log, each tagged correctly,
+    // delivered once — users_2 events were skipped IN the readers while the
+    // offset range still advanced over them
+    assert(got.map(_._1).toSet == rows.filter(_._2 % 3 != 2).map(_._1).toSet)
+    assert(got.forall { case (_, pk, t) => t == s"users_${pk % 3}" && pk % 3 != 2 })
+    assert(got.length == got.map(_._1).distinct.length)
+
+    // a malformed capture regex fails validation up front
+    intercept[CdcSource.ValidationException] {
+      CdcSource.read(spark).option("table-name", "users_[").loadMicroBatch(url)
+    }
   }
 
   test("split planning slices the offset range into chunk-sized ranges") {

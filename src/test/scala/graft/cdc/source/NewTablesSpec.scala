@@ -33,17 +33,20 @@ class NewTablesSpec extends SparkTestBase {
     val (head, tail) = all.splitAt((all.length * 6) / 10)
     CdcMicroBatch.appendChangeTable(logUrl, "GRAFT_CHANGELOG", head.iterator)
 
-    def stream(tables: Seq[Long]) = CdcSource.read(spark)
+    // the capture list is the SOURCE's table-name include regex — the late
+    // table arrives through the stream itself (reader-side filter over the
+    // one tagged log), not a plan-level splice
+    def stream(tableRe: String) = CdcSource.read(spark)
       .option("max-events-per-trigger", 100)
+      .option("table-name", tableRe)
       .loadMicroBatch(logUrl)
-      .where(pmod(col("pk"), lit(3L)).isin(tables: _*))
 
     var status: Assigner.Status = Assigner.InitialAssigning
     status = status.onFinish()
 
     // phase 1: capture {users_0, users_1}, drain the head
     JdbcUpsertSink.createTables(tgtUrl, "MATERIALIZED")
-    val q1 = JdbcUpsertSink.start(stream(Seq(0L, 1L)), ckpt, tgtUrl, "MATERIALIZED", "nt")
+    val q1 = JdbcUpsertSink.start(stream("^users_[01]$"), ckpt, tgtUrl, "MATERIALIZED", "nt")
     q1.processAllAvailable(); q1.stop()
 
     // capture-list change: users_2 appears
@@ -73,7 +76,7 @@ class NewTablesSpec extends SparkTestBase {
     CdcMicroBatch.appendChangeTable(logUrl, "GRAFT_CHANGELOG", tail.iterator)
 
     // phase 2: SAME checkpoint, widened capture list {0, 1, 2}
-    val q2 = JdbcUpsertSink.start(stream(Seq(0L, 1L, 2L)), ckpt, tgtUrl, "MATERIALIZED", "nt")
+    val q2 = JdbcUpsertSink.start(stream("^users_[012]$"), ckpt, tgtUrl, "MATERIALIZED", "nt")
     q2.processAllAvailable(); q2.stop()
 
     val got = JdbcUpsertSink.readState(spark, tgtUrl, "MATERIALIZED").collect()
