@@ -103,6 +103,21 @@ object RowImage {
       .otherwise(to_json(struct(wired.toIndexedSeq: _*)))
   }
 
+  /** Parse a JSON image ONCE into the full wire struct. The coalesce
+    * wrapper is load-bearing: Catalyst's json-expression pruning rewrites
+    * `GetStructField(JsonToStructs)` into a single-field parse PER extracted
+    * field — one tokenizer pass becomes N (4 for a 2-column composite key,
+    * 6 for the value decode; measured 3-10× on the sf0.1 bench) — and the
+    * rewrite only fires on a bare from_json child. Hiding the parse behind
+    * a no-op guard keeps ONE parse per image that physical-level common
+    * subexpression elimination then shares across every field extraction.
+    * The guard must not be constant-foldable — `coalesce(parse, null)` gets
+    * simplified back to a bare parse and re-split; `when(isNotNull)` is
+    * semantically identical (from_json(null) is null) and survives.
+    */
+  private def parseImage(json: Column, ws: StructType): Column =
+    when(json.isNotNull, from_json(json, ws))
+
   /** One side's converter composition: wire JSON -> declared-typed struct.
     * Field resolution is BY NAME against the declared schema — a field
     * absent from the wire record decodes to null, exactly the reference's
@@ -139,8 +154,8 @@ object RowImage {
       overrides: ConverterOverrides = NoOverrides): DataFrame = {
     val ws = wireSchema(table.schema)
     val parsed = envelope
-      .withColumn("_before_w", from_json(col("before"), ws))
-      .withColumn("_after_w", from_json(col("after"), ws))
+      .withColumn("_before_w", parseImage(col("before"), ws))
+      .withColumn("_after_w", parseImage(col("after"), ws))
     val before = decodeImage(col("_before_w"), col("before"), table, overrides)
     val after  = decodeImage(col("_after_w"), col("after"), table, overrides)
     val withImages = parsed
@@ -173,15 +188,17 @@ object RowImage {
     */
   def keyColumn(table: DeclaredTable, overrides: ConverterOverrides = NoOverrides): Column = {
     val kws = wireSchema(table.keyType)
-    val pa = from_json(col("after"), kws)
-    val pb = from_json(col("before"), kws)
+    // whole-image fallback (after if present, else before — an envelope
+    // carries whole images or none, the reference's record-key rule), so the
+    // two parses stay shared across all pk fields instead of per-field pairs
+    val img = coalesce(parseImage(col("after"), kws), parseImage(col("before"), kws))
     // the outer cast names the struct fields authoritatively — per-field
     // aliases on non-trivial expressions can be normalized away (col1/col2)
     // by the Column-node conversion
     struct(table.pkCols.map { c =>
       val f = table.schema(c)
       val conv = overrides.applyOrElse(f, (ff: StructField) => decodeField(ff))
-      conv(coalesce(pa.getField(c), pb.getField(c))).as(c)
+      conv(img.getField(c)).as(c)
     }: _*).cast(table.keyType)
   }
 
@@ -197,14 +214,19 @@ object RowImage {
       .groupBy(keyColumn(table, overrides).as("key"))
       .agg(max_by(struct(col("offset"), col("op"), col("after")), col("offset")).as("last"))
       .where(col("last.op") =!= Changelog.OpDelete)
-    val parsed = from_json(col("last.after"), wireSchema(table.schema))
+    // materialize the parse behind an ATTRIBUTE boundary: getField over a
+    // bare (or when-guarded) from_json gets rewritten to a single-field
+    // parse PER value column; over an attribute nothing can split it, and
+    // CollapseProject's cheapness guard (non-cheap alias referenced many
+    // times) keeps the two projections separate
+    val withParsed = merged.withColumn("_w", parseImage(col("last.after"), wireSchema(table.schema)))
     val pkOut = table.pkCols.map(c => col("key").getField(c).as(c))
     val valOut = table.valueCols.map { c =>
       val f = table.schema(c)
       val conv = overrides.applyOrElse(f, (ff: StructField) => decodeField(ff))
-      conv(parsed.getField(c)).as(c)
+      conv(col("_w").getField(c)).as(c)
     }
-    merged.select(pkOut ++ (col("last.offset").as("last_offset") +: valOut): _*)
+    withParsed.select(pkOut ++ (col("last.offset").as("last_offset") +: valOut): _*)
   }
 
   /** P2 straight over wire envelopes: route the RAW image strings through
@@ -224,9 +246,10 @@ object RowImage {
         array(struct(lit("-D").as("row_kind"), col("before").as("img_json"))))
     val exploded = envelope
       .select(col("offset"), keyColumn(table, overrides).as("key"), explode(kinds).as("k"))
-    val img = decodeImage(
-      from_json(col("k.img_json"), wireSchema(table.schema)),
-      col("k.img_json"), table, overrides)
+      // same attribute boundary as upsertMaterializeEnvelope: one parse per
+      // emitted row, shared across all the decoded fields
+      .withColumn("_w", parseImage(col("k.img_json"), wireSchema(table.schema)))
+    val img = decodeImage(col("_w"), col("k.img_json"), table, overrides)
     exploded.select(col("offset"), col("key"),
       col("k.row_kind").as("row_kind"), img.as("img"))
   }

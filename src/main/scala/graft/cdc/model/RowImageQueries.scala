@@ -72,6 +72,14 @@ object RowImageQueries extends QueryPack {
       .otherwise(col("l_returnflag")))
     val before = image(5, lit("P"))
     Changelog.table(spark, sfDir, "lineitem")
+      // fixture parallelization: the test parquet is ONE row group, so the
+      // scan cannot split and the whole JSON-encode synthesis would run in
+      // a single task. Hash-repartition the cheap raw columns before the
+      // heavy projection (hash, not round-robin — round-robin inserts a
+      // local sort for retry determinism). A real envelope source (a Kafka
+      // topic, a multi-file landing zone) arrives pre-partitioned; this
+      // shuffle stands in for that, it is not part of the operator.
+      .repartition(col("l_orderkey"), col("l_linenumber"))
       // parquet timestamp[ms] surfaces as TIMESTAMP_NTZ in Spark 4; pin it
       // to an instant (session tz is UTC everywhere) so the epoch-micros
       // wire converter applies — DuckDB's naive TIMESTAMP epoch_ms agrees

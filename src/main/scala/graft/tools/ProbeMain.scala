@@ -1,38 +1,42 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc probe main used by the verify workflow (not part of the driver
   * contract).
   */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    import graft.cdc.model.Changelog
-    import graft.cdc.source.{CdcMicroBatch, CdcSource}
-    println("GTIDSEQ " + graft.cdc.offsets.BinlogOffsets.gtidStartingSeq("s1:1-500,s1:601-700"))
-    val dir = java.nio.file.Files.createTempDirectory("derby_probe").toString
-    val url = s"jdbc:derby:$dir/logdb;create=true"
-    val rows = Changelog.changelog(s, "/root/testdata/sf0.001")
-      .select("offset", "pk", "op", "ts_ms", "val").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
-      .sortBy(_._1)
-    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG", rows.iterator)
-    val q = CdcSource.read(s)
-      .option("scan.startup.mode", "specific-offset")
-      .option("scan.startup.specific-offset.gtid-set", "s1:1-500,s1:601-700")
-      .loadMicroBatch(url)
-      .writeStream.format("memory").queryName("p_gtid").outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(60000)
-    val got = s.table("p_gtid").select("offset").collect().map(_.getLong(0))
-    println("GOT n=" + got.length + " min=" + got.min + " max=" + got.max)
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    val ef = graft.SparkEntry.queries("rowimage_emit_filter")(s, dir)
+    println("=== rowimage_emit_filter ===")
+    println(ef.queryExecution.executedPlan.toString.take(8000))
+    val um = graft.SparkEntry.queries("rowimage_upsert_materialize")(s, dir)
+    println("=== rowimage_upsert_materialize ===")
+    println(um.queryExecution.executedPlan.toString.take(8000))
+    def mat(name: String): Unit = time(name) {
+      val df = graft.SparkEntry.queries(name)(s, dir)
+      df.write.mode("overwrite").format("noop").save()
+      -1L
+    }
+    time("envelope_only") {
+      graft.cdc.model.RowImageQueries.envelope(s, dir).count()
+    }
+    Seq("rowimage_decode", "rowimage_extract_rows", "rowimage_upsert_materialize",
+      "rowimage_emit_filter").foreach(mat)
+    // second pass: steady state
+    Seq("rowimage_decode", "rowimage_extract_rows", "rowimage_upsert_materialize",
+      "rowimage_emit_filter").foreach(mat)
     s.stop()
   }
 }
