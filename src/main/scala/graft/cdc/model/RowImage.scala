@@ -465,6 +465,32 @@ object RowImage {
     }
   }
 
+  /** S9/T2 on the generic IR in STREAMING form: drain a generic-envelope
+    * stream (e.g. `graft-cdc-stream` with `envelope=true`, or a Debezium
+    * Kafka topic) into the composite-key state table. Each micro-batch
+    * decodes the wire frames through the declared schema and applies them
+    * with the offset-guarded upsert; a batch replayed after a crash is a
+    * per-key no-op, which is what turns the stream's at-least-once delivery
+    * into an exactly-once EFFECT — the same guarantee JdbcUpsertSink proves
+    * for the scalar IR, derived here from the declared schema.
+    */
+  def applyEnvelopeStream(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      url: String,
+      sqlName: String,
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      overrides: ConverterOverrides = NoOverrides): org.apache.spark.sql.streaming.StreamingQuery = {
+    createStateTable(url, table, sqlName)
+    val w = envelope.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyRows(decodeEnvelope(batch, table, overrides), table, url, sqlName)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
   /** Read the materialized generic state back, tombstones filtered; column
     * case follows the declared schema (the database may uppercase).
     */

@@ -67,11 +67,15 @@ object RowImageQueries extends QueryPack {
     * with JSON-string images — the raw shape a Debezium topic delivers.
     * Narrow projection; no shuffle.
     */
-  def envelope(spark: SparkSession, sfDir: String): DataFrame = {
+  def envelope(spark: SparkSession, sfDir: String): DataFrame =
+    envelopeFrom(Changelog.table(spark, sfDir, "lineitem"))
+
+  /** Envelope frames derived from an (optionally filtered) lineitem frame. */
+  def envelopeFrom(lineitem: DataFrame): DataFrame = {
     val after = image(0, when(col("l_returnflag") === "N", lit(null).cast(StringType))
       .otherwise(col("l_returnflag")))
     val before = image(5, lit("P"))
-    Changelog.table(spark, sfDir, "lineitem")
+    lineitem
       // fixture parallelization: the test parquet is ONE row group, so the
       // scan cannot split and the whole JSON-encode synthesis would run in
       // a single task. Hash-repartition the cheap raw columns before the
@@ -135,15 +139,17 @@ object RowImageQueries extends QueryPack {
   }
 
   /** Shared oracle prelude: the deterministic changelog derivation. */
-  private val clSql =
-    """WITH cl AS (
+  private def clSqlWhere(where: String): String =
+    s"""WITH cl AS (
       |  SELECT ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey)
       |           * 100000 + l_suppkey AS o,
       |         CASE l_returnflag WHEN 'R' THEN 'd' WHEN 'A' THEN 'u'
       |              ELSE 'c' END AS op,
       |         l_partkey, l_suppkey, l_quantity, l_extendedprice,
       |         l_shipdate, l_returnflag, l_linestatus
-      |  FROM lineitem)""".stripMargin
+      |  FROM lineitem$where)""".stripMargin
+
+  private val clSql = clSqlWhere("")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 full — wire decode of arbitrary multi-column images: every declared
@@ -187,7 +193,89 @@ object RowImageQueries extends QueryPack {
       emitFilterEnvelope(envelope(s, dir), splits(s), lineitemTable).select(
         col("offset"), col("op"),
         col("key.l_partkey").as("l_partkey"),
-        col("key.l_suppkey").as("l_suppkey")))
+        col("key.l_suppkey").as("l_suppkey"))),
+
+    // S3/S9/T2 on the GENERIC IR, streaming end-to-end: envelope frames
+    // staged into an embedded-Derby envelope change table (the external
+    // database stand-in), tailed as a real DSv2 micro-batch stream
+    // (`envelope=true`), decoded through the declared lineitem schema and
+    // drained into the composite-key state table by the offset-guarded
+    // generic sink. The oracle computes the same last-writer-wins merge
+    // directly from parquet — the stream+sink must deliver every image
+    // exactly once (and exactly-once in EFFECT across bench-pass replays:
+    // the second pass reuses the staged log and re-applies onto the same
+    // state table, where every row is a per-key no-op under the guard).
+    // Capped at l_orderkey <= 1500 (~6k frames at any sf) so fixture cost
+    // is sf-independent.
+    "rowimage_stream_materialize" -> ((s, dir) => {
+      val capped = envelopeFrom(
+        Changelog.table(s, dir, "lineitem").where(col("l_orderkey") <= 1500))
+      val frames = capped.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          "lineitem", r.getString(3), r.getString(4)))
+        .sortBy(_._1)
+        // sf0.001 has one duplicated row identity -> tied offsets; a log's
+        // SEQ is unique by construction, so keep one frame per seq (sf0.01+,
+        // where the oracle gate runs, has no ties)
+        .distinctBy(_._1)
+        // the log's SEQ is its own DENSE domain — the delivery order of the
+        // stream (a binlog/topic position), not the row-identity offset. The
+        // stream's admission control and split planning are range arithmetic
+        // over SEQ (dense-log contract, see CdcMicroBatchStream); the sparse
+        // folded identity would make `start + maxRows` never reach the data.
+        // The oracle derives the identical numbering with row_number().
+        .zipWithIndex
+        .map { case ((_, op, ts, tbl, b, a), i) => (i.toLong, op, ts, tbl, b, a) }
+      val stageKey = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_env1_$stageKey"
+      val url = s"jdbc:derby:$base/logdb;create=true"
+      // content verification like the scalar staging: count + max seq
+      val staged = try {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery("SELECT COUNT(*), MAX(SEQ) FROM GRAFT_ENVELOPE")
+            rs.next()
+            val ok = rs.getLong(1) == frames.length &&
+              (frames.isEmpty || rs.getLong(2) == frames.last._1)
+            rs.close()
+            ok
+          } finally st.close()
+        } finally conn.close()
+      } catch { case _: java.sql.SQLException => false }
+      if (!staged) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          // a partial stage implies a possibly-divergent state table: drop both
+          try {
+            try st.executeUpdate("DROP TABLE GRAFT_ENVELOPE")
+            catch { case _: java.sql.SQLException => () }
+            try st.executeUpdate("DROP TABLE RI_STREAM_STATE")
+            catch { case _: java.sql.SQLException => () }
+          } finally st.close()
+        } finally conn.close()
+        graft.cdc.source.CdcMicroBatch.appendEnvelopeTable(
+          url, "GRAFT_ENVELOPE", frames.iterator)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("ri_stream_ckpt").toString
+      val q = applyEnvelopeStream(
+        graft.cdc.source.CdcSource.read(s)
+          .option("envelope", "true")
+          .option("max-events-per-trigger", 2048)
+          .loadMicroBatch(url, "GRAFT_ENVELOPE"),
+        lineitemTable, url, "RI_STREAM_STATE", ckpt,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      readState(s, lineitemTable, url, "RI_STREAM_STATE").select(
+        col("l_partkey"), col("l_suppkey"), col("last_offset"),
+        col("l_quantity").cast(StringType).as("l_quantity"),
+        col("l_extendedprice").cast(StringType).as("l_extendedprice"),
+        col("l_shipdate"), col("l_shipts"), col("l_returnflag"),
+        hex(col("l_flagbin")).as("l_flagbin_hex"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -240,6 +328,26 @@ object RowImageQueries extends QueryPack {
          |            THEN arg_max(l_returnflag, o) END AS l_returnflag,
          |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
          |FROM cl GROUP BY l_partkey, l_suppkey
+         |HAVING arg_max(op, o) <> 'd'""".stripMargin,
+
+    "rowimage_stream_materialize" ->
+      s"""${clSqlWhere(" WHERE l_orderkey <= 1500")},
+         |cld AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY o) - 1 AS o, op,
+         |         l_partkey, l_suppkey, l_quantity, l_extendedprice,
+         |         l_shipdate, l_returnflag, l_linestatus
+         |  FROM cl)
+         |SELECT l_partkey, l_suppkey, max(o) AS last_offset,
+         |       CAST(CAST(arg_max(l_quantity, o) AS DECIMAL(12,2)) AS VARCHAR)
+         |         AS l_quantity,
+         |       CAST(CAST(arg_max(l_extendedprice, o) AS DECIMAL(14,2)) AS VARCHAR)
+         |         AS l_extendedprice,
+         |       CAST(arg_max(l_shipdate, o) AS DATE) AS l_shipdate,
+         |       arg_max(l_shipdate, o) AS l_shipts,
+         |       CASE WHEN arg_max(op, o) = 'u'
+         |            THEN arg_max(l_returnflag, o) END AS l_returnflag,
+         |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
+         |FROM cld GROUP BY l_partkey, l_suppkey
          |HAVING arg_max(op, o) <> 'd'""".stripMargin,
 
     "rowimage_emit_filter" ->

@@ -89,6 +89,61 @@ object CdcMicroBatch {
     appendChangeTableTagged(url, table,
       rows.map { case (seq, pk, op, ts, v) => (seq, pk, op, ts, v, s"users_${pk % 3}") })
 
+  /** Generic-envelope wire layout (`envelope=true`): the log carries whole
+    * row images as JSON wire strings — the shape a Debezium topic delivers
+    * (Envelope.before/after, the reference's
+    * RowDataDebeziumDeserializeSchema.java:118-158 input) — and the declared
+    * schema is applied DOWNSTREAM by [[graft.cdc.model.RowImage.decodeEnvelope]].
+    * The source stays schema-agnostic: one stream implementation serves
+    * every captured table shape.
+    */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("before", StringType, nullable = true),
+    StructField("after", StringType, nullable = true)
+  ))
+
+  val envelopeColumnsSql = "SEQ, OP, TS_MS, TBL, BEFORE_IMG, AFTER_IMG"
+
+  /** DDL for an envelope change table (images as CLOBs — wide rows). */
+  def createEnvelopeTableSql(table: String): String =
+    s"CREATE TABLE $table (SEQ BIGINT PRIMARY KEY, OP VARCHAR(1), TS_MS BIGINT, " +
+      "TBL VARCHAR(128), BEFORE_IMG CLOB, AFTER_IMG CLOB)"
+
+  /** Append envelope frames (seq, op, ts_ms, table, before, after) to an
+    * envelope change table, creating it if absent (fixture plumbing).
+    */
+  def appendEnvelopeTable(
+      url: String,
+      table: String,
+      rows: Iterator[(Long, String, Long, String, String, String)]): Unit = {
+    CdcSource.validIdentifier(table)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = try meta.next() finally meta.close()
+      if (!exists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(createEnvelopeTableSql(table)) finally st.close()
+      }
+      val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?)")
+      try {
+        var n = 0
+        rows.foreach { case (seq, op, ts, tbl, before, after) =>
+          ins.setLong(1, seq); ins.setString(2, op); ins.setLong(3, ts)
+          ins.setString(4, tbl); ins.setString(5, before); ins.setString(6, after)
+          ins.addBatch()
+          n += 1
+          if (n % 1000 == 0) ins.executeBatch()
+        }
+        ins.executeBatch()
+      } finally ins.close()
+    } finally conn.close()
+  }
+
   /** Append rows with an explicit table tag per event. */
   def appendChangeTableTagged(
       url: String,
@@ -148,13 +203,17 @@ object CdcStreamOffset {
   *     default: everything in the log (earliest)
   *   - `table-name` capture-list include regex applied in the readers —
   *     the one log carries every captured table's events (TBL column)
+  *   - `envelope` = true to tail a generic-envelope change table
+  *     ([[CdcMicroBatch.envelopeSchema]]: whole JSON row images instead of
+  *     the scalar fixture columns); decode with RowImage.decodeEnvelope
   */
 class CdcStreamProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-cdc-stream"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CdcMicroBatch.schema
+    if (options.getBoolean("envelope", false)) CdcMicroBatch.envelopeSchema
+    else CdcMicroBatch.schema
 
   override def getTable(
       schema: StructType,
@@ -164,9 +223,12 @@ class CdcStreamProvider extends TableProvider
 }
 
 class CdcStreamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private def envelope(opts: CaseInsensitiveStringMap): Boolean =
+    opts.getBoolean("envelope", false)
   override def name(): String =
     s"graft-cdc-stream(${options.getOrDefault("dbtable", "GRAFT_CHANGELOG")})"
-  override def schema(): StructType = CdcMicroBatch.schema
+  override def schema(): StructType =
+    if (envelope(options)) CdcMicroBatch.envelopeSchema else CdcMicroBatch.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
@@ -177,7 +239,8 @@ class CdcStreamTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     val all = new CaseInsensitiveStringMap(merged)
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = CdcMicroBatch.schema
+        override def readSchema(): StructType =
+          if (envelope(all)) CdcMicroBatch.envelopeSchema else CdcMicroBatch.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcMicroBatchStream(all)
       }
@@ -215,6 +278,7 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
     }
   }
   private val startingSeq = options.getLong("starting-seq", Long.MinValue)
+  private val envelopeMode = options.getBoolean("envelope", false)
   require(chunkSize > 0, s"chunk.size must be positive, got $chunkSize")
 
   /** AvailableNow support: pin the end offset once so a drain run terminates
@@ -305,7 +369,7 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(url, table, fetchSize, tableRegex)
+    new CdcReaderFactory(url, table, fetchSize, tableRegex, envelopeMode)
 
   /** Log retention is the external writer's concern (like binlog purge);
     * nothing to release on commit.
@@ -321,10 +385,13 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
 /** One planned split: change-log rows with lo < SEQ <= hi. */
 case class CdcChunk(lo: Long, hi: Long) extends InputPartition
 
-class CdcReaderFactory(url: String, table: String, fetchSize: Int, tableRegex: Option[String])
+class CdcReaderFactory(
+    url: String, table: String, fetchSize: Int,
+    tableRegex: Option[String], envelope: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdcPartitionReader(url, table, fetchSize, tableRegex, partition.asInstanceOf[CdcChunk])
+    new CdcPartitionReader(url, table, fetchSize, tableRegex, envelope,
+      partition.asInstanceOf[CdcChunk])
 }
 
 /** Executor-side split reader: one pushed-down range scan per split on its
@@ -336,7 +403,7 @@ class CdcReaderFactory(url: String, table: String, fetchSize: Int, tableRegex: O
   */
 class CdcPartitionReader(
     url: String, table: String, fetchSize: Int,
-    tableRegex: Option[String], chunk: CdcChunk)
+    tableRegex: Option[String], envelope: Boolean, chunk: CdcChunk)
     extends PartitionReader[InternalRow] {
 
   // opened on first next(), not lazily from close(): a reader cancelled (or
@@ -347,12 +414,14 @@ class CdcPartitionReader(
   private var rs: java.sql.ResultSet = _
   // rlike semantics (find, not full match) — same as the batch facade
   private val pattern = tableRegex.map(java.util.regex.Pattern.compile)
+  // position of the table tag in each layout's SELECT list
+  private val tblIndex = if (envelope) 4 else 6
 
   private def open(): Unit = {
     conn = DriverManager.getConnection(url)
+    val cols = if (envelope) CdcMicroBatch.envelopeColumnsSql else CdcMicroBatch.columnsSql
     val st = conn.prepareStatement(
-      s"SELECT ${CdcMicroBatch.columnsSql} FROM $table " +
-        "WHERE SEQ > ? AND SEQ <= ? ORDER BY SEQ")
+      s"SELECT $cols FROM $table WHERE SEQ > ? AND SEQ <= ? ORDER BY SEQ")
     st.setFetchSize(fetchSize)
     st.setLong(1, chunk.lo)
     st.setLong(2, chunk.hi)
@@ -363,19 +432,28 @@ class CdcPartitionReader(
   override def next(): Boolean = {
     if (rs == null) open()
     var has = rs.next()
-    while (has && !pattern.forall(_.matcher(rs.getString(6)).find()))
+    while (has && !pattern.forall(_.matcher(rs.getString(tblIndex)).find()))
       has = rs.next()
     has
   }
 
   override def get(): InternalRow =
-    InternalRow(
-      rs.getLong(1),
-      rs.getLong(2),
-      UTF8String.fromString(rs.getString(3)),
-      rs.getLong(4),
-      rs.getDouble(5),
-      UTF8String.fromString(rs.getString(6)))
+    if (envelope)
+      InternalRow(
+        rs.getLong(1),
+        UTF8String.fromString(rs.getString(2)),
+        rs.getLong(3),
+        UTF8String.fromString(rs.getString(4)),
+        UTF8String.fromString(rs.getString(5)), // fromString(null) -> null
+        UTF8String.fromString(rs.getString(6)))
+    else
+      InternalRow(
+        rs.getLong(1),
+        rs.getLong(2),
+        UTF8String.fromString(rs.getString(3)),
+        rs.getLong(4),
+        rs.getDouble(5),
+        UTF8String.fromString(rs.getString(6)))
 
   override def close(): Unit = {
     try { if (rs != null) rs.close() } finally {
