@@ -320,6 +320,100 @@ object RowImage {
   }
 
   // --------------------------------------------------------------------
+  // Debezium-topic face of the generic path: Kafka-shaped records whose
+  // value is a Debezium JSON envelope with ARBITRARY declared row images
+  // (the reference's primary deployment shape; the scalar adapter is
+  // KafkaEnvelope). The declared wire schema is embedded in the envelope
+  // parse, so ONE from_json per record yields op, ts_ms, source metadata
+  // AND both typed wire images — no sub-JSON re-extraction.
+  // --------------------------------------------------------------------
+
+  /** The value-envelope schema for a declared table: before/after carry the
+    * table's WIRE schema inline.
+    */
+  def debeziumValueSchema(table: DeclaredTable): StructType = {
+    val ws = wireSchema(table.schema)
+    StructType(Seq(
+      StructField("before", ws),
+      StructField("after", ws),
+      StructField("source", StructType(Seq(
+        StructField("db", StringType), StructField("table", StringType),
+        StructField("pos", LongType)))),
+      StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+  }
+
+  /** Kafka-shaped records -> the generic IR
+    * `(offset, op, ts_ms, key, before, after, table_name)`. Ordering comes
+    * from the envelope's `source.pos` (the log position the reference
+    * orders by — Kafka transport offsets are only per-partition monotone),
+    * with the transport offset as fallback. Input: any DataFrame with
+    * [[graft.cdc.streaming.KafkaEnvelope.kafkaSchema]]'s columns, batch or
+    * streaming.
+    */
+  def decodeDebeziumTopic(
+      kafka: DataFrame,
+      table: DeclaredTable,
+      overrides: ConverterOverrides = NoOverrides): DataFrame = {
+    val parsed = kafka.withColumn("_env",
+      when(col("value").isNotNull,
+        from_json(col("value").cast(StringType), debeziumValueSchema(table))))
+    def img(side: String): Column = {
+      val src = col("_env").getField(side)
+      val fields = table.schema.fields.map { f =>
+        val conv = overrides.applyOrElse(f, (ff: StructField) => decodeField(ff))
+        conv(src.getField(f.name)).as(f.name)
+      }
+      when(src.isNull, lit(null).cast(table.schema))
+        .otherwise(struct(fields.toIndexedSeq: _*))
+    }
+    val key = struct(table.pkCols.map { c =>
+      val f = table.schema(c)
+      val conv = overrides.applyOrElse(f, (ff: StructField) => decodeField(ff))
+      conv(coalesce(col("_env").getField("after").getField(c),
+        col("_env").getField("before").getField(c))).as(c)
+    }: _*).cast(table.keyType)
+    parsed.select(
+      coalesce(col("_env.source.pos"), col("offset")).as("offset"),
+      col("_env.op").as("op"),
+      col("_env.ts_ms").as("ts_ms"),
+      key.as("key"),
+      img("before").as("before"),
+      img("after").as("after"),
+      col("_env.source.table").as("table_name"))
+  }
+
+  /** Wire envelope frames (offset, op, ts_ms, before, after) -> Kafka-shaped
+    * Debezium records for `table` (reverse sink shape + test transport). The
+    * image strings are already JSON, so the value is pure string assembly;
+    * the record key is the JSON of the primary-key struct (keyed topic),
+    * partition = hash of the key like a keyed producer.
+    */
+  def encodeDebeziumTopic(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      db: String,
+      topic: String,
+      nPartitions: Int): DataFrame = {
+    val source = concat(
+      lit(s"""{"db":"$db","table":"${table.name}","pos":"""),
+      col("offset").cast(StringType), lit("}"))
+    val value = concat(
+      lit("{\"before\":"), coalesce(col("before"), lit("null")),
+      lit(",\"after\":"), coalesce(col("after"), lit("null")),
+      lit(",\"source\":"), source,
+      lit(",\"op\":\""), col("op"),
+      lit("\",\"ts_ms\":"), col("ts_ms").cast(StringType), lit("}"))
+    val keyJson = to_json(keyColumn(table))
+    envelope.select(
+      keyJson.cast(BinaryType).as("key"),
+      value.cast(BinaryType).as("value"),
+      lit(topic).as("topic"),
+      pmod(hash(keyJson), lit(nPartitions)).as("partition"),
+      col("offset").as("offset"))
+  }
+
+  // --------------------------------------------------------------------
   // S9 on the generic IR — composite-key offset-guarded JDBC upserts.
   // Same two-guard recipe as JdbcUpsertSink (offset guard per key; the
   // epoch ledger is sink-id plumbing, orthogonal to the row schema), but
@@ -487,6 +581,34 @@ object RowImage {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyRows(decodeEnvelope(batch, table, overrides), table, url, sqlName)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** Multi-table form of [[applyEnvelopeStream]]: ONE envelope stream
+    * carries every captured table's frames tagged by `table_name` (the
+    * reference's one-binlog-many-tables model), and each micro-batch routes
+    * per declared table into its own state table. The batch is cached for
+    * the N per-table passes, so the source range scan runs once per
+    * micro-batch regardless of capture-list width.
+    */
+  def applyEnvelopeStreamMulti(
+      envelope: DataFrame,
+      tables: Seq[(DeclaredTable, String)],
+      url: String,
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      overrides: ConverterOverrides = NoOverrides): org.apache.spark.sql.streaming.StreamingQuery = {
+    tables.foreach { case (t, sqlName) => createStateTable(url, t, sqlName) }
+    val w = envelope.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try tables.foreach { case (t, sqlName) =>
+          applyRows(
+            decodeEnvelope(batch.where(col("table_name") === t.name), t, overrides),
+            t, url, sqlName)
+        } finally batch.unpersist()
       }
     trigger.fold(w)(w.trigger).start()
   }

@@ -195,6 +195,24 @@ object RowImageQueries extends QueryPack {
         col("key.l_partkey").as("l_partkey"),
         col("key.l_suppkey").as("l_suppkey"))),
 
+    // §3.1 Debezium-topic transport on the GENERIC IR: wire envelope frames
+    // assembled into Kafka-shaped records (key = pk-struct JSON, value = the
+    // Debezium envelope with inline images), decoded back through ONE
+    // combined from_json against the declared wire schema — the oracle is
+    // the identity derivation (faithful transport of every declared field)
+    "rowimage_kafka_roundtrip" -> ((s, dir) => {
+      val topic = encodeDebeziumTopic(envelope(s, dir), lineitemTable,
+        db = "inventory", topic = "inventory.lineitem", nPartitions = 4)
+      val ir = decodeDebeziumTopic(topic, lineitemTable)
+      val img = when(col("op") === Changelog.OpDelete, col("before"))
+        .otherwise(col("after"))
+      ir.select(
+        (col("offset") +: col("op") +: col("ts_ms") +: col("table_name") +:
+          col("key.l_partkey").as("l_partkey") +:
+          col("key.l_suppkey").as("l_suppkey") +:
+          valueOut(img)): _*)
+    }),
+
     // S3/S9/T2 on the GENERIC IR, streaming end-to-end: envelope frames
     // staged into an embedded-Derby envelope change table (the external
     // database stand-in), tailed as a real DSv2 micro-batch stream
@@ -329,6 +347,24 @@ object RowImageQueries extends QueryPack {
          |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
          |FROM cl GROUP BY l_partkey, l_suppkey
          |HAVING arg_max(op, o) <> 'd'""".stripMargin,
+
+    "rowimage_kafka_roundtrip" ->
+      s"""$clSql
+         |SELECT o AS "offset", op,
+         |       epoch_ms(l_shipdate) AS ts_ms,
+         |       'lineitem' AS table_name,
+         |       l_partkey, l_suppkey,
+         |       CAST(CAST(l_quantity +
+         |              CASE WHEN op = 'd' THEN 5 ELSE 0 END
+         |            AS DECIMAL(12,2)) AS VARCHAR) AS l_quantity,
+         |       CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR)
+         |         AS l_extendedprice,
+         |       CAST(l_shipdate AS DATE) AS l_shipdate,
+         |       l_shipdate AS l_shipts,
+         |       CASE op WHEN 'd' THEN 'P' WHEN 'u' THEN l_returnflag
+         |            ELSE NULL END AS l_returnflag,
+         |       hex(encode(l_linestatus)) AS l_flagbin_hex
+         |FROM cl""".stripMargin,
 
     "rowimage_stream_materialize" ->
       s"""${clSqlWhere(" WHERE l_orderkey <= 1500")},

@@ -13,12 +13,9 @@ object ProbeMain {
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    val df = graft.SparkEntry.queries("rowimage_stream_materialize")(s, dir)
-    println("STREAM_ROWS " + df.count())
-    df.orderBy("l_partkey", "l_suppkey").show(5, false)
-    // second call: staged log + existing state must be reused idempotently
-    val df2 = graft.SparkEntry.queries("rowimage_stream_materialize")(s, dir)
-    println("STREAM_ROWS2 " + df2.count())
+    val df = graft.SparkEntry.queries("rowimage_kafka_roundtrip")(s, dir)
+    println("KAFKA_ROWS " + df.count())
+    df.orderBy("offset").show(3, false)
     s.stop()
   }
 }

@@ -88,6 +88,64 @@ class EnvelopeStreamSpec extends SparkTestBase {
     assert(norm(RowImage.readState(spark, t, url, "ENV_STATE")) == got)
   }
 
+  test("multi-table envelope stream routes each declared shape to its state table") {
+    import org.apache.spark.sql.types._
+    // a second declared shape from the orders table: single-column pk,
+    // different converter mix than lineitem
+    val ordersTable = RowImage.DeclaredTable(
+      "orders",
+      StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DecimalType(14, 2)),
+        StructField("o_orderstatus", StringType))),
+      pkCols = Seq("o_orderkey"))
+
+    val liFrames = frames().take(300)
+    val ordFrames = {
+      val img = struct(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(14, 2)).as("o_totalprice"),
+        col("o_orderstatus"))
+      Changelog.table(spark, sfDir, "orders").where(col("o_orderkey") <= 200)
+        .select(col("o_orderkey").as("offset"),
+          lit("c").as("op"), lit(0L).as("ts_ms"),
+          lit(null).cast(StringType).as("before"),
+          RowImage.encodeImage(img, ordersTable).as("after"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          "orders", r.getString(3), r.getString(4)))
+        .sortBy(_._1)
+    }
+    // interleave both tables into one dense log
+    val mixed = (liFrames.map(f => (f, "lineitem")) ++ ordFrames.map(f => (f, "orders")))
+      .zipWithIndex
+      .map { case (((_, op, ts, tbl, b, a), _), i) => (i.toLong, op, ts, tbl, b, a) }
+
+    val dir = java.nio.file.Files.createTempDirectory("derby_envm").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    CdcMicroBatch.appendEnvelopeTable(url, "ENV_LOG", mixed.iterator)
+    val ckpt = java.nio.file.Files.createTempDirectory("envm_ckpt").toString
+
+    val q = RowImage.applyEnvelopeStreamMulti(
+      CdcSource.read(spark)
+        .option("envelope", "true")
+        .option("max-events-per-trigger", 128)
+        .loadMicroBatch(url, "ENV_LOG"),
+      Seq(t -> "LI_STATE", ordersTable -> "ORD_STATE"),
+      url, ckpt, trigger = Some(Trigger.AvailableNow()))
+    assert(q.awaitTermination(120000), "multi-table drain did not terminate")
+
+    // each state table equals the batch truth of ITS slice of the log
+    import spark.implicits._
+    val env = mixed.toSeq.toDF("offset", "op", "ts_ms", "table_name", "before", "after")
+    assert(norm(RowImage.readState(spark, t, url, "LI_STATE")) ==
+      norm(RowImage.upsertMaterializeEnvelope(env.where(col("table_name") === "lineitem"), t)))
+    val ordNorm = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("o_orderkey"), col("last_offset"),
+        col("o_totalprice").cast(StringType), col("o_orderstatus")).collect().toSet
+    assert(ordNorm(RowImage.readState(spark, ordersTable, url, "ORD_STATE")) ==
+      ordNorm(RowImage.upsertMaterializeEnvelope(env.where(col("table_name") === "orders"), ordersTable)))
+  }
+
   test("envelope reader applies the capture-list filter on the tagged log") {
     val fs = frames().take(200)
     // interleave a second table's frames in the same log (one binlog, many
