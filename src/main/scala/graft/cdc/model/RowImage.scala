@@ -483,6 +483,35 @@ object RowImage {
     } finally conn.close()
   }
 
+  /** T9 on the generic sink: widen an existing state table from one
+    * declared shape to a grown one (the schema-history-driven ALTER the
+    * reference applies on restart after an in-band DDL). Only additive
+    * widenings are supported — same pk, every old column kept with its
+    * type — matching the drift rule on the decode side (old wire frames
+    * simply decode the new columns to null).
+    */
+  def widenStateTable(url: String, from: DeclaredTable, to: DeclaredTable, sqlName: String): Unit = {
+    graft.cdc.source.CdcSource.validIdentifier(sqlName)
+    require(to.pkCols == from.pkCols,
+      s"widening cannot change the primary key: ${from.pkCols} -> ${to.pkCols}")
+    from.schema.fields.foreach { f =>
+      val kept = to.schema.fieldNames.contains(f.name) &&
+        to.schema(f.name).dataType == f.dataType
+      require(kept, s"widening must keep column ${f.name}: ${f.dataType}")
+    }
+    val newCols = to.valueCols.filterNot(from.schema.fieldNames.contains)
+    if (newCols.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try newCols.foreach { c =>
+          st.executeUpdate(
+            s"ALTER TABLE $sqlName ADD COLUMN $c ${sqlType(to.schema(c).dataType)}")
+        } finally st.close()
+      } finally conn.close()
+    }
+  }
+
   /** Offset-guarded upsert of decoded generic-IR rows (executor-parallel,
     * one connection per partition — JdbcUpsertSink's concurrency model).
     * Deletes tombstone (LAST_OP='d') rather than physically delete, for the

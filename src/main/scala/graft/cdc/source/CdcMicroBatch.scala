@@ -34,10 +34,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     Spark's offset log as JSON, so `checkpointLocation` restart resumes
   *     exactly where the last committed micro-batch ended.
   *
-  * The change log being tailed is any JDBC table with a dense monotone
+  * The change log being tailed is any JDBC table with a unique monotone
   * `SEQ` column plus the changelog IR columns — in tests an embedded Derby
   * table (the live-DB stand-in proven by JdbcScanSpec) that an external
-  * writer appends to while the stream runs. This is the piece the file-glob
+  * writer appends to while the stream runs. SEQ may be SPARSE (real log
+  * positions are: binlog offsets jump, purged segments leave holes):
+  * admission control and split planning work in the ROW domain via indexed
+  * probes, with a probe-free arithmetic fast path when a range is dense. This is the piece the file-glob
   * `readStream` seam could not do: tail a mutating database table with
   * planned splits and exactly-once offset accounting.
   *
@@ -304,9 +307,13 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(sql)
-        rs.next()
-        val m = rs.getLong(1)
-        if (rs.wasNull()) None else Some(m)
+        // aggregates yield one (possibly NULL) row; row-domain probes
+        // (nthSeqAfter) yield zero rows when fewer rows exist
+        if (!rs.next()) None
+        else {
+          val m = rs.getLong(1)
+          if (rs.wasNull()) None else Some(m)
+        }
       } finally st.close()
     }
     try runOn(probeConnection())
@@ -334,6 +341,21 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
   private def maxSeq(): Long =
     probe(s"SELECT MAX(SEQ) FROM $table").getOrElse(resolvedStart)
 
+  /** The SEQ of the n-th row after `after` (bounded by `cap`), if that many
+    * rows exist — the row-domain probe that keeps admission control and
+    * split planning correct when SEQ is SPARSE (real log positions are:
+    * binlog file offsets jump, purged segments leave holes, sharded writers
+    * interleave). One indexed range probe; the reference's splitter runs
+    * the same shape per chunk (StatementUtils.java:132-188). Syntax is
+    * standard OFFSET/FETCH (Derby, Postgres, MSSQL; MySQL would use LIMIT).
+    */
+  private def nthSeqAfter(after: Long, n: Long, cap: Long): Option[Long] =
+    probe(s"SELECT SEQ FROM $table WHERE SEQ > $after AND SEQ <= $cap " +
+      s"ORDER BY SEQ OFFSET ${n - 1} ROWS FETCH NEXT 1 ROWS ONLY")
+
+  private def countRange(lo: Long, hi: Long): Long =
+    probe(s"SELECT COUNT(*) FROM $table WHERE SEQ > $lo AND SEQ <= $hi").getOrElse(0L)
+
   override def initialOffset(): Offset = CdcStreamOffset(resolvedStart)
 
   override def deserializeOffset(json: String): Offset = CdcStreamOffset.fromJson(json)
@@ -351,7 +373,11 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
     val s = start.asInstanceOf[CdcStreamOffset].seq
     val available = pinnedEnd.getOrElse(maxSeq())
     val capped = limit match {
-      case r: ReadMaxRows => math.min(available, s + r.maxRows())
+      case r: ReadMaxRows if available > s =>
+        // admit by ROWS, not seq arithmetic: the seq of the maxRows-th
+        // pending row (sparse-safe; on a dense log this is s + maxRows);
+        // fewer rows pending -> take everything available
+        nthSeqAfter(s, r.maxRows(), available).getOrElse(available)
       case _ => available
     }
     CdcStreamOffset(math.max(capped, s))
@@ -361,11 +387,31 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
     val lo = start.asInstanceOf[CdcStreamOffset].seq
     val hi = end.asInstanceOf[CdcStreamOffset].seq
     if (hi <= lo) return Array.empty
-    // slice (lo, hi] into chunk-sized ranges — the enumerator's split plan
-    Iterator.iterate(lo)(b => math.min(b + chunkSize, hi))
-      .takeWhile(_ < hi)
-      .map(b => CdcChunk(b, math.min(b + chunkSize, hi)): InputPartition)
-      .toArray
+    // the enumerator's split plan over (lo, hi]. One COUNT probe decides the
+    // domain: a DENSE range (count == width) slices by pure arithmetic — no
+    // further probes; a SPARSE range probes the seq at every chunkSize-th
+    // row so splits stay ROW-balanced whatever the gaps look like (the
+    // uneven-key chunk planning the reference's splitter does with the same
+    // per-chunk probe shape)
+    val n = countRange(lo, hi)
+    if (n == 0) return Array.empty
+    if (n == hi - lo)
+      Iterator.iterate(lo)(b => math.min(b + chunkSize, hi))
+        .takeWhile(_ < hi)
+        .map(b => CdcChunk(b, math.min(b + chunkSize, hi)): InputPartition)
+        .toArray
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      var b = lo
+      var done = false
+      while (!done) {
+        nthSeqAfter(b, chunkSize, hi) match {
+          case Some(nb) if nb < hi => buf += CdcChunk(b, nb); b = nb
+          case _ => buf += CdcChunk(b, hi); done = true
+        }
+      }
+      buf.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

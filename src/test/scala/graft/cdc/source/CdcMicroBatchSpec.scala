@@ -196,13 +196,61 @@ class CdcMicroBatchSpec extends SparkTestBase {
   }
 
   test("split planning slices the offset range into chunk-sized ranges") {
+    // dense log: seqs 0..250 -> pure-arithmetic tiling (probe-free fast path)
+    val dir = java.nio.file.Files.createTempDirectory("derby_plan").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG",
+      (0L to 250L).iterator.map(i => (i, i % 7, "u", i, i * 1.0)))
     val stream = new CdcMicroBatchStream(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-      java.util.Map.of("url", "jdbc:derby:memory:unused;create=true",
-        "scan.incremental.snapshot.chunk.size", "100")))
+      java.util.Map.of("url", url, "scan.incremental.snapshot.chunk.size", "100")))
     val parts = stream.planInputPartitions(CdcStreamOffset(-1L), CdcStreamOffset(250L))
     assert(parts.toSeq == Seq(CdcChunk(-1L, 99L), CdcChunk(99L, 199L), CdcChunk(199L, 250L)))
     // ranges tile the interval: exclusive lo, inclusive hi, no gaps/overlap
     assert(stream.planInputPartitions(CdcStreamOffset(5L), CdcStreamOffset(5L)).isEmpty)
+    stream.stop()
+  }
+
+  test("sparse SEQ: splits stay row-balanced and admission advances by rows") {
+    // log positions with irregular holes (binlog-like): seq = i*1009 + jitter
+    val dir = java.nio.file.Files.createTempDirectory("derby_sparse").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    val seqs = (0L until 350L).map(i => i * 1009L + (i % 13) * 7L)
+    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG",
+      seqs.iterator.map(i => (i, i % 7, "u", i, i * 1.0)))
+
+    val stream = new CdcMicroBatchStream(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("url", url, "scan.incremental.snapshot.chunk.size", "100")))
+    val parts = stream.planInputPartitions(
+      CdcStreamOffset(-1L), CdcStreamOffset(seqs.max))
+      .map(_.asInstanceOf[CdcChunk])
+    // row-balanced: every split holds exactly chunkSize rows but the last
+    val perSplit = parts.map(c => seqs.count(s => s > c.lo && s <= c.hi))
+    assert(perSplit.init.forall(_ == 100), s"split row counts: ${perSplit.mkString(",")}")
+    assert(perSplit.sum == seqs.length)
+    // splits tile (lo, hi]
+    assert(parts.head.lo == -1L && parts.last.hi == seqs.max)
+    assert(parts.sliding(2).forall { case Array(a, b) => a.hi == b.lo; case _ => true })
+
+    // admission: the 100-row limit advances to the seq of the 100th pending
+    // row, not start+100 (which would admit ~0 rows here)
+    val end1 = stream.latestOffset(CdcStreamOffset(-1L),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100L))
+      .asInstanceOf[CdcStreamOffset].seq
+    assert(seqs.count(_ <= end1) == 100, s"end1=$end1 admitted ${seqs.count(_ <= end1)}")
+    stream.stop()
+
+    // end-to-end: the sparse log drains exactly-once through the stream
+    val sink = "sparse_q_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = CdcSource.read(spark)
+      .option("max-events-per-trigger", 64)
+      .loadMicroBatch(url)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "sparse drain did not terminate")
+    val got = spark.table(sink).select("offset").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "duplicated rows from sparse log")
+    assert(got.toSet == seqs.toSet)
   }
 
   test("facade validation guards the micro-batch path") {

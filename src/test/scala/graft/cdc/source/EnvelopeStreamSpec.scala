@@ -146,6 +146,61 @@ class EnvelopeStreamSpec extends SparkTestBase {
       ordNorm(RowImage.upsertMaterializeEnvelope(env.where(col("table_name") === "orders"), ordersTable)))
   }
 
+  test("schema widens mid-stream: v1 drain, stop, widen state, resume with v2") {
+    import org.apache.spark.sql.types._
+    // v1 declares lineitem WITHOUT l_flagbin; the DDL point adds it. Frames
+    // before the DDL genuinely lack the field on the wire; after it they
+    // carry it — decoding v2 over old frames nulls it (the drift rule)
+    val v2 = t
+    val v1 = RowImage.DeclaredTable(t.name,
+      StructType(t.schema.fields.filterNot(_.name == "l_flagbin")), t.pkCols)
+
+    val fs = frames()
+    val (head, tail) = fs.splitAt((fs.length * 6) / 10)
+    def stripFlagbin(json: String): String =
+      if (json == null) null
+      else json.replaceAll(""","l_flagbin":(?:"[^"]*"|null)""", "")
+    val headStripped = head.map { case (seq, op, ts, tbl, b, a) =>
+      (seq, op, ts, tbl, stripFlagbin(b), stripFlagbin(a)) }
+
+    val dir = java.nio.file.Files.createTempDirectory("derby_evo2").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    // only the pre-DDL prefix exists when phase 1 runs; the post-DDL tail
+    // lands while the job is down (the reference stops emitting on an
+    // in-band DDL and defers to schema recovery before resuming)
+    CdcMicroBatch.appendEnvelopeTable(url, "ENV_LOG", headStripped.iterator)
+    val ckpt = java.nio.file.Files.createTempDirectory("evo2_ckpt").toString
+
+    def source() = CdcSource.read(spark).option("envelope", "true")
+      .option("max-events-per-trigger", 64)
+      .loadMicroBatch(url, "ENV_LOG")
+
+    // phase 1: v1 schema over the pre-DDL log prefix
+    val q1 = RowImage.applyEnvelopeStream(source(), v1, url, "EVO2_STATE", ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart path: widen the state table per the new declared schema, and
+    // the post-DDL tail (carrying the new field) lands in the log
+    RowImage.widenStateTable(url, v1, v2, "EVO2_STATE")
+    CdcMicroBatch.appendEnvelopeTable(url, "ENV_LOG", tail.iterator)
+
+    // phase 2: SAME checkpoint, v2 schema — post-DDL frames carry the field
+    val q2 = RowImage.applyEnvelopeStream(source(), v2, url, "EVO2_STATE", ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // from-scratch truth: v2 decode over the WHOLE log as staged
+    import spark.implicits._
+    val env = (headStripped ++ tail).toSeq
+      .toDF("offset", "op", "ts_ms", "table_name", "before", "after")
+    assert(norm(RowImage.readState(spark, v2, url, "EVO2_STATE")) ==
+      norm(RowImage.upsertMaterializeEnvelope(env, v2)))
+    // and the widened column is genuinely populated by post-DDL winners
+    assert(RowImage.readState(spark, v2, url, "EVO2_STATE")
+      .where(col("l_flagbin").isNotNull).count() > 0)
+  }
+
   test("envelope reader applies the capture-list filter on the tagged log") {
     val fs = frames().take(200)
     // interleave a second table's frames in the same log (one binlog, many
