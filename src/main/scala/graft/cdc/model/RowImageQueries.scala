@@ -195,6 +195,32 @@ object RowImageQueries extends QueryPack {
         col("key.l_partkey").as("l_partkey"),
         col("key.l_suppkey").as("l_suppkey"))),
 
+    // S1/T1/T2 on the GENERIC IR: the flagship hybrid snapshot⊕log flow
+    // over the composite-key lineitem shape — per-chunk observation at
+    // lowWm, (lowWm, highWm] backfill (middle chunk exercises the
+    // backfill-skip short circuit), log phase from min hwm with the
+    // per-split emit filter. The oracle is the DIRECT merge of the whole
+    // capped changelog: the hybrid interleaving must reproduce it exactly.
+    // Capped at l_orderkey <= 15000 so the bench-SF fixture stays bounded.
+    "rowimage_hybrid_materialize" -> ((s, dir) => {
+      val ir = decodeEnvelope(
+        envelopeFrom(Changelog.table(s, dir, "lineitem").where(col("l_orderkey") <= 15000)),
+        lineitemTable)
+      val keyType = lineitemTable.keyType
+      def k(p: Long, sk: Long): Column =
+        struct(lit(p).as("l_partkey"), lit(sk).as("l_suppkey")).cast(keyType)
+      val plan: graft.cdc.source.RowImageHybrid.ChunkPlan = Seq(
+        (None, Some(k(500, 50)), 2000000000000000L, 3000000000000000L),
+        (Some(k(500, 50)), Some(k(1500, 25)), 5000000000000000L, 5000000000000000L),
+        (Some(k(1500, 25)), None, 7000000000000000L, 9000000000000000L))
+      graft.cdc.source.RowImageHybrid.materialize(ir, lineitemTable, plan).select(
+        col("l_partkey"), col("l_suppkey"), col("last_offset"),
+        col("l_quantity").cast(StringType).as("l_quantity"),
+        col("l_extendedprice").cast(StringType).as("l_extendedprice"),
+        col("l_shipdate"), col("l_shipts"), col("l_returnflag"),
+        hex(col("l_flagbin")).as("l_flagbin_hex"))
+    }),
+
     // §3.1 Debezium-topic transport on the GENERIC IR: wire envelope frames
     // assembled into Kafka-shaped records (key = pk-struct JSON, value = the
     // Debezium envelope with inline images), decoded back through ONE
@@ -335,6 +361,21 @@ object RowImageQueries extends QueryPack {
 
     "rowimage_upsert_materialize" ->
       s"""$clSql
+         |SELECT l_partkey, l_suppkey, max(o) AS last_offset,
+         |       CAST(CAST(arg_max(l_quantity, o) AS DECIMAL(12,2)) AS VARCHAR)
+         |         AS l_quantity,
+         |       CAST(CAST(arg_max(l_extendedprice, o) AS DECIMAL(14,2)) AS VARCHAR)
+         |         AS l_extendedprice,
+         |       CAST(arg_max(l_shipdate, o) AS DATE) AS l_shipdate,
+         |       arg_max(l_shipdate, o) AS l_shipts,
+         |       CASE WHEN arg_max(op, o) = 'u'
+         |            THEN arg_max(l_returnflag, o) END AS l_returnflag,
+         |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
+         |FROM cl GROUP BY l_partkey, l_suppkey
+         |HAVING arg_max(op, o) <> 'd'""".stripMargin,
+
+    "rowimage_hybrid_materialize" ->
+      s"""${clSqlWhere(" WHERE l_orderkey <= 15000")}
          |SELECT l_partkey, l_suppkey, max(o) AS last_offset,
          |       CAST(CAST(arg_max(l_quantity, o) AS DECIMAL(12,2)) AS VARCHAR)
          |         AS l_quantity,

@@ -1,0 +1,91 @@
+package graft.cdc.source
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.cdc.model.{Changelog, RowImage}
+import graft.cdc.model.RowImage.DeclaredTable
+
+/** S1 on the GENERIC IR — the flagship hybrid-source flow over an arbitrary
+  * declared table shape with a COMPOSITE key: chunked snapshot observation
+  * with per-chunk (LOW, HIGH] backfill brackets, then the log phase from
+  * min(high watermark) with the per-split emit filter, merged to current
+  * state. The scalar form is [[HybridPipeline]]; every phase here runs the
+  * schema-driven operators ([[RowImage.upsertMaterialize]] on the decoded
+  * envelope IR), with chunk boundaries as key-struct literals compared
+  * lexicographically — the same boundary order the composite chunk
+  * planners (KeyedChunkPlanner) emit.
+  *
+  * Reference: MySqlHybridSplitAssigner.java:103-232 (phase sequencing,
+  * binlog split at min hwm), SnapshotSplitReadTask.java:166-212 (watermark
+  * bracketing), BinlogSplitReader.java:228-279 (shouldEmit). As in the
+  * scalar form, no enumerator/reader RPC survives: the driver sequences
+  * phases over tiny plan metadata, executors do all row work.
+  *
+  * A chunk's "snapshot scan observed at lowWm" is the materialized state of
+  * the chunk's key range at that offset — which for a changelog-defined
+  * table IS the upsert merge of events ≤ lowWm (a real scanner reads the
+  * same state off the source table; deletes before lowWm are absent, as
+  * they are from a real scan).
+  */
+object RowImageHybrid {
+
+  /** (keyLo, keyHi, lowWm, highWm) per chunk — lo/hi are key-struct literal
+    * columns typed [[DeclaredTable.keyType]] (None = unbounded); ranges must
+    * partition the key space.
+    */
+  type ChunkPlan = Seq[(Option[Column], Option[Column], Long, Long)]
+
+  /** [keyLo, keyHi) containment on the composite key — shared by the chunk
+    * observation pushdown, the backfill filter and the emit filter so the
+    * boundary semantics cannot drift (struct comparison is lexicographic
+    * over the declared pk fields).
+    */
+  def rangePredicate(key: Column, lo: Option[Column], hi: Option[Column]): Column =
+    lo.map(key >= _).getOrElse(lit(true)) && hi.map(key < _).getOrElse(lit(true))
+
+  /** Flattened merge output -> READ rows in the 4-column generic IR the
+    * next merge consumes (offset, op='r', key, after) — the reference's
+    * normalized-split output shape (every surviving row rewritten as READ).
+    */
+  private def asRead(merged: DataFrame, table: DeclaredTable): DataFrame =
+    merged.select(
+      col("last_offset").as("offset"),
+      lit(Changelog.OpRead).as("op"),
+      struct(table.pkCols.map(col): _*).cast(table.keyType).as("key"),
+      struct(table.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .cast(table.schema).as("after"))
+
+  /** Materialize the hybrid flow over decoded generic-IR rows
+    * (`(offset, op, ts_ms, key, before, after)` — [[RowImage.decodeEnvelope]]
+    * output). Returns the flattened state (pk cols, last_offset, value
+    * cols), which must equal the direct [[RowImage.upsertMaterialize]] of
+    * the whole log — the exactly-once property the spec and oracle assert.
+    */
+  def materialize(ir: DataFrame, table: DeclaredTable, plan: ChunkPlan): DataFrame = {
+    val slim = ir.select(col("offset"), col("op"), col("key"), col("after"))
+
+    val chunks = plan.map { case (lo, hi, lowWm, highWm) =>
+      val inRange = (df: DataFrame) => df.where(rangePredicate(col("key"), lo, hi))
+      // chunk scan observed at lowWm, emitted as READ rows
+      val observed = asRead(RowImage.upsertMaterialize(
+        inRange(slim).where(col("offset") <= lowWm), table), table)
+      if (lowWm == highWm) observed // backfill-skip short circuit
+      else {
+        val backfill = inRange(slim)
+          .where(col("offset") > lowWm && col("offset") <= highWm)
+        asRead(RowImage.upsertMaterialize(
+          observed.unionByName(backfill), table), table)
+      }
+    }.reduce(_ unionByName _)
+
+    // log phase from min(high watermark); an event passes iff its key's
+    // chunk is already past it (offset > that chunk's hwm)
+    val minHwm = plan.map(_._4).min
+    val emitCond = plan.map { case (lo, hi, _, highWm) =>
+      rangePredicate(col("key"), lo, hi) && col("offset") > highWm
+    }.reduce(_ || _)
+    val logPhase = slim.where(col("offset") > minHwm && emitCond)
+
+    RowImage.upsertMaterialize(chunks.unionByName(logPhase), table)
+  }
+}
