@@ -203,9 +203,15 @@ object RowImageQueries extends QueryPack {
     // capped changelog: the hybrid interleaving must reproduce it exactly.
     // Capped at l_orderkey <= 15000 so the bench-SF fixture stays bounded.
     "rowimage_hybrid_materialize" -> ((s, dir) => {
+      // the composition references the IR from 7 subtrees (3 chunks ×
+      // observe/backfill + log phase); materialize the synthesis ONCE —
+      // against a real source each chunk scan is a range-pruned read of the
+      // source table (one total pass), so the re-derivation is purely a
+      // fixture artifact. localCheckpoint = the same lineage-truncation
+      // trade documented at Dedup.clusterAssign
       val ir = decodeEnvelope(
         envelopeFrom(Changelog.table(s, dir, "lineitem").where(col("l_orderkey") <= 15000)),
-        lineitemTable)
+        lineitemTable).localCheckpoint()
       val keyType = lineitemTable.keyType
       def k(p: Long, sk: Long): Column =
         struct(lit(p).as("l_partkey"), lit(sk).as("l_suppkey")).cast(keyType)

@@ -7,15 +7,21 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    val df = graft.SparkEntry.queries("rowimage_kafka_roundtrip")(s, dir)
-    println("KAFKA_ROWS " + df.count())
-    df.orderBy("offset").show(3, false)
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    time("hybrid_1")(graft.SparkEntry.queries("rowimage_hybrid_materialize")(s, dir).count())
+    time("hybrid_2")(graft.SparkEntry.queries("rowimage_hybrid_materialize")(s, dir).count())
+    time("upsert_1")(graft.SparkEntry.queries("rowimage_upsert_materialize")(s, dir).count())
+    time("upsert_2")(graft.SparkEntry.queries("rowimage_upsert_materialize")(s, dir).count())
     s.stop()
   }
 }
