@@ -43,6 +43,25 @@ object RowImageHybrid {
   def rangePredicate(key: Column, lo: Option[Column], hi: Option[Column]): Column =
     lo.map(key >= _).getOrElse(lit(true)) && hi.map(key < _).getOrElse(lit(true))
 
+  /** Bridge from the composite chunk planners to a hybrid plan: the
+    * `(start, end]` boundary chain KeyedChunkPlanner emits (tuples of key
+    * values) becomes key-struct literals, and the caller assigns each
+    * chunk its observed watermark bracket (a real sequential scanner
+    * observes every chunk at a different log position).
+    */
+  def planFromBoundaries(
+      table: DeclaredTable,
+      ranges: Seq[(Option[Seq[Any]], Option[Seq[Any]])],
+      watermarks: Int => (Long, Long)): ChunkPlan = {
+    def b(values: Seq[Any]): Column =
+      struct(values.zip(table.pkCols).map { case (v, c) => lit(v).as(c) }: _*)
+        .cast(table.keyType)
+    ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val (lowWm, highWm) = watermarks(i)
+      (lo.map(b), hi.map(b), lowWm, highWm)
+    }
+  }
+
   /** Flattened merge output -> READ rows in the 4-column generic IR the
     * next merge consumes (offset, op='r', key, after) — the reference's
     * normalized-split output shape (every surviving row rewritten as READ).

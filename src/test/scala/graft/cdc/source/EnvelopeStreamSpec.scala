@@ -201,6 +201,41 @@ class EnvelopeStreamSpec extends SparkTestBase {
       .where(col("l_flagbin").isNotNull).count() > 0)
   }
 
+  test("Debezium topic face streams: kafka-shaped source -> decode -> generic sink") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    import EnvelopeStreamSpec.Rec
+    // kafka-shaped records for a capped slice, via the reverse sink shape
+    val fs = frames().take(400)
+    val env = fs.toSeq.toDF("offset", "op", "ts_ms", "table_name", "before", "after")
+    val recs = RowImage.encodeDebeziumTopic(env, t,
+        db = "inventory", topic = "inventory.lineitem", nPartitions = 4)
+      .collect()
+      .map(r => Rec(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1),
+        r.getString(2), r.getInt(3), r.getLong(4)))
+
+    val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("dbz")}/db;create=true"
+    RowImage.createStateTable(url, t, "DBZ_STATE")
+    val stream = MemoryStream[Rec]
+    val q = stream.toDF().writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dbz_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        RowImage.applyRows(RowImage.decodeDebeziumTopic(batch, t), t, url, "DBZ_STATE")
+      }.start()
+    // two deliveries, second one a partial REPLAY (at-least-once transport)
+    stream.addData(recs.take(250).toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(recs.drop(150).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(norm(RowImage.readState(spark, t, url, "DBZ_STATE")) == norm(batchTruth(fs.take(400))))
+  }
+
   test("envelope reader applies the capture-list filter on the tagged log") {
     val fs = frames().take(200)
     // interleave a second table's frames in the same log (one binlog, many
@@ -230,4 +265,12 @@ class EnvelopeStreamSpec extends SparkTestBase {
     // checkpoints the full log range (even seqs only in the output)
     assert(got.select("offset").collect().forall(_.getLong(0) % 2 == 0))
   }
+}
+
+object EnvelopeStreamSpec {
+  /** Kafka record shape for MemoryStream injection (needs a top-level
+    * Product for encoder derivation).
+    */
+  case class Rec(key: Array[Byte], value: Array[Byte], topic: String,
+      partition: Int, offset: Long)
 }

@@ -54,4 +54,19 @@ class RowImageHybridSpec extends SparkTestBase {
         s"plan $i diverged from the direct merge")
     }
   }
+
+  test("planner-generated composite boundaries drive the hybrid (full loop)") {
+    // the 100 TB path: sampled composite-key boundaries from the keyed
+    // planner -> hybrid chunk plan -> result equals the direct merge
+    val keys = ir.select(col("key.l_partkey").as("l_partkey"),
+      col("key.l_suppkey").as("l_suppkey"))
+    val ranges = graft.cdc.split.KeyedChunkPlanner.sampledChunkRanges(
+      keys, Seq("l_partkey", "l_suppkey"), n = 4, fraction = 0.5)
+    assert(ranges.length == 4)
+    val lo = 100000000000000L
+    val plan = RowImageHybrid.planFromBoundaries(t, ranges,
+      i => (lo * (i + 1), lo * (i + 3))) // staggered brackets per chunk
+    assert(norm(RowImageHybrid.materialize(ir, t, plan)) ==
+      norm(RowImage.upsertMaterialize(ir, t)))
+  }
 }
