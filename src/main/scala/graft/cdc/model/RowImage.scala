@@ -319,6 +319,20 @@ object RowImage {
       .join(broadcast(splits), cond, "left_semi")
   }
 
+  /** P9 on the generic IR — envelope-integrity validator (the reference's
+    * ValueValidator hook as a per-row assertion): every frame must carry a
+    * complete key, upserts an after image, deletes a before image. The
+    * returned frame throws at execution time on the first violating row.
+    */
+  def validateFrames(ir: DataFrame, table: DeclaredTable): DataFrame = {
+    val keyOk = table.pkCols.map(c => col("key").getField(c).isNotNull).reduce(_ && _)
+    val cond = keyOk &&
+      (col("op") === Changelog.OpDelete || col("after").isNotNull) &&
+      (col("op") =!= Changelog.OpDelete || col("before").isNotNull)
+    graft.cdc.merge.ChangelogOps.validated(ir, cond,
+      "corrupt change frame: missing key or missing image for its op")
+  }
+
   // --------------------------------------------------------------------
   // Debezium-topic face of the generic path: Kafka-shaped records whose
   // value is a Debezium JSON envelope with ARBITRARY declared row images

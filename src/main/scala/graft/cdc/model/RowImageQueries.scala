@@ -63,6 +63,55 @@ object RowImageQueries extends QueryPack {
     col("l_linestatus").cast(BinaryType).as("l_flagbin")
   )
 
+  /** A THIRD table shape through the gate: `orders` declared with a
+    * single-column pk that REPEATS across the changelog (o_custkey — the
+    * materialization is "each customer's latest order"), unique offsets
+    * (o_orderkey), and a different converter mix (two strings, one of them
+    * null on the insert wire path).
+    */
+  val ordersTable: DeclaredTable = DeclaredTable(
+    "orders",
+    StructType(Seq(
+      StructField("o_custkey", LongType),
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DecimalType(14, 2)),
+      StructField("o_orderdate", DateType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_orderpriority", StringType)
+    )),
+    pkCols = Seq("o_custkey"))
+
+  /** orders -> wire envelope frames, same deterministic derivation style as
+    * the lineitem fixture: op from o_orderstatus (F -> d, P -> u, else c),
+    * offset = o_orderkey (unique), before images shifted.
+    */
+  def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    def image(priceShift: Int, status: Column): Column = struct(
+      col("o_custkey"),
+      col("o_orderkey"),
+      (col("o_totalprice") + lit(priceShift)).cast(DecimalType(14, 2)).as("o_totalprice"),
+      col("o_orderdate").cast(DateType).as("o_orderdate"),
+      status.as("o_orderstatus"),
+      col("o_orderpriority"))
+    val after = image(0, when(col("o_orderstatus") === "O", lit(null).cast(StringType))
+      .otherwise(col("o_orderstatus")))
+    val before = image(10, lit("X"))
+    Changelog.table(spark, sfDir, "orders")
+      .repartition(col("o_orderkey"))
+      .withColumn("op",
+        when(col("o_orderstatus") === "F", Changelog.OpDelete)
+          .when(col("o_orderstatus") === "P", Changelog.OpUpdate)
+          .otherwise(Changelog.OpInsert))
+      .select(
+        col("o_orderkey").as("offset"),
+        col("op"),
+        unix_millis(col("o_orderdate").cast(TimestampType)).as("ts_ms"),
+        when(col("op").isin(Changelog.OpUpdate, Changelog.OpDelete),
+          encodeImage(before, ordersTable)).as("before"),
+        when(col("op") =!= Changelog.OpDelete,
+          encodeImage(after, ordersTable)).as("after"))
+  }
+
   /** lineitem -> wire envelope frames (offset, op, ts_ms, before, after)
     * with JSON-string images — the raw shape a Debezium topic delivers.
     * Narrow projection; no shuffle.
@@ -194,6 +243,19 @@ object RowImageQueries extends QueryPack {
         col("offset"), col("op"),
         col("key.l_partkey").as("l_partkey"),
         col("key.l_suppkey").as("l_suppkey"))),
+
+    // P1/P9/J1 on a THIRD declared shape — orders keyed by the REPEATING
+    // o_custkey ("each customer's latest order"), decoded through the
+    // envelope-integrity validator (validateFrames: key + op-appropriate
+    // image present, or the query throws) and merged on the decoded-IR path
+    "rowimage_orders_upsert" -> ((s, dir) => {
+      val ir = validateFrames(
+        decodeEnvelope(ordersEnvelope(s, dir), ordersTable), ordersTable)
+      upsertMaterialize(ir, ordersTable).select(
+        col("o_custkey"), col("last_offset"), col("o_orderkey"),
+        col("o_totalprice").cast(StringType).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
 
     // S1/T1/T2 on the GENERIC IR: the flagship hybrid snapshot⊕log flow
     // over the composite-key lineitem shape — per-chunk observation at
@@ -378,6 +440,25 @@ object RowImageQueries extends QueryPack {
          |            THEN arg_max(l_returnflag, o) END AS l_returnflag,
          |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
          |FROM cl GROUP BY l_partkey, l_suppkey
+         |HAVING arg_max(op, o) <> 'd'""".stripMargin,
+
+    "rowimage_orders_upsert" ->
+      s"""WITH cl AS (
+         |  SELECT o_orderkey AS o,
+         |         CASE o_orderstatus WHEN 'F' THEN 'd' WHEN 'P' THEN 'u'
+         |              ELSE 'c' END AS op,
+         |         o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         |         o_orderstatus, o_orderpriority
+         |  FROM orders)
+         |SELECT o_custkey, max(o) AS last_offset,
+         |       arg_max(o_orderkey, o) AS o_orderkey,
+         |       CAST(CAST(arg_max(o_totalprice, o) AS DECIMAL(14,2)) AS VARCHAR)
+         |         AS o_totalprice,
+         |       CAST(arg_max(o_orderdate, o) AS DATE) AS o_orderdate,
+         |       CASE WHEN arg_max(op, o) = 'u'
+         |            THEN arg_max(o_orderstatus, o) END AS o_orderstatus,
+         |       arg_max(o_orderpriority, o) AS o_orderpriority
+         |FROM cl GROUP BY o_custkey
          |HAVING arg_max(op, o) <> 'd'""".stripMargin,
 
     "rowimage_hybrid_materialize" ->
