@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque binary
@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The single (mime, nbytes, origin) metadata constructor — both payload
+    * paths build their `meta` struct here so the mime labels cannot drift
+    * from the schema shape.
+    */
+  private def metaStruct(mime: String, payload: Column, origin: Column): Column =
+    struct(
+      lit(mime).as("mime"),
+      octet_length(payload).as("nbytes"),
+      origin.as("origin"))
+
   /** Wrap documents as binary payloads + typed metadata, the schema a real
     * image/audio table would carry.
     */
@@ -22,11 +32,8 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
-      struct(
-        lit("application/octet-stream").as("mime"),
-        octet_length(col("text").cast("binary")).as("nbytes"),
-        col("source").as("origin")
-      ).as("meta")
+      metaStruct("application/octet-stream",
+        col("text").cast("binary"), col("source")).as("meta")
     )
 
   /** Image width of the synthetic PNG fixture: one grayscale pixel per text
@@ -49,11 +56,7 @@ object Multimodal {
       .select(
         col("doc_id"),
         col("payload"),
-        struct(
-          lit("image/png").as("mime"),
-          octet_length(col("payload")).as("nbytes"),
-          lit("synthetic").as("origin")
-        ).as("meta"))
+        metaStruct("image/png", col("payload"), lit("synthetic")).as("meta"))
   }
 
   private[ext] def pngBytes(text: String): Array[Byte] = {
