@@ -19,7 +19,8 @@ object SparkEntry {
     cdc.types.TypeQueries,
     cdc.source.SourceQueries,
     relational.RelationalQueries,
-    ext.ExtQueries
+    ext.ExtQueries,
+    ext.CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

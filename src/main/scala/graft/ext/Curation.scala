@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: within-document
+  * repetition statistics (the Gopher-style "top n-gram fraction" family),
+  * PII scrubbing, and the composed quality gate that chains language ID,
+  * length/repetition filters, and exact-dedup keeper selection into the
+  * one pass a 100 TB curation job actually runs.
+  *
+  * Repetition stats are per-document array folds — the whole computation
+  * stays inside the row (no explode, no shuffle), in contrast to
+  * [[TextAnalysis.bigramFreq]]'s corpus-level aggregation. The pipeline's
+  * only shuffles are the exact-dedup digest groupBy (32-byte digests, never
+  * texts, cross the wire) and the final small group-by.
+  */
+object Curation {
+
+  /** Per-document word/bigram repetition. All outputs are exact integers
+    * or deterministic strings (argmax ties broken by count desc, then
+    * lexicographically smallest), so the DuckDB oracle matches hash-exact.
+    *
+    * The argmax folds are O(distinct x words) per document — quadratic in
+    * the worst case but bounded by document length, and embarrassingly
+    * row-parallel; nothing leaves the row.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    // fold over the distinct values; if(cond) needs same-typed branches, so
+    // both arms are named_struct with identical field sets
+    def argmaxFold(arr: String, over: String): String =
+      s"""aggregate(
+         |  array_distinct($over),
+         |  named_struct('cnt', 0, 'v', cast(null as string)),
+         |  (acc, x) -> if(
+         |    size(filter($arr, y -> y = x)) > acc.cnt
+         |      or (size(filter($arr, y -> y = x)) = acc.cnt and x < acc.v),
+         |    named_struct('cnt', size(filter($arr, y -> y = x)), 'v', x),
+         |    acc))""".stripMargin
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      // slice(ws, 1, 0) = a typed empty array<string>; a bare array() would
+      // be array<null> and break the fold's branch typing
+      .withColumn("bg", expr(
+        """case when size(ws) >= 2
+          |     then transform(sequence(0, size(ws) - 2),
+          |                    i -> concat_ws(' ', slice(ws, i + 1, 2)))
+          |     else slice(ws, 1, 0) end""".stripMargin))
+      .withColumn("topw", expr(argmaxFold("ws", "ws")))
+      .withColumn("topb", expr(argmaxFold("bg", "bg")))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        col("topw.v").as("top_word"),
+        col("topw.cnt").as("top_word_cnt"),
+        (col("topw.cnt") * length(col("topw.v"))).as("top_word_chars"),
+        col("topb.v").as("top_bigram"),
+        col("topb.cnt").as("top_bigram_cnt"))
+  }
+
+  /** RE2/Java-portable patterns (no lookahead, no \p classes) so the same
+    * text runs identically under Spark and the DuckDB oracle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[A-Za-z0-9./_-]+"
+
+  /** Mask emails and URLs, keeping the match counts a pipeline audits.
+    * Emails scrub first — a URL never contains '@', so the order only
+    * matters for not re-matching inside the '<EMAIL>' token. Column-arg
+    * regex form keeps the patterns out of SQL-literal escaping.
+    */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).as("n_emails"),
+      regexp_count(col("text"), lit(UrlPattern)).as("n_urls"),
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailPattern), lit("<EMAIL>")),
+        lit(UrlPattern), lit("<URL>")).as("scrubbed"))
+
+  /** The composed curation gate, one declarative plan:
+    *
+    *   1. per-doc stats (words, top-word count, trigram language guess) —
+    *      narrow, map-side;
+    *   2. exact-dedup keeper per sha2-256 digest — the only data-sized
+    *      shuffle, carrying digests, never documents;
+    *   3. keep docs that are their group's keeper, have >= minWords words,
+    *      and whose top word is under 1/repLimit of all words;
+    *   4. corpus report grouped by (source, lang_guess).
+    *
+    * Catalyst plans 2+3 as one hash aggregate + equi-join on the digest;
+    * AQE broadcasts the keeper side when it is small.
+    */
+  def pipeline(docs: DataFrame, minWords: Int = 30, repLimit: Int = 10): DataFrame = {
+    val stats = docs.select(
+      col("doc_id"),
+      col("source"),
+      sha2(col("text"), 256).as("sha"),
+      size(split(col("text"), " ")).as("n_words"),
+      expr(
+        """aggregate(array_distinct(split(text, ' ')), 0,
+          |  (acc, x) -> greatest(acc, size(filter(split(text, ' '), y -> y = x))))"""
+          .stripMargin).as("top_cnt"),
+      TextAnalysis.langGuess.as("lang_guess"))
+    val keepers = docs
+      .groupBy(sha2(col("text"), 256).as("sha"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    stats.join(keepers, "sha")
+      .where(col("doc_id") === col("keep_id")
+        && col("n_words") >= minWords
+        && col("top_cnt") * repLimit <= col("n_words"))
+      .groupBy(col("source"), col("lang_guess"))
+      .agg(
+        count(lit(1)).as("docs_kept"),
+        sum(col("n_words")).as("total_ws_tokens"))
+  }
+}

@@ -85,7 +85,7 @@ object ExtQueries extends QueryPack {
     // recomputes the pixel statistics analytically from the text bytes
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeBatched(
-        Multimodal.encodePng(table(s, dir, "documents")), batchSize = 64).toDF)
+        Multimodal.encodePng(table(s, dir, "documents")), batchSize = 64).toDF())
   )
 
   /** DuckDB rendering of [[Similarity]]'s sequential double fold: prepending

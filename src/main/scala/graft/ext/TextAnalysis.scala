@@ -90,24 +90,32 @@ object TextAnalysis {
     * arithmetic both engines replicate; the whole scorer is one narrow
     * projection, no UDFs.
     */
-  def langIdNgram(docs: DataFrame): DataFrame = {
+  /** Per-language trigram-hit scores over the `text` column. */
+  def langScores: Seq[(String, Column)] = {
     def hits(g: String): Column =
       expr(s"(length(text) - length(replace(text, '$g', ''))) div 3")
-    val scores = LangTrigrams.map { case (lang, gs) =>
-      lang -> gs.map(hits).reduce(_ + _)
-    }
+    LangTrigrams.map { case (lang, gs) => lang -> gs.map(hits).reduce(_ + _) }
+  }
+
+  /** The argmax guess column alone (ties broken by profile order, 'unk'
+    * when nothing hits) — reusable inside composed pipelines.
+    */
+  def langGuess: Column = {
+    val scores = langScores
     val best = scores.tail.foldLeft(
       struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
       case (acc, (lang, sc)) =>
         when(sc > acc.getField("score"),
           struct(sc.as("score"), lit(lang).as("lang"))).otherwise(acc)
     }
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unk"))
+  }
+
+  def langIdNgram(docs: DataFrame): DataFrame =
     docs.select(
       (col("doc_id") +: col("lang") +:
-        scores.map { case (l, sc) => sc.as(s"score_$l") } :+
-        when(best.getField("score") > 0, best.getField("lang"))
-          .otherwise(lit("unk")).as("lang_guess")): _*)
-  }
+        langScores.map { case (l, sc) => sc.as(s"score_$l") } :+
+        langGuess.as("lang_guess")): _*)
 
   /** Winnowing fingerprints (the Schleimer/Wilkerson/Aiken rolling-hash
     * scheme): hash every k-char gram, slide a w-hash window, keep each

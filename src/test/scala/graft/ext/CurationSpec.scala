@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Behavioral coverage of [[Curation]] on hand-built documents: argmax
+  * tie-breaks, the <2-word bigram edge, scrub masking/counting, and the
+  * composed pipeline vs a hand-computed gate.
+  */
+class CurationSpec extends SparkTestBase {
+
+  test("repetition stats: deterministic tie-breaks and the 1-word edge") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a a b b c"), // word tie a/b at 2 -> lexicographic 'a'; all bigrams cnt 1 -> 'a a'
+      (1L, "solo")       // no bigrams at all
+    ).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(docs).orderBy("doc_id").collect()
+    val d0 = r(0)
+    assert(d0.getInt(1) == 5 && d0.getInt(2) == 3)
+    assert(d0.getString(3) == "a" && d0.getInt(4) == 2 && d0.getInt(5) == 2)
+    assert(d0.getString(6) == "a a" && d0.getInt(7) == 1)
+    val d1 = r(1)
+    assert(d1.getInt(1) == 1 && d1.getString(3) == "solo")
+    assert(d1.isNullAt(6) && d1.getInt(7) == 0)
+  }
+
+  test("scrub masks emails then urls and counts matches") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "mail bob@x.com or sue.q+1@mail.example.org visit https://x.com/a_b now"),
+      (1L, "no pii here")
+    ).toDF("doc_id", "text")
+    val r = Curation.scrubPii(docs).orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 2 && r(0).getInt(2) == 1)
+    assert(r(0).getString(3) == "mail <EMAIL> or <EMAIL> visit <URL> now")
+    assert(r(1).getInt(1) == 0 && r(1).getInt(2) == 0)
+    assert(r(1).getString(3) == "no pii here")
+  }
+
+  test("pipeline == hand-computed gate incl. keeper dedup and repetition cut") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 6 distinct words: passes length (>=3) and repetition (1*3 <= 6); no
+      // profile trigram hits -> 'unk'
+      (0L, "w1 w2 w3 w4 w5 w6", "A"),
+      // 'the' x3 of 7 words: 3*3 > 7 -> repetition cut
+      (1L, "the cat and the dog runs the", "A"),
+      // exact duplicates: only doc 2 (min doc_id) survives; 'the' x2 of 6
+      // words passes 2*3 <= 6; en trigram hits (the, and, ing in 'king')
+      (2L, "data and the king the queen", "B"),
+      (3L, "data and the king the queen", "B")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.pipeline(docs, minWords = 3, repLimit = 3)
+      .orderBy("source").collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "A" && r(0).getString(1) == "unk"
+      && r(0).getLong(2) == 1L && r(0).getLong(3) == 6L)
+    assert(r(1).getString(0) == "B" && r(1).getString(1) == "en"
+      && r(1).getLong(2) == 1L && r(1).getLong(3) == 6L)
+  }
+}
