@@ -79,6 +79,34 @@ object Curation {
         regexp_replace(col("text"), lit(EmailPattern), lit("<EMAIL>")),
         lit(UrlPattern), lit("<URL>")).as("scrubbed"))
 
+  /** Benchmark decontamination — flag corpus documents sharing word
+    * n-grams with a benchmark/eval set, the standard hygiene pass before
+    * training. Returns (doc_id, shared_grams) for every corpus doc with at
+    * least one distinct n-gram in common.
+    *
+    * Shape at 100 TB: n-grams are deduped per document BEFORE exploding
+    * (array_distinct in the row), only 32-byte digests leave the scan, and
+    * the benchmark side — small by nature (an eval suite, not a corpus) —
+    * is broadcast so the corpus never shuffles. If a benchmark ever
+    * outgrew the broadcast threshold, drop the hint and the same plan
+    * becomes a digest-keyed shuffle join.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    def gramRows(df: DataFrame): DataFrame = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""case when size(ws) >= $n
+           |     then array_distinct(transform(sequence(0, size(ws) - $n),
+           |                                   i -> concat_ws(' ', slice(ws, i + 1, $n))))
+           |     else slice(ws, 1, 0) end""".stripMargin)).as("g"))
+      .select(col("doc_id"), sha2(col("g"), 256).as("gsha"))
+    val bench = gramRows(benchmark).select("gsha").distinct()
+    gramRows(corpus)
+      .join(broadcast(bench), "gsha")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** The composed curation gate, one declarative plan:
     *
     *   1. per-doc stats (words, top-word count, trigram language guess) —

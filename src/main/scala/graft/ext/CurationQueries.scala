@@ -27,7 +27,17 @@ object CurationQueries extends QueryPack {
     }),
 
     "corpus_curation_pipeline" -> ((s, dir) =>
-      Curation.pipeline(table(s, dir, "documents")))
+      Curation.pipeline(table(s, dir, "documents"))),
+
+    // benchmark set = every 29th doc (fixture stand-in for an eval suite);
+    // the planted near-duplicates of benchmark members get flagged with
+    // high overlap, plus the occasional single-gram chance collision
+    "corpus_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Curation.decontaminate(
+        docs.where(col("doc_id") % 29 =!= 0),
+        docs.where(col("doc_id") % 29 === 0))
+    })
   )
 
   def oracles: Map[String, String] = {
@@ -85,6 +95,19 @@ object CurationQueries extends QueryPack {
            |         '${Curation.EmailPattern}', '<EMAIL>', 'g'),
            |         '${Curation.UrlPattern}', '<URL>', 'g') AS scrubbed
            |FROM aug""".stripMargin,
+
+      "corpus_decontaminate" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |grams AS (
+          |  SELECT DISTINCT doc_id,
+          |         unnest(list_transform(generate_series(1, len(ws) - 4),
+          |                               i -> array_to_string(ws[i:i+4], ' '))) AS g
+          |  FROM t WHERE len(ws) >= 5),
+          |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0)
+          |SELECT doc_id, count(*) AS shared_grams
+          |FROM grams JOIN bench USING (g)
+          |WHERE doc_id % 29 <> 0
+          |GROUP BY doc_id""".stripMargin,
 
       "corpus_curation_pipeline" ->
         s"""WITH wc AS (

@@ -40,6 +40,21 @@ class CurationSpec extends SparkTestBase {
     assert(r(1).getString(3) == "no pii here")
   }
 
+  test("decontaminate counts distinct shared n-grams; short docs never flag") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "q w e r t y")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "z q w e r t k"),                 // shares "q w e r t" once
+      (2L, "q w e r t y q w e r t y"),       // both bench grams, repeats count once
+      (3L, "no overlap here at all five"),   // zero shared -> absent
+      (4L, "tiny doc")                       // < n words -> no grams at all
+    ).toDF("doc_id", "text")
+    val r = Curation.decontaminate(corpus, bench, n = 5)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("pipeline == hand-computed gate incl. keeper dedup and repetition cut") {
     val s = spark
     import s.implicits._
