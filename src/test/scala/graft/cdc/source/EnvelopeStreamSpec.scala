@@ -88,6 +88,46 @@ class EnvelopeStreamSpec extends SparkTestBase {
     assert(norm(RowImage.readState(spark, t, url, "ENV_STATE")) == got)
   }
 
+  test("generic hybrid handover: snapshot applyRows + streamed tail == direct merge") {
+    import spark.implicits._
+    val fs = frames()
+    val w = fs.length / 2 - 1 // snapshot watermark in the log's SEQ domain
+
+    val dir = java.nio.file.Files.createTempDirectory("derby_hy").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    // the change log starts AT the handover — the stream never sees the
+    // prefix, exactly like a binlog tailed from the snapshot watermark
+    CdcMicroBatch.appendEnvelopeTable(url, "HY_LOG", fs.filter(_._1 > w).iterator)
+
+    // snapshot phase: batch-merge the prefix and seed the state table as
+    // READ rows carrying their winning offsets (the offset guard then
+    // totally orders them against the streamed tail)
+    RowImage.createStateTable(url, t, "HY_STATE")
+    val prefix = fs.filter(_._1 <= w).toSeq
+      .toDF("offset", "op", "ts_ms", "table_name", "before", "after")
+    val snapIr = RowImage.upsertMaterializeEnvelope(prefix, t).select(
+      col("last_offset").as("offset"),
+      lit(Changelog.OpRead).as("op"),
+      struct(t.pkCols.map(c => col(c).as(c)): _*).as("key"),
+      struct(t.schema.fieldNames.toSeq.map(c => col(c).as(c)): _*).as("after"))
+    RowImage.applyRows(snapIr, t, url, "HY_STATE")
+
+    // log phase: drain the tail through the DSv2 envelope stream into the
+    // SAME state table
+    val ckpt = java.nio.file.Files.createTempDirectory("hy_ckpt").toString
+    val q = RowImage.applyEnvelopeStream(
+      CdcSource.read(spark)
+        .option("envelope", "true")
+        .option("max-events-per-trigger", 64)
+        .loadMicroBatch(url, "HY_LOG"),
+      t, url, "HY_STATE", ckpt, trigger = Some(Trigger.AvailableNow()))
+    assert(q.awaitTermination(120000), "hybrid tail drain did not terminate")
+
+    val got = norm(RowImage.readState(spark, t, url, "HY_STATE"))
+    assert(got == norm(batchTruth(fs)))
+    assert(got.nonEmpty)
+  }
+
   test("multi-table envelope stream routes each declared shape to its state table") {
     import org.apache.spark.sql.types._
     // a second declared shape from the orders table: single-column pk,
