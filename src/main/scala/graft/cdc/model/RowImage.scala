@@ -214,6 +214,41 @@ object RowImage {
       .groupBy(keyColumn(table, overrides).as("key"))
       .agg(max_by(struct(col("offset"), col("op"), col("after")), col("offset")).as("last"))
       .where(col("last.op") =!= Changelog.OpDelete)
+    decodeWinners(merged, table, overrides)
+  }
+
+  /** Skew-resistant form of [[upsertMaterializeEnvelope]]: a hot key (one
+    * row receiving a disproportionate share of the changelog — the
+    * aggregation-skew case AQE's skew handling does not cover) first
+    * reduces per (key, offset-derived salt), then per key — two small
+    * shuffles instead of one skewed one, exactly
+    * [[graft.cdc.merge.Skew.saltedUpsertMaterialize]] lifted to wire
+    * envelopes. The partial winners still carry the after-image as an
+    * OPAQUE string; survivors decode once, after both reductions.
+    */
+  def upsertMaterializeEnvelopeSalted(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      buckets: Int,
+      overrides: ConverterOverrides = NoOverrides): DataFrame = {
+    val perSalt = envelope
+      .withColumn("salt", pmod(xxhash64(col("offset")), lit(buckets)))
+      .groupBy(keyColumn(table, overrides).as("key"), col("salt"))
+      .agg(max_by(struct(col("offset"), col("op"), col("after")), col("offset")).as("last"))
+    val merged = perSalt
+      .groupBy(col("key"))
+      .agg(max_by(col("last"), col("last.offset")).as("last"))
+      .where(col("last.op") =!= Changelog.OpDelete)
+    decodeWinners(merged, table, overrides)
+  }
+
+  /** Decode the merge winners `(key, last: (offset, op, after-json))` into
+    * the flattened output shape, parsing each surviving image once.
+    */
+  private def decodeWinners(
+      merged: DataFrame,
+      table: DeclaredTable,
+      overrides: ConverterOverrides): DataFrame = {
     // materialize the parse behind an ATTRIBUTE boundary: getField over a
     // bare (or when-guarded) from_json gets rewritten to a single-field
     // parse PER value column; over an attribute nothing can split it, and

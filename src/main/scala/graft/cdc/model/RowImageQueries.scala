@@ -161,6 +161,15 @@ object RowImageQueries extends QueryPack {
   def rows(spark: SparkSession, sfDir: String): DataFrame =
     decodeEnvelope(envelope(spark, sfDir), lineitemTable)
 
+  /** Driver-compare-safe projection of the lineitem merge output. */
+  private def upsertOut(m: DataFrame): DataFrame =
+    m.select(
+      col("l_partkey"), col("l_suppkey"), col("last_offset"),
+      col("l_quantity").cast(StringType).as("l_quantity"),
+      col("l_extendedprice").cast(StringType).as("l_extendedprice"),
+      col("l_shipdate"), col("l_shipts"), col("l_returnflag"),
+      hex(col("l_flagbin")).as("l_flagbin_hex"))
+
   /** Driver-compare-safe projection of one image's value columns. */
   private def valueOut(img: Column): Seq[Column] = Seq(
     img.getField("l_quantity").cast(StringType).as("l_quantity"),
@@ -186,6 +195,21 @@ object RowImageQueries extends QueryPack {
       .unionByName(row(k(500, 50), k(1500, 25), 1200000000000000L))
       .unionByName(row(k(1500, 25), nul, 400000000000000L))
   }
+
+  private lazy val upsertSql: String =
+    s"""$clSql
+       |SELECT l_partkey, l_suppkey, max(o) AS last_offset,
+       |       CAST(CAST(arg_max(l_quantity, o) AS DECIMAL(12,2)) AS VARCHAR)
+       |         AS l_quantity,
+       |       CAST(CAST(arg_max(l_extendedprice, o) AS DECIMAL(14,2)) AS VARCHAR)
+       |         AS l_extendedprice,
+       |       CAST(arg_max(l_shipdate, o) AS DATE) AS l_shipdate,
+       |       arg_max(l_shipdate, o) AS l_shipts,
+       |       CASE WHEN arg_max(op, o) = 'u'
+       |            THEN arg_max(l_returnflag, o) END AS l_returnflag,
+       |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
+       |FROM cl GROUP BY l_partkey, l_suppkey
+       |HAVING arg_max(op, o) <> 'd'""".stripMargin
 
   /** Shared oracle prelude: the deterministic changelog derivation. */
   private def clSqlWhere(where: String): String =
@@ -226,15 +250,16 @@ object RowImageQueries extends QueryPack {
 
     // J1/W1 generic — last-writer-wins per COMPOSITE key (envelope-native:
     // pk-only parse pre-shuffle, winners decoded post-merge)
-    "rowimage_upsert_materialize" -> ((s, dir) => {
-      val m = upsertMaterializeEnvelope(envelope(s, dir), lineitemTable)
-      m.select(
-        col("l_partkey"), col("l_suppkey"), col("last_offset"),
-        col("l_quantity").cast(StringType).as("l_quantity"),
-        col("l_extendedprice").cast(StringType).as("l_extendedprice"),
-        col("l_shipdate"), col("l_shipts"), col("l_returnflag"),
-        hex(col("l_flagbin")).as("l_flagbin_hex"))
-    }),
+    "rowimage_upsert_materialize" -> ((s, dir) =>
+      upsertOut(upsertMaterializeEnvelope(envelope(s, dir), lineitemTable))),
+
+    // J1 generic under HOT-KEY SKEW: the salted two-phase envelope merge
+    // (per-(key, salt) partial winners, then per-key reduce) must produce
+    // byte-identical results to the single-shuffle form — both share one
+    // oracle
+    "rowimage_upsert_salted" -> ((s, dir) =>
+      upsertOut(upsertMaterializeEnvelopeSalted(
+        envelope(s, dir), lineitemTable, buckets = 8))),
 
     // J2 generic — per-split emit filter over composite key ranges
     // (envelope-native: only the pk fields are ever parsed)
@@ -427,20 +452,11 @@ object RowImageQueries extends QueryPack {
          |       CAST(CAST(l_quantity + 5 AS DECIMAL(12,2)) AS VARCHAR), 'P'
          |FROM cl WHERE op = 'd'""".stripMargin,
 
-    "rowimage_upsert_materialize" ->
-      s"""$clSql
-         |SELECT l_partkey, l_suppkey, max(o) AS last_offset,
-         |       CAST(CAST(arg_max(l_quantity, o) AS DECIMAL(12,2)) AS VARCHAR)
-         |         AS l_quantity,
-         |       CAST(CAST(arg_max(l_extendedprice, o) AS DECIMAL(14,2)) AS VARCHAR)
-         |         AS l_extendedprice,
-         |       CAST(arg_max(l_shipdate, o) AS DATE) AS l_shipdate,
-         |       arg_max(l_shipdate, o) AS l_shipts,
-         |       CASE WHEN arg_max(op, o) = 'u'
-         |            THEN arg_max(l_returnflag, o) END AS l_returnflag,
-         |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
-         |FROM cl GROUP BY l_partkey, l_suppkey
-         |HAVING arg_max(op, o) <> 'd'""".stripMargin,
+    "rowimage_upsert_materialize" -> upsertSql,
+
+    // the salted two-phase merge is semantically identical (max is
+    // associative), so it shares the oracle verbatim
+    "rowimage_upsert_salted" -> upsertSql,
 
     "rowimage_orders_upsert" ->
       s"""WITH cl AS (
