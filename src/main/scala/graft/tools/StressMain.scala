@@ -81,6 +81,60 @@ object StressMain {
     }
     println(s"STRESS-OUT minhashPairs=$mh simhashPairs=$sh")
 
+    // ---- generic envelope path: 10M wire frames, composite keys ------
+    // wire JSON synthesized directly in the frame (to_json of the wire
+    // struct — same shape a Debezium topic delivers), cached before timing
+    val nFrames = 10000000L
+    val genT = graft.cdc.model.RowImage.DeclaredTable(
+      "stress",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k1", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k2", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v_dec", org.apache.spark.sql.types.DecimalType(12, 2)),
+        org.apache.spark.sql.types.StructField("v_str", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v_ts", org.apache.spark.sql.types.TimestampType))),
+      pkCols = Seq("k1", "k2"))
+    val env = spark.range(nFrames).select(
+      col("id").as("offset"),
+      when(pmod(col("id"), lit(10)) === 0, "d").otherwise("u").as("op"),
+      (col("id") * 1000L).as("ts_ms"),
+      expr("""to_json(named_struct(
+        'k1', pmod(graft_mix64(id, 7L), 1000L),
+        'k2', pmod(graft_mix64(id, 11L), 500L),
+        'v_dec', cast(pmod(id, 1000000) as string),
+        'v_str', concat('s', pmod(id, 97)),
+        'v_ts', id * 1000000L))""").as("before"),
+      when(pmod(col("id"), lit(10)) =!= 0, expr("""to_json(named_struct(
+        'k1', pmod(graft_mix64(id, 7L), 1000L),
+        'k2', pmod(graft_mix64(id, 11L), 500L),
+        'v_dec', cast(pmod(id, 1000000) + 1 as string),
+        'v_str', concat('t', pmod(id, 97)),
+        'v_ts', id * 1000000L))""")).as("after")).cache()
+    env.count()
+    // toRdd.count forces the FULL plan — winner decode included, which a
+    // bare count() would prune away
+    val em = time(s"upsertMaterializeEnvelope ${nFrames / 1000000}M frames, 500k composite keys") {
+      graft.cdc.model.RowImage.upsertMaterializeEnvelope(env, genT)
+        .queryExecution.toRdd.count()
+    }
+    val ems = time("upsertMaterializeEnvelopeSalted(16) same input") {
+      graft.cdc.model.RowImage.upsertMaterializeEnvelopeSalted(env, genT, 16)
+        .queryExecution.toRdd.count()
+    }
+    require(em == ems, s"salted envelope merge diverged: $em vs $ems")
+    println(s"STRESS-OUT envelopeMaterialized=$em")
+
+    // ---- curation path over the synthetic docs -----------------------
+    val rep = time(s"repetitionStats ${nDocs / 1000}k docs") {
+      graft.ext.Curation.repetitionStats(docs).queryExecution.toRdd.count()
+    }
+    val dec = time(s"decontaminate ${nDocs / 1000}k docs vs 1% benchmark") {
+      graft.ext.Curation.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(100)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(100)) === 0)).count()
+    }
+    println(s"STRESS-OUT repetitionRows=$rep contaminated=$dec")
+
     // ---- embeddings path: 2M vectors x 64 dims -----------------------
     val nVecs = 2000000L
     val emb = spark.range(nVecs).select(

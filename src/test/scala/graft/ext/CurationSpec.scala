@@ -55,6 +55,33 @@ class CurationSpec extends SparkTestBase {
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("decontaminate composes under Structured Streaming (stream-static join)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val bench = Seq((100L, "q w e r t y")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "z q w e r t k"),
+      (2L, "q w e r t y q w e r t y"),
+      (3L, "no overlap here at all five"))
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Curation.decontaminate(stream.toDS().toDF("doc_id", "text"), bench, n = 5)
+      .writeStream.format("memory").queryName("decon_sink")
+      .outputMode("complete").start()
+    // two micro-batches: the streaming agg must accumulate across them
+    stream.addData(corpus.take(1)); q.processAllAvailable()
+    stream.addData(corpus.drop(1)); q.processAllAvailable()
+    val streamed = spark.table("decon_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+
+    val batch = Curation.decontaminate(corpus.toDF("doc_id", "text"), bench, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 1L), (2L, 2L)))
+  }
+
   test("pipeline == hand-computed gate incl. keeper dedup and repetition cut") {
     val s = spark
     import s.implicits._
