@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines: within-document
@@ -113,6 +114,118 @@ object Curation {
       .join(broadcast(bench), "gsha")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Segment-level exact dedup with global keep-first semantics — the
+    * C4-style pass that removes boilerplate lines repeated across a web
+    * corpus (cookie banners, license footers) while keeping each segment's
+    * FIRST occurrence in corpus order. Documents are cut into consecutive
+    * `span`-word segments (the deterministic stand-in for newline-delimited
+    * paragraphs: the synthetic corpus has no newlines, and a fixed span
+    * keeps the splitter engine-portable); a segment survives iff its
+    * (doc_id, idx) is the smallest among all identical segments corpus-wide.
+    * Returns every input document with its segment counts and the text
+    * reassembled from surviving segments in original order.
+    *
+    * Shape at 100 TB: one posexplode (narrow), then ONE digest-partitioned
+    * shuffle — `row_number` over `partitionBy(sha2(segment))` ordered by
+    * (doc_id, idx); each hash partition holds only the copies of its own
+    * segments, so no partition-less window and no skew beyond true
+    * duplicate multiplicity (a segment repeated billions of times — empty
+    * lines in a real corpus — would be pre-filtered or length-gated
+    * upstream). Reassembly is a second shuffle keyed by doc_id. Segment
+    * text crosses each shuffle once; that is the minimum for an operator
+    * that must return rewritten documents.
+    */
+  def segmentDedup(docs: DataFrame, span: Int = 10): DataFrame = {
+    require(span >= 1, s"span must be positive, got $span")
+    val segs = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(ws) + $span - 1) div $span - 1),
+           |          i -> concat_ws(' ', slice(ws, i * $span + 1, $span)))"""
+          .stripMargin)))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "seg")
+    val firstOccurrence = Window
+      .partitionBy(sha2(col("seg"), 256))
+      .orderBy(col("doc_id"), col("idx"))
+    val kept = segs
+      .withColumn("rn", row_number().over(firstOccurrence))
+      .where(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        // idx is unique per doc, so the struct sort is a sort by idx
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(idx, seg))), x -> x.seg)"))
+          .as("text_kept"))
+    val totals = docs.select(
+      col("doc_id"),
+      expr(s"cast((size(split(text, ' ')) + $span - 1) div $span as bigint)")
+        .as("n_segments"))
+    // left join: a document can lose EVERY segment to earlier docs and must
+    // still report (n_kept = 0, text_kept = '')
+    totals.join(kept, Seq("doc_id"), "left").select(
+      col("doc_id"),
+      col("n_segments"),
+      coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+      coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** Deterministic stratified sampling for data mixing: keep a document iff
+    * its hash bucket `pmod(graft_mix64(doc_id, seed), 1e6)` falls below its
+    * source's keep rate in parts-per-million. `rates` is the mixing-weight
+    * config `(source, keep_ppm)` — small by nature, broadcast so the corpus
+    * never shuffles; sources absent from the config fall back to
+    * `defaultPpm`. Hash-based (not `sample()`) so the result is exactly
+    * reproducible across runs, cluster sizes, and engines, and samples are
+    * NESTED: the keep set at 300k ppm is a subset of the keep set at 500k
+    * ppm, which is what lets a pipeline dial a source's weight up or down
+    * between epochs without resampling the world. Wholly map-side: filter +
+    * broadcast join, no shuffle, no RNG state.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      rates: DataFrame,
+      seed: Long,
+      defaultPpm: Long = 0L): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    docs
+      .join(broadcast(rates), Seq("source"), "left")
+      .withColumn(
+        "bucket_ppm",
+        pmod(call_function("graft_mix64", col("doc_id"), lit(seed)), lit(1000000L)))
+      .where(col("bucket_ppm") < coalesce(col("keep_ppm"), lit(defaultPpm)))
+      .select(col("doc_id"), col("source"), col("bucket_ppm"))
+  }
+
+  /** Hashed-feature linear classifier scoring — the fastText-style quality
+    * model pass (CCNet/LLaMA-family filtering): every whitespace token
+    * hashes into one of `dim` buckets, the model is a `(bucket, w)` weight
+    * table, and a document's score is the sum of its tokens' weights
+    * (integer fixed-point, so the oracle matches hash-exact; a trained
+    * model ships its weights scaled to integers). `dim` must be a power of
+    * two: the bucket is then the hash's low bits, identical under signed
+    * (Spark pmod) and unsigned (oracle) arithmetic.
+    *
+    * Shape at 100 TB: explode is narrow, the weight table — at most `dim`
+    * rows — broadcasts, and the only shuffle is the per-document sum with
+    * map-side partial aggregation. For small `dim` the join could collapse
+    * into an in-row map lookup; the join form is kept because it is the
+    * model-as-data shape (swap the weights table, not the plan).
+    */
+  def hashedLinearScore(docs: DataFrame, weights: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(
+        col("doc_id"),
+        pmod(call_function("graft_fnv64", col("tok")), lit(dim.toLong)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
   }
 
   /** The composed curation gate, one declarative plan:

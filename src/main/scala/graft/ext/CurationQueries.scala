@@ -37,8 +37,43 @@ object CurationQueries extends QueryPack {
       Curation.decontaminate(
         docs.where(col("doc_id") % 29 =!= 0),
         docs.where(col("doc_id") % 29 === 0))
+    }),
+
+    // every 4th doc gets the 10-word boilerplate prefix (the cookie-banner
+    // stand-in): its aligned segment repeats across 125 docs, keep-first
+    // keeps only doc 0's copy and the rewrite drops the other 124
+    "corpus_segment_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val planted = when(col("doc_id") % 4 === 0,
+        concat(lit(Boilerplate + " "), col("text"))).otherwise(col("text"))
+      Curation.segmentDedup(docs.select(col("doc_id"), planted.as("text")), span = 10)
+    }),
+
+    // mixing config derived from the source index (golden-ratio ppm spread;
+    // src0 lands on 0 ppm, exercising the all-dropped stratum)
+    "corpus_stratified_sample" -> ((s, dir) => {
+      val rates = s.range(20).select(
+        concat(lit("src"), col("id")).as("source"),
+        pmod(col("id") * 61803L, lit(1000000L)).as("keep_ppm"))
+      Curation.stratifiedSample(table(s, dir, "documents"), rates, seed = 42L)
+    }),
+
+    // stand-in model: 1024 integer weights in [-1000, 1000] derived from
+    // graft_mix64(bucket, 7) — a trained model would load the same
+    // (bucket, w) shape from storage
+    "corpus_quality_classifier" -> ((s, dir) => {
+      graft.cdc.types.GraftFunctions.register(s) // weights analyze eagerly
+      val weights = s.range(1024).select(
+        col("id").as("bucket"),
+        (pmod(call_function("graft_mix64", col("id"), lit(7L)), lit(2001L)) - 1000L)
+          .as("w"))
+      Curation.hashedLinearScore(table(s, dir, "documents"), weights, dim = 1024)
     })
   )
+
+  /** 10 words exactly — one aligned `span = 10` segment when prefixed. */
+  private[ext] val Boilerplate =
+    "terms of service apply to all content on this site"
 
   def oracles: Map[String, String] = {
     // the trigram scorer + profile-order argmax, exactly as the
@@ -108,6 +143,71 @@ object CurationQueries extends QueryPack {
           |FROM grams JOIN bench USING (g)
           |WHERE doc_id % 29 <> 0
           |GROUP BY doc_id""".stripMargin,
+
+      "corpus_segment_dedup" ->
+        s"""WITH aug AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 4 = 0 THEN '$Boilerplate ' || text
+           |              ELSE text END AS text
+           |  FROM documents),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+           |e AS (SELECT doc_id, ws, unnest(range(0, (len(ws) + 9) // 10)) AS idx
+           |      FROM t),
+           |seg AS (SELECT doc_id, idx,
+           |               array_to_string(
+           |                 list_slice(ws, idx * 10 + 1, idx * 10 + 10), ' ') AS seg
+           |        FROM e),
+           |r AS (SELECT doc_id, idx, seg,
+           |             row_number() OVER (PARTITION BY seg
+           |                                ORDER BY doc_id, idx) AS rn
+           |      FROM seg),
+           |k AS (SELECT doc_id, count(*) AS n_kept,
+           |             string_agg(seg, ' ' ORDER BY idx) AS text_kept
+           |      FROM r WHERE rn = 1 GROUP BY doc_id),
+           |tot AS (SELECT doc_id, CAST((len(ws) + 9) // 10 AS BIGINT) AS n_segments
+           |        FROM t)
+           |SELECT tot.doc_id, n_segments,
+           |       coalesce(n_kept, 0) AS n_kept,
+           |       coalesce(text_kept, '') AS text_kept
+           |FROM tot LEFT JOIN k USING (doc_id)""".stripMargin,
+
+      // pmod on the SIGNED mix64 value: ((x % M) + M) % M — 1e6 does not
+      // divide 2^64, so unsigned % would diverge from Spark's pmod
+      "corpus_stratified_sample" -> {
+        val signedZf = ExtQueries.toSignedSql("zf")
+        s"""WITH src0 AS (SELECT doc_id, source, doc_id::UBIGINT AS hu,
+           |                     42::UBIGINT AS iu
+           |              FROM documents),
+           |mx AS (SELECT * FROM ${ExtQueries.mixChainSql("src0", "doc_id, source")}),
+           |b AS (SELECT doc_id, source,
+           |             CAST((($signedZf % 1000000) + 1000000) % 1000000 AS BIGINT)
+           |               AS bucket_ppm
+           |      FROM mx)
+           |SELECT doc_id, source, bucket_ppm FROM b
+           |WHERE bucket_ppm < (CAST(source[4:] AS BIGINT) * 61803) % 1000000"""
+          .stripMargin
+      },
+
+      // weight derivation replicated through the same mix chain; the token
+      // bucket is fnv64's low 10 bits (dim = 1024 is a power of two, so
+      // unsigned % == Spark's signed pmod)
+      "corpus_quality_classifier" -> {
+        val signedZf = ExtQueries.toSignedSql("zf")
+        s"""WITH w1 AS (SELECT unnest(range(0, 1024)) AS bucket),
+           |w2 AS (SELECT bucket, bucket::UBIGINT AS hu, 7::UBIGINT AS iu FROM w1),
+           |wm AS (SELECT * FROM ${ExtQueries.mixChainSql("w2", "bucket")}),
+           |wt AS (SELECT bucket,
+           |              (($signedZf % 2001) + 2001) % 2001 - 1000 AS w
+           |       FROM wm),
+           |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents),
+           |tb AS (SELECT doc_id,
+           |              CAST(${ExtQueries.fnvUSql("tok")} % 1024 AS BIGINT) AS bucket
+           |       FROM tok)
+           |SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS score
+           |FROM tb JOIN wt USING (bucket)
+           |GROUP BY doc_id""".stripMargin
+      },
 
       "corpus_curation_pipeline" ->
         s"""WITH wc AS (

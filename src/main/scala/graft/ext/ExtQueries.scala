@@ -112,10 +112,10 @@ object ExtQueries extends QueryPack {
     * Verified bit-exact against [[graft.ext.Hashing.mix64]] and
     * [[TextAnalysis.fnv1a64]] on signed-boundary test vectors.
     */
-  private val U64 = "18446744073709551616"
+  private[ext] val U64 = "18446744073709551616"
 
   /** FNV-1a 64 over `col`'s ASCII bytes -> UBIGINT. */
-  private def fnvUSql(col: String): String =
+  private[ext] def fnvUSql(col: String): String =
     s"""CAST(list_reduce(
        |    list_prepend(14695981039346656037::HUGEINT,
        |      list_transform(range(1, length($col)+1), i -> ord($col[i])::HUGEINT)),
@@ -127,7 +127,7 @@ object ExtQueries extends QueryPack {
     * splitmix stage references its input twice — inlining would blow up
     * 2^stages. `src` must provide UBIGINT columns hu, iu plus `keep`.
     */
-  private def mixChainSql(src: String, keep: String): String =
+  private[ext] def mixChainSql(src: String, keep: String): String =
     s"""(SELECT $keep, xor(z2, z2 // 2147483648::UBIGINT) AS zf FROM
        |  (SELECT $keep, CAST((xor(z1, z1 // 134217728::UBIGINT)::UHUGEINT
        |       * 10723151780598845931::UHUGEINT) % $U64::UHUGEINT AS UBIGINT) AS z2 FROM
@@ -138,7 +138,7 @@ object ExtQueries extends QueryPack {
        |       FROM $src))))""".stripMargin
 
   /** UBIGINT -> the signed BIGINT Spark's LongType carries. */
-  private def toSignedSql(col: String): String =
+  private[ext] def toSignedSql(col: String): String =
     s"""CAST(CASE WHEN $col >= 9223372036854775808::UBIGINT
        |     THEN $col::HUGEINT - $U64::HUGEINT ELSE $col::HUGEINT END AS BIGINT)""".stripMargin
 

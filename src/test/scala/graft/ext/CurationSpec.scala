@@ -55,6 +55,95 @@ class CurationSpec extends SparkTestBase {
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("segment dedup keeps first occurrence globally; emptied docs survive") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),     // both segments first occurrences
+      (1L, "c d a b"),     // both segments already seen -> emptied
+      (2L, "a b x y"),     // loses "a b", keeps "x y"
+      (3L, "a b c")        // 2 segments: "a b" (dup) and the short tail "c"
+    ).toDF("doc_id", "text")
+    val r = Curation.segmentDedup(docs, span = 2).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 2L, "a b c d"),
+      (1L, 2L, 0L, ""),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 1L, "c")))
+  }
+
+  test("segment dedup == brute-force reference on random small-vocab corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Array("a", "b", "c", "d", "e")
+    for (round <- 0 until 5) {
+      val span = 1 + rnd.nextInt(3)
+      val docs = (0L until 40L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // driver-side keep-first replay in (doc_id, idx) order
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.map { case (id, text) =>
+        val segs = text.split(" ").grouped(span).map(_.mkString(" ")).toSeq
+        val kept = segs.filter(seen.add)
+        (id, segs.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }
+      val got = Curation.segmentDedup(docs.toDF("doc_id", "text"), span)
+        .orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      assert(got.toSeq == expected, s"round $round span $span")
+    }
+  }
+
+  test("stratified sample: zero and full rates, determinism, nesting") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, s"src${i % 2}", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    def rates(ppm0: Long, ppm1: Long) =
+      Seq(("src0", ppm0), ("src1", ppm1)).toDF("source", "keep_ppm")
+    val zeroFull = Curation.stratifiedSample(docs, rates(0L, 1000000L), seed = 9L)
+      .collect()
+    assert(zeroFull.forall(_.getString(1) == "src1") && zeroFull.length == 100)
+    val a = Curation.stratifiedSample(docs, rates(400000L, 400000L), seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSample(docs, rates(400000L, 400000L), seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 200)
+    // nested samples: raising the rate only ADDS documents
+    val wider = Curation.stratifiedSample(docs, rates(700000L, 700000L), seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider) && wider.size > a.size)
+    // unknown source falls back to defaultPpm
+    val other = Seq((999L, "srcX", "stray")).toDF("doc_id", "source", "text")
+    assert(Curation.stratifiedSample(other, rates(0L, 0L), seed = 9L).isEmpty)
+    assert(Curation.stratifiedSample(
+      other, rates(0L, 0L), seed = 9L, defaultPpm = 1000000L).count() == 1L)
+  }
+
+  test("hashed linear score == driver-side replay of the same model") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val docs = Seq((0L, "a b a c"), (1L, "b")).toDF("doc_id", "text")
+    val weights = (0 until dim).map(b => (b.toLong, (b * 10 - 30).toLong))
+      .toDF("bucket", "w")
+    val wMap = (0 until dim).map(b => b.toLong -> (b * 10 - 30).toLong).toMap
+    def bucket(tok: String): Long = {
+      val h = TextAnalysis.fnv1a64(tok)
+      ((h % dim) + dim) % dim
+    }
+    val expected = Map(
+      0L -> (4L, Seq("a", "b", "a", "c").map(t => wMap(bucket(t))).sum),
+      1L -> (1L, wMap(bucket("b"))))
+    val r = Curation.hashedLinearScore(docs, weights, dim).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == expected)
+  }
+
   test("decontaminate composes under Structured Streaming (stream-static join)") {
     val s = spark
     import s.implicits._
