@@ -43,6 +43,12 @@ object ExtQueries extends QueryPack {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosine(table(s, dir, "embeddings"), 0.4)),
 
+    // SemDeDup: cell assignment from the vectors themselves as the
+    // blocking key (vs embeddingCosine's given label column)
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(table(s, dir, "embeddings"), nCells = 16,
+        threshold = 0.44)),
+
     "similarity_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), nQueries = 10, k = 5)),
 
@@ -300,6 +306,31 @@ object ExtQueries extends QueryPack {
     // cell); probes = top-3 cells per query by the same metric; exact
     // re-rank inside probed cells. Every double is the same sequential fold
     // as the Spark side, so the match is bit-exact.
+    // same seed/assignment replication as similarity_topk_ivf, then the
+    // within-cell self-join instead of the probe join
+    "dedup_semantic" ->
+      s"""$normedEmbSql,
+         |mx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,
+         |          ${Similarity.IvfSeedSalt}::UBIGINT AS iu FROM e),
+         |mxs AS (SELECT vec_id, ${toSignedSql("zf")} AS mix
+         |        FROM ${mixChainSql("mx0", "vec_id")}),
+         |seeds AS (SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm
+         |          FROM mxs JOIN e ON mxs.vec_id = e.vec_id
+         |          ORDER BY mxs.mix, e.vec_id LIMIT 16),
+         |cs AS (SELECT e.vec_id, e.embedding, e.nrm, s.cell,
+         |         ${dotSql("e.embedding", "s.cv")} / (e.nrm * s.cnrm) AS csim
+         |       FROM e CROSS JOIN seeds s),
+         |assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |             SELECT vec_id, embedding, nrm, cell,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY csim DESC, cell) AS rn
+         |             FROM cs) WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.cell,
+         |        ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |      FROM assign a JOIN assign b
+         |        ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT doc_a, doc_b, cell, sim FROM p WHERE sim >= 0.44""".stripMargin,
+
     "similarity_topk_ivf" ->
       s"""$normedEmbSql,
          |mx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,

@@ -32,7 +32,7 @@ object Similarity {
   /** vec_id + double embedding + its L2 norm — the per-row base every
     * variant builds its sides from.
     */
-  private def normed(emb: DataFrame): DataFrame = {
+  private[ext] def normed(emb: DataFrame): DataFrame = {
     graft.cdc.types.GraftFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), toDouble("embedding").as("vd"))
       .withColumn("nrm", norm(col("vd")))
@@ -93,21 +93,8 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = normed(emb) // vec_id, vd, nrm
-    val seeds = base
-      .withColumn("mix", call_function("graft_mix64", col("vec_id"), lit(IvfSeedSalt)))
-      .orderBy(col("mix"), col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell"), col("vd").as("cv"), col("nrm").as("cnrm"))
-    // corpus x seeds cell similarities: a broadcast nested loop over nCells
-    // rows — each corpus row expands nCells-fold, then collapses in the
-    // map-side-combinable argmax below; the corpus itself never shuffles
-    // wide
-    val cellSims = base.crossJoin(broadcast(seeds))
-      .withColumn("csim", dot(col("vd"), col("cv")) / (col("nrm") * col("cnrm")))
-    // assignment: argmax cosine, ties to the smallest cell id
-    val assigned = cellSims
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
-        first(col("vd")).as("vd"), first(col("nrm")).as("nrm"))
+    val cellSims = cellSimilarities(base, nCells)
+    val assigned = assignCells(cellSims)
     // probe set: the nProbe cosine-nearest cells per query vector
     val probes = cellSims.where(col("vec_id") < nQueries)
       .withColumn("crank", row_number().over(
@@ -127,6 +114,28 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("cell"), col("rank"), col("sim"))
   }
+
+  /** (vec_id, vd, nrm, cell, csim) — every corpus row paired with each of
+    * the `nCells` deterministic seed centroids and their cosine. A
+    * broadcast nested loop over nCells rows: each corpus row expands
+    * nCells-fold, then collapses in the map-side-combinable argmax of
+    * [[assignCells]]; the corpus itself never shuffles wide.
+    */
+  private[ext] def cellSimilarities(base: DataFrame, nCells: Int): DataFrame = {
+    val seeds = base
+      .withColumn("mix", call_function("graft_mix64", col("vec_id"), lit(IvfSeedSalt)))
+      .orderBy(col("mix"), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("vd").as("cv"), col("nrm").as("cnrm"))
+    base.crossJoin(broadcast(seeds))
+      .withColumn("csim", dot(col("vd"), col("cv")) / (col("nrm") * col("cnrm")))
+  }
+
+  /** Assignment: argmax cosine over cells, ties to the smallest cell id. */
+  private[ext] def assignCells(cellSims: DataFrame): DataFrame =
+    cellSims
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
+        first(col("vd")).as("vd"), first(col("nrm")).as("nrm"))
 
   /** Random-hyperplane LSH bucketing: `nPlanes` sign bits per vector
     * (hyperplane components are deterministic ±1 from graft_mix64 parity),

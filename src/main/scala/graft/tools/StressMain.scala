@@ -148,6 +148,37 @@ object StressMain {
     }
     println(s"STRESS-OUT bfTopK=$bf")
 
+    // ---- SemDeDup at stress scale: 200k vectors, 1024 cells ----------
+    // assignment = 200k x 1024 codegen'd dots (the kmeans-assign cost),
+    // then ~1024 cells of ~195 rows -> ~19M within-cell pair dots
+    val semVecs = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val sem = time("semanticDedup 200k vectors, 1024 cells") {
+      graft.ext.Dedup.semanticDedup(semVecs, nCells = 1024, threshold = 0.35)
+        .count()
+    }
+
+    // ---- segment dedup + classifier + sampling over the stress docs --
+    val sd = time(s"segmentDedup ${nDocs / 1000}k docs, span 10") {
+      graft.ext.Curation.segmentDedup(docs, span = 10)
+        .queryExecution.toRdd.count()
+    }
+    val wts = spark.range(1 << 16).select(
+      col("id").as("bucket"),
+      (pmod(call_function("graft_mix64", col("id"), lit(7L)), lit(2001L)) - 1000L)
+        .as("w"))
+    val cls = time(s"hashedLinearScore ${nDocs / 1000}k docs, 64k buckets") {
+      graft.ext.Curation.hashedLinearScore(docs, wts, dim = 1 << 16).count()
+    }
+    val rates = spark.range(32).select(
+      concat(lit("s"), col("id")).as("source"),
+      pmod(col("id") * 61803L, lit(1000000L)).as("keep_ppm"))
+    val docsSrc = docs.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(32))))
+    val smp = time(s"stratifiedSample ${nDocs / 1000}k docs, 32 strata") {
+      graft.ext.Curation.stratifiedSample(docsSrc, rates, seed = 42L).count()
+    }
+    println(s"STRESS-OUT semanticPairs=$sem segmentRows=$sd classified=$cls sampled=$smp")
+
     spark.stop()
   }
 }

@@ -138,6 +138,39 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("semantic dedup matches a driver-side replay of seeds, assignment, pairs") {
+    val emb = table(spark, sfDir, "embeddings")
+    val nCells = 4
+    val got = Dedup.semanticDedup(emb, nCells, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // sequential left fold, same order as graft_dot
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val seeds = rows.map(_._1)
+      .sortBy(id => (Hashing.mix64(id, Similarity.IvfSeedSalt), id))
+      .take(nCells).toSet
+    val seedRows = rows.filter(r => seeds.contains(r._1))
+    val assign = rows.map { case (id, v) =>
+      val best = seedRows
+        .map { case (cell, cv) => (cell, dot(v, cv) / (nrm(v) * nrm(cv))) }
+        .maxBy { case (cell, csim) => (csim, -cell) }
+      (id, best._1, v)
+    }
+    val expected = (for {
+      (ida, ca, va) <- assign
+      (idb, cb, vb) <- assign
+      if ca == cb && ida < idb && dot(va, vb) / (nrm(va) * nrm(vb)) >= 0.2
+    } yield (ida, idb, ca)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("LSH candidates are a subset of same-bucket pairs and sims match brute force") {
     val lsh = Similarity.lshTopK(table(spark, sfDir, "embeddings"), 8, 3, 5)
       .select("qid", "nid", "sim").collect()
