@@ -59,6 +59,17 @@ object ExtQueries extends QueryPack {
       Similarity.ivfTopK(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
         nQueries = 10, k = 5)),
 
+    // Lloyd-refined centroids through the same probe/re-rank path.
+    // Deliberately ORACLE-LESS (rows-only driver check): refined centroids
+    // are floating-point shuffle-order sums, deterministic only to ~1e-12 —
+    // the fit is spec-verified against a driver-side replay instead
+    // (ExtOpsSpec), the house policy for model-fit steps
+    "similarity_kmeans_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfTopKWith(emb, Similarity.kmeansRefine(emb, nCells = 8, iters = 2),
+        nProbe = 3, nQueries = 10, k = 5)
+    }),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 

@@ -90,10 +90,17 @@ object Similarity {
       nProbe: Int,
       nQueries: Int,
       k: Int
+  ): DataFrame =
+    ivfBody(cellSimilarities(normed(emb), nCells), nProbe, nQueries, k)
+
+  /** Shared probe/re-rank tail of the IVF variants. */
+  private def ivfBody(
+      cellSims: DataFrame,
+      nProbe: Int,
+      nQueries: Int,
+      k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = normed(emb) // vec_id, vd, nrm
-    val cellSims = cellSimilarities(base, nCells)
     val assigned = assignCells(cellSims)
     // probe set: the nProbe cosine-nearest cells per query vector
     val probes = cellSims.where(col("vec_id") < nQueries)
@@ -121,14 +128,78 @@ object Similarity {
     * nCells-fold, then collapses in the map-side-combinable argmax of
     * [[assignCells]]; the corpus itself never shuffles wide.
     */
-  private[ext] def cellSimilarities(base: DataFrame, nCells: Int): DataFrame = {
-    val seeds = base
+  /** The nCells deterministic seed centroids: the vectors with the
+    * smallest graft_mix64(vec_id, salt) — random-init seeds, engine-
+    * replicable. (cell, cv, cnrm).
+    */
+  private[ext] def seedCentroids(base: DataFrame, nCells: Int): DataFrame =
+    base
       .withColumn("mix", call_function("graft_mix64", col("vec_id"), lit(IvfSeedSalt)))
       .orderBy(col("mix"), col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell"), col("vd").as("cv"), col("nrm").as("cnrm"))
-    base.crossJoin(broadcast(seeds))
+
+  /** Corpus x centroid cosine similarities for any (cell, cv, cnrm) set. */
+  private[ext] def cellSimilaritiesWith(base: DataFrame, centroids: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centroids))
       .withColumn("csim", dot(col("vd"), col("cv")) / (col("nrm") * col("cnrm")))
+
+  private[ext] def cellSimilarities(base: DataFrame, nCells: Int): DataFrame =
+    cellSimilaritiesWith(base, seedCentroids(base, nCells))
+
+  /** Lloyd's k-means refinement of the seed centroids — the offline
+    * "fit refined centroids once, feed them back through the same joins"
+    * step the IVF and SemDeDup scaladocs point at. Each iteration assigns
+    * every vector to its cosine-nearest centroid, then replaces each
+    * centroid with the element-wise mean of its members.
+    *
+    * Shape at 100 TB per iteration: ONE centroid broadcast + map-side
+    * argmax assignment (the corpus never shuffles), then the mean as a
+    * posexplode to (cell, dim, value) scalars with a map-side-combinable
+    * sum/count — the shuffle carries at most nCells x dim partial sums per
+    * map task, not the corpus. `localCheckpoint` truncates the iterative
+    * lineage (a cluster run would use reliable `checkpoint`, same trade as
+    * Dedup.clusterAssign). A centroid whose cell empties keeps its previous
+    * position (standard empty-cluster handling). Returns (cell, cv, cnrm).
+    *
+    * Floating-point sums are shuffle-order-dependent, so refined centroids
+    * are deterministic only up to ~1e-12 — fine for a model-fit step
+    * (verified in spec against a driver-side replay with tolerance), which
+    * is why this feeds [[ivfTopKWith]] rather than a hash-exact oracle.
+    */
+  def kmeansRefine(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val base = normed(emb).localCheckpoint()
+    var centroids = seedCentroids(base, nCells).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(cellSimilaritiesWith(base, centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vd")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s / n))), x -> x.col2)")
+          .as("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+      centroids = centroids.as("old")
+        .join(means.as("new"), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("new.cv"), col("old.cv")).as("cv"),
+          coalesce(col("new.cnrm"), col("old.cnrm")).as("cnrm"))
+        .localCheckpoint()
+    }
+    centroids
   }
+
+  /** [[ivfTopK]] against an externally fitted centroid table (cell, cv,
+    * cnrm) — e.g. [[kmeansRefine]]'s output — instead of the raw seeds.
+    */
+  def ivfTopKWith(
+      emb: DataFrame,
+      centroids: DataFrame,
+      nProbe: Int,
+      nQueries: Int,
+      k: Int
+  ): DataFrame =
+    ivfBody(cellSimilaritiesWith(normed(emb), centroids), nProbe, nQueries, k)
 
   /** Assignment: argmax cosine over cells, ties to the smallest cell id. */
   private[ext] def assignCells(cellSims: DataFrame): DataFrame =

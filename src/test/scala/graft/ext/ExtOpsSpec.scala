@@ -171,6 +171,49 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("kmeans refinement matches a driver-side Lloyd replay; refined IVF works") {
+    val emb = table(spark, sfDir, "embeddings")
+    val nCells = 4
+    val iters = 3
+    val got = Similarity.kmeansRefine(emb, nCells, iters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val seedIds = rows.map(_._1)
+      .sortBy(id => (Hashing.mix64(id, Similarity.IvfSeedSalt), id)).take(nCells)
+    var centroids: Map[Long, Array[Double]] =
+      seedIds.map(id => id -> rows.find(_._1 == id).get._2).toMap
+    for (_ <- 0 until iters) {
+      val assigned = rows.map { case (id, v) =>
+        val cell = centroids
+          .map { case (c, cv) => (c, dot(v, cv) / (nrm(v) * nrm(cv))) }
+          .maxBy { case (c, csim) => (csim, -c) }._1
+        (cell, v)
+      }
+      centroids = centroids.map { case (c, old) =>
+        val members = assigned.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) c -> old
+        else c -> members.transpose.map(xs => xs.sum / xs.length).toArray
+      }
+    }
+    assert(got.keySet == centroids.keySet)
+    for ((c, cv) <- centroids; i <- cv.indices)
+      assert(math.abs(got(c)(i) - cv(i)) < 1e-6, s"cell $c dim $i")
+
+    // refined centroids feed the same IVF probe/re-rank path
+    val refined = Similarity.kmeansRefine(emb, nCells, iters)
+    val topk = Similarity.ivfTopKWith(emb, refined, nProbe = 2, nQueries = 5, k = 3)
+      .collect()
+    assert(topk.length == 15 && topk.forall(_.getInt(3) <= 3))
+  }
+
   test("LSH candidates are a subset of same-bucket pairs and sims match brute force") {
     val lsh = Similarity.lshTopK(table(spark, sfDir, "embeddings"), 8, 3, 5)
       .select("qid", "nid", "sim").collect()
