@@ -56,4 +56,55 @@ object DistributedRank {
     parted.join(broadcast(bases), Seq("__pid"))
       .withColumn(rnCol, col("__base") + col("__lrn"))
       .drop("__pid", "__lrn", "__base")
+
+  /** Append `sumCol` = inclusive global running sum of `valueCol` in
+    * `orderCols` order — the scalable form of
+    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`, which Spark
+    * would otherwise execute as a single-partition Window.
+    *
+    * Same decomposition as [[withGlobalRowNumber]]: range-partition on the
+    * key, per-partition prefix sums (a Window partitioned by the derived
+    * partition id — partition-PARALLEL, never global), and per-partition
+    * base offsets from the tiny totals aggregate broadcast back. The
+    * per-pid Window costs one extra hash exchange (Catalyst cannot prove
+    * the range partitioning already clusters by `__pid`), so callers
+    * should project down to (key, value) width first — the intended use is
+    * prefix sums over per-key scalars (token budgets, byte offsets), not
+    * wide rows. Unlike the row-number path there is no window-free `__mid`
+    * shortcut: a prefix SUM needs the per-row fold, not just the position.
+    *
+    * `orderCols` must form a total order; `valueCol` must be integral
+    * (sums stay in the long domain, so results are engine-exact).
+    *
+    * The run/totals branches each re-derive the range exchange rather than
+    * sharing a materialization: range boundary sampling is seeded
+    * deterministically per input partition, so both branches compute
+    * identical `__pid` assignments (same assumption
+    * [[withGlobalRowNumber]] has relied on across rounds). The cost is the
+    * upstream projection evaluating once per branch — a 100 TB job whose
+    * value column is expensive (e.g. tokenization) should persist the
+    * narrow (key, value) projection before calling this.
+    */
+  def withGlobalRunningSum(
+      df: DataFrame,
+      sumCol: String,
+      valueCol: Column,
+      orderCols: Seq[Column]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = parted.withColumn("__run", sum(col("__v")).over(w))
+    val sums = parted.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
+    val bases = sums.as("a")
+      .join(broadcast(sums.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__s")), lit(0L)).as("__base"))
+    run.join(broadcast(bases), Seq("__pid"))
+      .withColumn(sumCol, col("__base") + col("__run"))
+      .drop("__pid", "__v", "__run", "__base")
+  }
 }

@@ -269,4 +269,77 @@ object Curation {
         count(lit(1)).as("docs_kept"),
         sum(col("n_words")).as("total_ws_tokens"))
   }
+
+  /** Sequence packing — the concat-and-chunk step that turns a curated
+    * corpus into fixed-length training sequences: documents are laid out
+    * end-to-end in `doc_id` order on one global token axis, then cut every
+    * `seqLen` tokens (documents straddle cuts, GPT-style). Returns the
+    * packing MANIFEST: one row per (document, sequence) span —
+    *
+    *   (doc_id, n_toks, seq_id, doc_tok_start, seq_tok_start, span_toks)
+    *
+    * i.e. tokens `[doc_tok_start, doc_tok_start + span_toks)` of `doc_id`
+    * occupy positions `[seq_tok_start, ...)` of training sequence
+    * `seq_id`. Every sequence is exactly `seqLen` tokens except the last;
+    * a downstream writer joins text back by doc_id and emits shards.
+    *
+    * Shape at 100 TB: the corpus projects down to (doc_id, n_toks) — 16
+    * bytes/row — before anything shuffles; the global token offsets come
+    * from [[graft.cdc.split.DistributedRank.withGlobalRunningSum]] (range
+    * partition + partition-parallel prefix sums + broadcast bases — no
+    * single-partition Window anywhere); the explode fans out only
+    * `span`-straddle rows (≤ n_toks/seqLen + 1 per doc). All-integer
+    * arithmetic, so the oracle matches hash-exact.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val toks = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    graft.cdc.split.DistributedRank
+      .withGlobalRunningSum(toks, "cum_end", col("n_toks"), Seq(col("doc_id")))
+      .withColumn("cum_start", col("cum_end") - col("n_toks"))
+      // n_toks >= 1 always (split of "" is [""]), so cum_end - 1 >= cum_start
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_start div $seqLen"), expr(s"(cum_end - 1) div $seqLen"))))
+      .withColumn("span_start", greatest(col("cum_start"), col("seq_id") * seqLen))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("seq_id"),
+        (col("span_start") - col("cum_start")).as("doc_tok_start"),
+        (col("span_start") - col("seq_id") * seqLen).as("seq_tok_start"),
+        (least(col("cum_end"), (col("seq_id") + 1) * seqLen) - col("span_start"))
+          .as("span_toks"))
+  }
+
+  /** Vocabulary coverage — build the top-`vocabSize` vocabulary by
+    * document frequency (ties broken lexicographically) and score every
+    * document's in-vocabulary token fraction, the OOV-rate quality signal
+    * (and the budget check before committing to a tokenizer vocab).
+    * Returns (doc_id, n_toks, in_vocab, oov).
+    *
+    * Shape at 100 TB: document frequency dedups tokens inside the row
+    * (array_distinct) before exploding, both aggregations are map-side
+    * combined hash aggregates over single tokens, the top-k is a
+    * TakeOrdered (never a global sort), and the vocab — vocabSize rows by
+    * construction — broadcasts back for a left join the corpus never
+    * shuffles for. All counts are longs.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val words = docs.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word").asc).limit(vocabSize)
+      .select(col("word"), lit(1L).as("__in"))
+    words
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(coalesce(col("__in"), lit(0L))).as("in_vocab"))
+      .withColumn("oov", col("n_toks") - col("in_vocab"))
+  }
 }

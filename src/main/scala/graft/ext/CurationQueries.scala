@@ -68,7 +68,16 @@ object CurationQueries extends QueryPack {
         (pmod(call_function("graft_mix64", col("id"), lit(7L)), lit(2001L)) - 1000L)
           .as("w"))
       Curation.hashedLinearScore(table(s, dir, "documents"), weights, dim = 1024)
-    })
+    }),
+
+    // 2048-token training sequences; the manifest is pure integer
+    // arithmetic off a distributed prefix sum, so it hash-matches DuckDB's
+    // single-node window formulation exactly
+    "corpus_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(table(s, dir, "documents"), seqLen = 2048L)),
+
+    "corpus_vocab_coverage" -> ((s, dir) =>
+      Curation.vocabCoverage(table(s, dir, "documents"), vocabSize = 100))
   )
 
   /** 10 words exactly — one aligned `span = 10` segment when prefixed. */
@@ -208,6 +217,47 @@ object CurationQueries extends QueryPack {
            |FROM tb JOIN wt USING (bucket)
            |GROUP BY doc_id""".stripMargin
       },
+
+      // DuckDB states the same packing as a single-node window prefix sum;
+      // the Spark side distributes it — hash equality proves the
+      // decomposition (partition prefix sums + broadcast bases) exact
+      "corpus_pack_sequences" ->
+        """WITH t AS (SELECT doc_id,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          |           FROM documents),
+          |c AS (SELECT doc_id, n_toks,
+          |             CAST(sum(n_toks) OVER (ORDER BY doc_id
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |                  AS BIGINT) AS cum_end
+          |      FROM t),
+          |d AS (SELECT doc_id, n_toks, cum_end,
+          |             cum_end - n_toks AS cum_start
+          |      FROM c),
+          |e AS (SELECT doc_id, n_toks, cum_start, cum_end,
+          |             unnest(generate_series(cum_start // 2048,
+          |                                    (cum_end - 1) // 2048)) AS seq_id
+          |      FROM d)
+          |SELECT doc_id, n_toks, seq_id,
+          |       greatest(cum_start, seq_id * 2048) - cum_start AS doc_tok_start,
+          |       greatest(cum_start, seq_id * 2048) - seq_id * 2048 AS seq_tok_start,
+          |       least(cum_end, (seq_id + 1) * 2048)
+          |         - greatest(cum_start, seq_id * 2048) AS span_toks
+          |FROM e""".stripMargin,
+
+      "corpus_vocab_coverage" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          |           FROM documents),
+          |dfq AS (SELECT word, count(*) AS df
+          |        FROM (SELECT DISTINCT doc_id, word FROM w)
+          |        GROUP BY word),
+          |v AS (SELECT word FROM dfq ORDER BY df DESC, word ASC LIMIT 100)
+          |SELECT doc_id, count(*) AS n_toks,
+          |       CAST(sum(CASE WHEN word IN (SELECT word FROM v)
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab,
+          |       CAST(sum(CASE WHEN word IN (SELECT word FROM v)
+          |                     THEN 0 ELSE 1 END) AS BIGINT) AS oov
+          |FROM w
+          |GROUP BY doc_id""".stripMargin,
 
       "corpus_curation_pipeline" ->
         s"""WITH wc AS (

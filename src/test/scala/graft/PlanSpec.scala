@@ -122,4 +122,28 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("ScalaUDF"), s)
   }
+
+  test("sequence packing: prefix sums are partition-parallel, never a global window") {
+    val df = q("corpus_pack_sequences")
+    df.collect() // finalize AQE
+    // string form: AQE wraps materialized stages as leaf nodes, so a typed
+    // collect() cannot see the WindowExec inside the shuffle stage — the
+    // tree string still renders the nested plans
+    val s = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(s.contains("Window ["), s) // the per-partition prefix-sum window
+    for (l <- s.linesIterator if l.contains("windowspecdefinition"))
+      assert(l.contains("windowspecdefinition(__pid"),
+        s"partition-less Window in corpus_pack_sequences: $l")
+    assert(s.contains("rangepartitioning"), s)
+  }
+
+  test("vocab coverage: top-k is a TakeOrdered and the vocab broadcasts back") {
+    val s = planString(q("corpus_vocab_coverage"))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import graft.cdc.model.Changelog.table
 import org.apache.spark.sql.functions._
 
 /** Behavioral coverage of [[Curation]] on hand-built documents: argmax
@@ -192,5 +193,82 @@ class CurationSpec extends SparkTestBase {
       && r(0).getLong(2) == 1L && r(0).getLong(3) == 6L)
     assert(r(1).getString(0) == "B" && r(1).getString(1) == "en"
       && r(1).getLong(2) == 1L && r(1).getLong(3) == 6L)
+  }
+
+  test("packSequences tiles every doc and fills every sequence except the last") {
+    val s = spark
+    import s.implicits._
+    // token counts 3, 1, 5, 2, 4 against seqLen 4: doc 2 straddles seqs
+    // 1-2, doc 4 straddles 2-3; total 15 tokens -> last seq holds 3
+    val docs = Seq(
+      (10L, "a b c"), (11L, "d"), (12L, "e f g h i"),
+      (13L, "j k"), (14L, "l m n o")
+    ).toDF("doc_id", "text")
+    val m = Curation.packSequences(docs, seqLen = 4L)
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val expected = Seq(
+      (10L, 3L, 0L, 0L, 0L, 3L),
+      (11L, 1L, 0L, 0L, 3L, 1L),
+      (12L, 5L, 1L, 0L, 0L, 4L), (12L, 5L, 2L, 4L, 0L, 1L),
+      (13L, 2L, 2L, 0L, 1L, 2L),
+      (14L, 4L, 2L, 0L, 3L, 1L), (14L, 4L, 3L, 1L, 0L, 3L))
+    assert(m.toSeq == expected)
+    // invariants: spans tile each doc exactly; each sequence fills to
+    // seqLen except the global last
+    val byDoc = m.groupBy(_._1)
+    for ((_, spans) <- byDoc) {
+      assert(spans.map(_._6).sum == spans.head._2)
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._4 == 0L)
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+        assert(b._4 == a._4 + a._6)
+    }
+    val bySeq = m.groupBy(_._3).view.mapValues(_.map(_._6).sum).toMap
+    val lastSeq = bySeq.keys.max
+    for ((sq, tot) <- bySeq)
+      assert(if (sq == lastSeq) tot == 3L else tot == 4L, s"seq $sq total $tot")
+  }
+
+  test("packSequences == single-window formulation on real docs") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, sfDir, "documents")
+    val got = Curation.packSequences(docs, seqLen = 2048L)
+      .orderBy("doc_id", "seq_id").collect().map(_.toSeq).toSeq
+    // reference: the same arithmetic off a plain global-window cumsum
+    // (fine at spec scale; the production path must never plan one)
+    val cum = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("cum_end",
+        sum(col("n_toks")).over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_start", col("cum_end") - col("n_toks"))
+      .withColumn("seq_id", explode(sequence(
+        expr("cum_start div 2048"), expr("(cum_end - 1) div 2048"))))
+      .withColumn("span_start", greatest(col("cum_start"), col("seq_id") * 2048L))
+      .select(col("doc_id"), col("n_toks"), col("seq_id"),
+        (col("span_start") - col("cum_start")).as("doc_tok_start"),
+        (col("span_start") - col("seq_id") * 2048L).as("seq_tok_start"),
+        (least(col("cum_end"), (col("seq_id") + 1) * 2048L) - col("span_start"))
+          .as("span_toks"))
+      .orderBy("doc_id", "seq_id").collect().map(_.toSeq).toSeq
+    assert(got == cum && got.nonEmpty)
+  }
+
+  test("vocabCoverage == driver-side replay; vocab boundary ties are stable") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a a b c"),   // df: a->1 (distinct in doc), b->1, c->1
+      (1L, "b c d"),     // df: b->2 c->2 d->1
+      (2L, "c e")        // c->3
+    ).toDF("doc_id", "text")
+    // df: c=3, b=2, a=1 d=1 e=1 -> top-3 = c, b, then 'a' (lexicographic
+    // among the df=1 tie a/d/e)
+    val r = Curation.vocabCoverage(docs, vocabSize = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((0L, 4L, 4L, 0L), (1L, 3L, 2L, 1L), (2L, 2L, 1L, 1L)))
   }
 }
