@@ -70,6 +70,17 @@ object ExtQueries extends QueryPack {
         nProbe = 3, nQueries = 10, k = 5)
     }),
 
+    // Product-quantization search end-to-end: codebook fit + encode + ADC
+    // shortlist + exact re-rank (the FAISS ADC+refine pipeline).
+    // ORACLE-LESS for the same reason as similarity_kmeans_ivf: shortlist
+    // membership depends on float codebook means; the algebra is
+    // spec-verified against a driver replay + recall floors (ExtOpsSpec)
+    "similarity_pq_search" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.pqSearchTopK(emb, Similarity.pqCodebooks(emb, m = 8, k = 64, iters = 2),
+        m = 8, nQueries = 10, k = 5, shortlist = 100)
+    }),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 

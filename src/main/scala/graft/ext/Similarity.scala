@@ -208,6 +208,179 @@ object Similarity {
       .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
         first(col("vd")).as("vd"), first(col("nrm")).as("nrm"))
 
+  /** Salt deriving the deterministic PQ seed sample. */
+  private[ext] val PqSeedSalt = 4099L
+
+  /** (vec_id, sub, sv, svv): each UNIT vector cut into `m` equal
+    * subvectors (sub = 0..m-1), plus the subvector's self-dot — the only
+    * per-row quantity ADC distance ranking needs besides cross dots.
+    * Normalizing first makes L2 on subvector concatenations monotone in
+    * cosine (|a-b|^2 = 2 - 2cos for unit vectors), so PQ ranks agree with
+    * the rest of this file's cosine world. `size(vd)` must be divisible by
+    * `m` (64-dim embeddings, m in {2,4,8,16,32}); slice drops a remainder
+    * silently, so callers get the standard FAISS constraint.
+    */
+  private[ext] def subVectors(base: DataFrame, m: Int): DataFrame =
+    base
+      .select(col("vec_id"),
+        expr("transform(vd, x -> x / nrm)").as("ud"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        expr(s"slice(ud, CAST(sub * (size(ud) div $m) + 1 AS INT), CAST(size(ud) div $m AS INT))")
+          .as("sv"))
+      .withColumn("svv", dot(col("sv"), col("sv")))
+
+  /** Initial per-subspace codebooks: the `k` corpus vectors with the
+    * smallest graft_mix64(vec_id, salt) seed ALL `m` subspaces (their
+    * respective slices), code id = the seed's vec_id — engine-replicable
+    * random init, same scheme as [[seedCentroids]]. A production encoder
+    * would densify code ids to 0..k-1 for log2(k)-bit storage; keeping the
+    * seed id changes nothing in the algebra. Returns (sub, code, cv, cvv).
+    */
+  private[ext] def seedBooks(subs: DataFrame, k: Int): DataFrame = {
+    val seedIds = subs.select(col("vec_id")).distinct()
+      .withColumn("mix", call_function("graft_mix64", col("vec_id"), lit(PqSeedSalt)))
+      .orderBy(col("mix"), col("vec_id")).limit(k)
+      .select(col("vec_id"))
+    subs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"),
+        col("svv").as("cvv"))
+  }
+
+  /** Assign every (vec_id, sub) to its L2-nearest code of that subspace.
+    * |sv - cv|^2 = svv + cvv - 2 sv.cv, and svv is constant per row, so
+    * the argmin ranks by (cvv - 2 sv.cv) — one codegen'd dot per
+    * candidate. Equi-join on sub against the broadcast books, then a
+    * map-side-combinable min_by; ties to the smallest code id. Returns
+    * (vec_id, sub, code) — scalars only through the shuffle; `keepSv`
+    * additionally carries the subvector (for the fit's mean step, saving
+    * the rejoin; the encode path never pays the array payload).
+    */
+  private[ext] def assignCodes(
+      subs: DataFrame,
+      books: DataFrame,
+      keepSv: Boolean = false
+  ): DataFrame = {
+    val g = subs.join(broadcast(books), Seq("sub"))
+      .withColumn("pd", col("cvv") - lit(2.0) * dot(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+    val codeAgg = min_by(col("code"), struct(col("pd"), col("code"))).as("code")
+    if (keepSv) g.agg(codeAgg, first(col("sv")).as("sv"))
+    else g.agg(codeAgg)
+  }
+
+  /** Product-quantization codebook fit — per-subspace Lloyd's k-means, all
+    * `m` subspaces trained in ONE plan per iteration (sub is just another
+    * group key). Same scale shape as [[kmeansRefine]]: broadcast books +
+    * map-side argmin assignment, means as posexploded scalar partial sums,
+    * localCheckpoint lineage truncation (reliable checkpoint on a
+    * cluster), empty codes keep their previous centroid. Returns
+    * (sub, code, cv, cvv) — float means, so spec-verified against a
+    * driver replay rather than hash-oracled (house model-fit policy).
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val subs = subVectors(normed(emb), m).localCheckpoint()
+    var books = seedBooks(subs, k).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = assignCodes(subs, books, keepSv = true)
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s / n))), x -> x.col2)")
+          .as("cv"))
+      books = books.as("old")
+        .join(means.as("new"), Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("new.cv"), col("old.cv")).as("cv"))
+        .withColumn("cvv", dot(col("cv"), col("cv")))
+        .localCheckpoint()
+    }
+    books
+  }
+
+  /** PQ-encode the corpus: (vec_id, sub, code) — `m` small integers per
+    * vector in place of the raw floats. At 64 dims x 4 bytes -> m bytes
+    * (after dense re-indexing), the 32-64x compression that lets a 100 TB
+    * corpus' ANN index live in executor memory.
+    */
+  def pqEncode(emb: DataFrame, books: DataFrame, m: Int): DataFrame =
+    assignCodes(subVectors(normed(emb), m), books)
+
+  /** Asymmetric-distance (ADC) top-k: exact query subvectors against the
+    * corpus' PQ codes. The query x codebook lookup table — nQueries x m x
+    * k rows of (sub, code, qid, pdist) scalars — broadcasts; the corpus
+    * side joins it by its stored (sub, code) pair and a
+    * map-side-combinable sum over the m subspaces rebuilds the full
+    * approximate distance. No corpus vector is touched after encoding —
+    * the whole search runs on codes, the property that makes PQ the 100 TB
+    * memory-budget play (FAISS IVFADC without the IVF gate; compose with
+    * [[ivfTopKWith]] cells to add one).
+    *
+    * Returns (qid, nid, rank, adc) ranked by ascending approximate L2^2
+    * on unit vectors (monotone in cosine), ties to the smaller nid.
+    */
+  def pqAdcTopK(
+      emb: DataFrame,
+      books: DataFrame,
+      m: Int,
+      nQueries: Int,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = subVectors(normed(emb), m)
+    val codes = assignCodes(subs, books)
+    val lut = subs.where(col("vec_id") < nQueries)
+      .join(broadcast(books), Seq("sub"))
+      .select(col("sub"), col("code"), col("vec_id").as("qid"),
+        (col("svv") + col("cvv") - lit(2.0) * dot(col("sv"), col("cv"))).as("pdist"))
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum(col("pdist")).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("adc"))
+  }
+
+  /** The production PQ search: ADC shortlist of `shortlist` candidates per
+    * query, then EXACT cosine re-rank of just those — the FAISS
+    * ADC+refine pipeline. Quantization noise only costs recall if a true
+    * neighbor misses the whole shortlist; the reported ranks and sims are
+    * exact cosine, so results are directly comparable to
+    * [[bruteForceTopK]]. The re-rank joins raw vectors for only
+    * nQueries x shortlist rows (equi-join on nid against the corpus —
+    * the corpus shuffles scalars, candidate ids, never its vectors; the
+    * shortlist side is broadcast). Returns (qid, nid, rank, sim).
+    */
+  def pqSearchTopK(
+      emb: DataFrame,
+      books: DataFrame,
+      m: Int,
+      nQueries: Int,
+      k: Int,
+      shortlist: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = normed(emb)
+    val cands = pqAdcTopK(emb, books, m, nQueries, shortlist)
+      .select(col("qid"), col("nid"))
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnorm"))
+    base
+      .select(col("vec_id").as("nid"), col("vd").as("nv"), col("nrm").as("nnorm"))
+      .join(broadcast(cands), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+      .select(col("qid"), col("nid"), col("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
   /** Random-hyperplane LSH bucketing: `nPlanes` sign bits per vector
     * (hyperplane components are deterministic ±1 from graft_mix64 parity),
     * bucket = packed bits. Candidates are same-bucket pairs — a shuffle by

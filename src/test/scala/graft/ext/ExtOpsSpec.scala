@@ -214,6 +214,64 @@ class ExtOpsSpec extends SparkTestBase {
     assert(topk.length == 15 && topk.forall(_.getInt(3) <= 3))
   }
 
+  test("PQ encode matches a driver-side argmin replay; ADC top-k has real recall") {
+    val emb = table(spark, sfDir, "embeddings")
+    val m = 8; val kCodes = 64
+    val books = Similarity.pqCodebooks(emb, m, kCodes, iters = 2)
+    val bookRows = books.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)),
+        (r.getSeq[Double](2).toArray, r.getDouble(3)))).toMap
+    assert(bookRows.keySet.map(_._1) == (0 until m).toSet)
+    assert(bookRows.keySet.groupBy(_._1).forall(_._2.size <= kCodes))
+
+    val codes = Similarity.pqEncode(emb, books, m).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+
+    // driver replay: unit vectors, slices, argmin of cvv - 2*sv.cv with the
+    // same sequential-fold dot
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(codes.size == rows.length * m)
+    for ((id, v) <- rows) {
+      val nrm = math.sqrt(dotd(v, v))
+      val ud = v.map(_ / nrm)
+      val d = ud.length / m
+      for (sub <- 0 until m) {
+        val sv = ud.slice(sub * d, sub * d + d)
+        val best = bookRows.collect { case ((s, code), (cv, cvv)) if s == sub =>
+          (code, cvv - 2.0 * dotd(sv, cv))
+        }.minBy { case (code, pd) => (pd, code) }._1
+        assert(codes((id, sub)) == best, s"vec $id sub $sub")
+      }
+    }
+
+    // recall vs exact brute force on the same metric: pure ADC is noisy on
+    // these weakly-clustered embeddings (measured 19/50); the shortlist +
+    // exact re-rank pipeline recovers full recall (measured 50/50 at
+    // shortlist=100) and its sims are exact cosine values
+    val nq = 5; val k = 10
+    val exactRows = Similarity.bruteForceTopK(emb, nq, k).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.pqAdcTopK(emb, books, m, nq, k).collect()
+    assert(adc.map(r => (r.getLong(0), r.getInt(2))).distinct.length == nq * k)
+    val hits = adc.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    assert(hits >= (nq * k) / 5, s"ADC recall too low: $hits of ${nq * k}")
+
+    val rr = Similarity.pqSearchTopK(emb, books, m, nq, k, shortlist = 100).collect()
+    val rrPairs = rr.map(r => (r.getLong(0), r.getLong(1)))
+    val rrHits = rrPairs.count(exact.contains)
+    assert(rrHits >= (nq * k) * 9 / 10, s"rerank recall too low: $rrHits of ${nq * k}")
+    // re-ranked sims are exact: equal to brute force wherever pairs agree
+    val exactSim = exactRows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    for (r <- rr; key = (r.getLong(0), r.getLong(1)) if exactSim.contains(key))
+      assert(r.getDouble(3) == exactSim(key), s"sim drift at $key")
+  }
+
   test("LSH candidates are a subset of same-bucket pairs and sims match brute force") {
     val lsh = Similarity.lshTopK(table(spark, sfDir, "embeddings"), 8, 3, 5)
       .select("qid", "nid", "sim").collect()
