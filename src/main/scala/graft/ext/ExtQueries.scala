@@ -81,6 +81,12 @@ object ExtQueries extends QueryPack {
         m = 8, nQueries = 10, k = 5, shortlist = 100)
     }),
 
+    // the full FAISS IVFADC composition: cell gate + code-only ADC +
+    // exact re-rank; rows-only (float model fit) like its two parts
+    "similarity_ivfpq_search" -> ((s, dir) =>
+      Similarity.ivfPqTopK(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
+        m = 8, kCodes = 64, iters = 2, nQueries = 10, k = 5, shortlist = 100)),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 

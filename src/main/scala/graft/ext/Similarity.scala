@@ -362,11 +362,23 @@ object Similarity {
       nQueries: Int,
       k: Int,
       shortlist: Int
+  ): DataFrame =
+    exactRerank(normed(emb),
+      pqAdcTopK(emb, books, m, nQueries, shortlist).select(col("qid"), col("nid")),
+      nQueries, k)
+
+  /** Exact-cosine re-rank of a (qid, nid) candidate shortlist: the corpus
+    * shuffles only candidate ids (both shortlist and query sides
+    * broadcast), sims are bit-exact [[bruteForceTopK]] values. Returns
+    * (qid, nid, rank, sim).
+    */
+  private def exactRerank(
+      base: DataFrame,
+      cands: DataFrame,
+      nQueries: Int,
+      k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = normed(emb)
-    val cands = pqAdcTopK(emb, books, m, nQueries, shortlist)
-      .select(col("qid"), col("nid"))
     val q = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qnorm"))
     base
@@ -379,6 +391,63 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
+  }
+
+  /** IVF-PQ — the full FAISS IVFADC pipeline, composed from the two
+    * indexes this file already builds: the IVF cell gate restricts each
+    * query's ADC scan to its `nProbe` probed cells (1/nCells of the
+    * corpus per probe instead of all of it), the scan itself runs on PQ
+    * codes alone, and the survivors re-rank exactly. At 100 TB this is
+    * the shape that bounds BOTH compute (probed cells only) and memory
+    * (codes only): cell ids and codes are small integers, the raw vectors
+    * are touched for nQueries x shortlist rows at the very end.
+    *
+    * The cell gate joins the code table to the (vec_id, cell) assignment
+    * — a corpus-sized scalar equi-join — then filters by the broadcast
+    * (qid, cell) probe set, so a vector in no probed cell never reaches
+    * the LUT join. Cells use the deterministic seed centroids (pass
+    * refined ones through [[kmeansRefine]]-style fits offline if recall
+    * needs them). Returns (qid, nid, rank, sim) with exact cosine sims.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      nCells: Int,
+      nProbe: Int,
+      m: Int,
+      kCodes: Int,
+      iters: Int,
+      nQueries: Int,
+      k: Int,
+      shortlist: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = normed(emb)
+    val cellSims = cellSimilarities(base, nCells)
+    val assigned = assignCells(cellSims).select(col("vec_id"), col("cell"))
+    val probes = cellSims.where(col("vec_id") < nQueries)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val subs = subVectors(base, m)
+    val books = pqCodebooks(emb, m, kCodes, iters)
+    val codes = assignCodes(subs, books)
+    val lut = subs.where(col("vec_id") < nQueries)
+      .join(broadcast(books), Seq("sub"))
+      .select(col("sub"), col("code"), col("vec_id").as("qid"),
+        (col("svv") + col("cvv") - lit(2.0) * dot(col("sv"), col("cv"))).as("pdist"))
+    val cands = codes
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("sub", "code", "qid"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum(col("pdist")).as("adc"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))))
+      .where(col("arank") <= shortlist)
+      .select(col("qid"), col("nid"))
+    exactRerank(base, cands, nQueries, k)
   }
 
   /** Random-hyperplane LSH bucketing: `nPlanes` sign bits per vector

@@ -272,6 +272,38 @@ class ExtOpsSpec extends SparkTestBase {
       assert(r.getDouble(3) == exactSim(key), s"sim drift at $key")
   }
 
+  test("IVF-PQ respects the cell gate, returns exact sims, and clears the IVF recall bar") {
+    val emb = table(spark, sfDir, "embeddings")
+    val nq = 5; val k = 10
+    val r = Similarity.ivfPqTopK(emb, nCells = 8, nProbe = 4, m = 8, kCodes = 64,
+      iters = 2, nQueries = nq, k = k, shortlist = 100).collect()
+    assert(r.length == nq * k)
+    // sims are exact cosine (same metric as brute force over all pairs)
+    val bfAll = Similarity.bruteForceTopK(emb, nq, 1000000)
+      .select("qid", "nid", "sim").collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    for (x <- r)
+      assert(x.getDouble(3) == bfAll((x.getLong(0), x.getLong(1))))
+    // recall bounded by the nProbe/nCells gate: same >= 50% bar as pure IVF
+    // (measured 34/50 at these params)
+    val exact = Similarity.bruteForceTopK(emb, nq, k).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val hits = r.map(x => (x.getLong(0), x.getLong(1))).count(exact.contains)
+    assert(hits >= (nq * k) / 2, s"IVF-PQ recall too low: $hits of ${nq * k}")
+    // the gate is real: every returned neighbor lives in a cell its query
+    // probed
+    val cellSims = Similarity.cellSimilarities(Similarity.normed(emb), 8)
+    val assigned = Similarity.assignCells(cellSims).select("vec_id", "cell").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val probed = cellSims.where(col("vec_id") < nq).select("vec_id", "cell", "csim")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).take(4).map(_._2).toSet).toMap
+    for (x <- r)
+      assert(probed(x.getLong(0)).contains(assigned(x.getLong(1))),
+        s"neighbor ${x.getLong(1)} outside probed cells of ${x.getLong(0)}")
+  }
+
   test("LSH candidates are a subset of same-bucket pairs and sims match brute force") {
     val lsh = Similarity.lshTopK(table(spark, sfDir, "embeddings"), 8, 3, 5)
       .select("qid", "nid", "sim").collect()
