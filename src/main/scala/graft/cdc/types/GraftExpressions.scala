@@ -365,6 +365,49 @@ case class WkbGeoJson(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_bpe(array<string> syms, array<array<string>> merges) ->
+  * array<string>`: apply an ordered BPE merge list (each element a
+  * [left, right] pair) in ONE compiled pass
+  * ([[graft.ext.Bpe.applyMergesData]]). The composed-HOF alternative —
+  * nMerges nested `aggregate()` folds — multiplies its expression tree per
+  * merge and exhausts the driver heap around 20 merges; this expression is
+  * the production tokenizer path. `merges` is the learned model and must
+  * be foldable (a literal): it is decoded once per executor, not per row.
+  */
+case class BpeApply(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _))
+        if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable array<array<string>>), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  @transient private lazy val merges: Array[Array[String]] = {
+    val ad = right.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val p = ad.getArray(i)
+      Array(p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.ext.Bpe.applyMergesData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, (a, _) => s"graft.ext.Bpe.applyMergesData($a, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeApply =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private def unary(name: String)(build: Expression => Expression)
@@ -432,6 +475,14 @@ object GraftFunctions {
         case children =>
           throw new IllegalArgumentException(
             s"graft_shingle_simhash64 expects exactly 2 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeApply].getName, "graft_bpe"),
+      {
+        case Seq(a, b) => BpeApply(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_bpe expects exactly 2 arguments, got ${children.length}")
       }),
     (FunctionIdentifier("graft_gtid_contains"),
       new ExpressionInfo(classOf[GtidContains].getName, "graft_gtid_contains"),

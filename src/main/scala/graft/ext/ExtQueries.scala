@@ -90,6 +90,18 @@ object ExtQueries extends QueryPack {
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 
+    // BPE tokenizer TRAINING (Sennrich-style merge learning) + applying
+    // the learned vocab. ORACLE-LESS: the merge loop (argmax-dependent
+    // rewrites per iteration) is not one SQL statement; the sequence is
+    // integer-deterministic and equals a full driver replay (BpeSpec)
+    "text_bpe_learn" -> ((s, dir) =>
+      Bpe.learnMerges(table(s, dir, "documents"), nMerges = 30)),
+
+    "text_bpe_tokenize" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Bpe.tokenizeWith(docs, Bpe.learnMerges(docs, nMerges = 20))
+    }),
+
     "text_bpe_token_count" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
 
