@@ -179,6 +179,36 @@ object StressMain {
     }
     println(s"STRESS-OUT semanticPairs=$sem segmentRows=$sd classified=$cls sampled=$smp")
 
+    // ---- sequence packing: distributed prefix sum over the stress docs
+    val pk = time(s"packSequences ${nDocs / 1000}k docs, 2048-token seqs") {
+      graft.ext.Curation.packSequences(docs, seqLen = 2048L)
+        .queryExecution.toRdd.count()
+    }
+    val vc = time(s"vocabCoverage ${nDocs / 1000}k docs, top-32k vocab") {
+      graft.ext.Curation.vocabCoverage(docs, vocabSize = 1 << 15)
+        .queryExecution.toRdd.count()
+    }
+    println(s"STRESS-OUT packedSpans=$pk coveredDocs=$vc")
+
+    // ---- PQ over the 200k-vector slice: fit + encode + ADC + re-rank -
+    // semVecs ids are multiples of 10, so nQueries = 100 -> 10 query rows
+    val pq = time("pqSearchTopK 200k vectors, m=8 k=64 sl=200") {
+      val books = graft.ext.Similarity.pqCodebooks(semVecs, m = 8, k = 64, iters = 2)
+      graft.ext.Similarity.pqSearchTopK(semVecs, books, m = 8,
+        nQueries = 100, k = 5, shortlist = 200).count()
+    }
+    val ivfpq = time("ivfPqTopK 200k vectors, 256 cells nProbe=16") {
+      graft.ext.Similarity.ivfPqTopK(semVecs, nCells = 256, nProbe = 16,
+        m = 8, kCodes = 64, iters = 1, nQueries = 100, k = 5, shortlist = 200).count()
+    }
+    println(s"STRESS-OUT pqTopK=$pq ivfpqTopK=$ivfpq")
+
+    // ---- BPE learning over the stress docs ---------------------------
+    val bpe = time(s"bpeLearn(50 merges) ${nDocs / 1000}k docs") {
+      graft.ext.Bpe.learnMerges(docs, nMerges = 50).count()
+    }
+    println(s"STRESS-OUT bpeMerges=$bpe")
+
     spark.stop()
   }
 }
