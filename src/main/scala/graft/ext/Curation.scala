@@ -313,6 +313,29 @@ object Curation {
           .as("span_toks"))
   }
 
+  /** Deterministic global shuffle + shard assignment — the epoch-shuffle a
+    * training job runs before sharding: every document gets a pseudorandom
+    * but engine-replicable position (rank of graft_mix64(doc_id, seed),
+    * ties impossible past the doc_id tiebreak) and a round-robin shard.
+    * Reshuffling an epoch is a seed change, not a new algorithm. Returns
+    * (doc_id, pos, shard) — a permutation of 1..n.
+    *
+    * Shape at 100 TB: only (doc_id, mix) scalars enter
+    * [[graft.cdc.split.DistributedRank.withGlobalRowNumber]] (range
+    * partition + mid-decode + broadcast bases — no global window, no
+    * single-partition sort); the shard writer joins text back by doc_id.
+    */
+  def globalShuffle(docs: DataFrame, seed: Long, nShards: Int): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    val keyed = docs.select(
+      col("doc_id"),
+      call_function("graft_mix64", col("doc_id"), lit(seed)).as("mix"))
+    graft.cdc.split.DistributedRank
+      .withGlobalRowNumber(keyed, "pos", Seq(col("mix"), col("doc_id")))
+      .select(col("doc_id"), col("pos"),
+        pmod(col("pos") - 1, lit(nShards.toLong)).as("shard"))
+  }
+
   /** Vocabulary coverage — build the top-`vocabSize` vocabulary by
     * document frequency (ties broken lexicographically) and score every
     * document's in-vocabulary token fraction, the OOV-rate quality signal

@@ -77,7 +77,10 @@ object CurationQueries extends QueryPack {
       Curation.packSequences(table(s, dir, "documents"), seqLen = 2048L)),
 
     "corpus_vocab_coverage" -> ((s, dir) =>
-      Curation.vocabCoverage(table(s, dir, "documents"), vocabSize = 100))
+      Curation.vocabCoverage(table(s, dir, "documents"), vocabSize = 100)),
+
+    "corpus_shuffle" -> ((s, dir) =>
+      Curation.globalShuffle(table(s, dir, "documents"), seed = 7L, nShards = 16))
   )
 
   /** 10 words exactly — one aligned `span = 10` segment when prefixed. */
@@ -243,6 +246,21 @@ object CurationQueries extends QueryPack {
           |       least(cum_end, (seq_id + 1) * 2048)
           |         - greatest(cum_start, seq_id * 2048) AS span_toks
           |FROM e""".stripMargin,
+
+      // the shuffle rank is replicated through the DuckDB mix chain; the
+      // single-node row_number here is the oracle-side statement of what
+      // the Spark side computes with the distributed rank decomposition
+      "corpus_shuffle" -> {
+        val signedZf = ExtQueries.toSignedSql("zf")
+        s"""WITH src AS (SELECT doc_id, doc_id::UBIGINT AS hu, 7::UBIGINT AS iu
+           |             FROM documents),
+           |mx AS (SELECT * FROM ${ExtQueries.mixChainSql("src", "doc_id")}),
+           |r AS (SELECT doc_id, $signedZf AS mix FROM mx),
+           |p AS (SELECT doc_id,
+           |             row_number() OVER (ORDER BY mix, doc_id) AS pos
+           |      FROM r)
+           |SELECT doc_id, pos, (pos - 1) % 16 AS shard FROM p""".stripMargin
+      },
 
       "corpus_vocab_coverage" ->
         """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -256,6 +256,25 @@ class CurationSpec extends SparkTestBase {
     assert(got == cum && got.nonEmpty)
   }
 
+  test("globalShuffle is a seed-keyed permutation matching a driver replay") {
+    val docs = table(spark, sfDir, "documents")
+    val n = docs.count()
+    val got = Curation.globalShuffle(docs, seed = 7L, nShards = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // permutation of 1..n; shard = round-robin on pos
+    assert(got.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    assert(got.forall { case (_, pos, sh) => sh == (pos - 1) % 16 })
+    // replay: rank of mix64(doc_id, 7) with doc_id tiebreak
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.sortBy(id => (Hashing.mix64(id, 7L), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got.forall { case (id, pos, _) => expected(id) == pos })
+    // a different seed is a different permutation (epoch reshuffle)
+    val other = Curation.globalShuffle(docs, seed = 8L, nShards = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.exists { case (id, pos, _) => other(id) != pos })
+  }
+
   test("vocabCoverage == driver-side replay; vocab boundary ties are stable") {
     val s = spark
     import s.implicits._
