@@ -87,6 +87,9 @@ object ExtQueries extends QueryPack {
       Similarity.ivfPqTopK(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
         m = 8, kCodes = 64, iters = 2, nQueries = 10, k = 5, shortlist = 100)),
 
+    "similarity_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegativesTopK(table(s, dir, "embeddings"), nQueries = 10, k = 5)),
+
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 
@@ -421,6 +424,19 @@ object ExtQueries extends QueryPack {
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
          |      FROM p)
          |SELECT qid, nid, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    // brute force constrained to cross-label pairs (hard negatives)
+    "similarity_hard_negatives" ->
+      s"""$normedEmbSql,
+         |p AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid, n.label AS nlabel,
+         |    ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS sim
+         |  FROM e q JOIN e n
+         |    ON q.vec_id < 10 AND q.vec_id <> n.vec_id AND q.label <> n.label),
+         |r AS (SELECT qid, nid, nlabel, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |      FROM p)
+         |SELECT qid, nid, nlabel, rank, sim FROM r WHERE rank <= 5""".stripMargin,
 
     // winnowing: k-gram FNV hashes -> w-window minima -> distinct; window
     // minima are order-independent, so the replication is exact

@@ -62,6 +62,36 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("sim"))
   }
 
+  /** Hard-negative mining — for each query vector, the k cosine-NEAREST
+    * vectors with a DIFFERENT label: the contrastive-learning data-prep
+    * step (the most confusable negatives make the strongest training
+    * pairs). Same broadcast brute-force shape as [[bruteForceTopK]] with
+    * the label inequality fused into the join condition, so excluded
+    * pairs never reach the dot product. Returns (qid, nid, nlabel, rank,
+    * sim) — deterministic doubles, oracle-exact.
+    */
+  def hardNegativesTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.cdc.types.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"), col("label"), toDouble("embedding").as("vd"))
+      .withColumn("nrm", norm(col("vd")))
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("vd").as("qv"), col("nrm").as("qnorm"))
+    base
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("vd").as("nv"), col("nrm").as("nnorm"))
+      .crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid") && col("qlabel") =!= col("nlabel"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+      // scalars only through the rank shuffle (see bruteForceTopK)
+      .select(col("qid"), col("nid"), col("nlabel"), col("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("nlabel"), col("rank"), col("sim"))
+  }
+
   /** Salt deriving the deterministic IVF seed sample (any fixed constant). */
   private[ext] val IvfSeedSalt = 2027L
 

@@ -272,6 +272,35 @@ class ExtOpsSpec extends SparkTestBase {
       assert(r.getDouble(3) == exactSim(key), s"sim drift at $key")
   }
 
+  test("hard negatives = brute force restricted to cross-label pairs") {
+    val emb = table(spark, sfDir, "embeddings")
+    val nq = 5; val k = 5
+    val got = Similarity.hardNegativesTopK(emb, nq, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dotd(a, a))
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    for (qid <- 0L until nq.toLong) {
+      val (_, qv, ql) = rows.find(_._1 == qid).get
+      val expected = rows
+        .filter(r => r._1 != qid && r._3 != ql)
+        .map(r => (r._1, r._3, dotd(qv, r._2) / (nrm(qv) * nrm(r._2))))
+        .sortBy { case (nid, _, sim) => (-sim, nid) }.take(k)
+      val mine = got.filter(_._1 == qid).sortBy(_._4)
+      assert(mine.length == k)
+      for ((exp, act) <- expected.zip(mine)) {
+        assert(act._2 == exp._1 && act._5 == exp._3, s"qid $qid rank ${act._4}")
+        assert(labels(act._2) != ql) // never a same-label pair
+      }
+    }
+  }
+
   test("IVF-PQ respects the cell gate, returns exact sims, and clears the IVF recall bar") {
     val emb = table(spark, sfDir, "embeddings")
     val nq = 5; val k = 10
