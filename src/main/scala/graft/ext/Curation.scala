@@ -241,10 +241,24 @@ object Curation {
     * Catalyst plans 2+3 as one hash aggregate + equi-join on the digest;
     * AQE broadcasts the keeper side when it is small.
     */
-  def pipeline(docs: DataFrame, minWords: Int = 30, repLimit: Int = 10): DataFrame = {
+  def pipeline(docs: DataFrame, minWords: Int = 30, repLimit: Int = 10): DataFrame =
+    gated(docs, minWords, repLimit)
+      .groupBy(col("source"), col("lang_guess"))
+      .agg(
+        count(lit(1)).as("docs_kept"),
+        sum(col("n_words")).as("total_ws_tokens"))
+
+  /** The gate of [[pipeline]] as a document set — (doc_id, text, source,
+    * n_words, lang_guess) for every surviving document. Splitting the gate
+    * from the report lets downstream stages (sequence packing, sharding)
+    * compose onto the SAME one-pass plan; Catalyst prunes `text` away for
+    * consumers that only aggregate.
+    */
+  def gated(docs: DataFrame, minWords: Int = 30, repLimit: Int = 10): DataFrame = {
     val stats = docs.select(
       col("doc_id"),
       col("source"),
+      col("text"),
       sha2(col("text"), 256).as("sha"),
       size(split(col("text"), " ")).as("n_words"),
       // same sorted-runs fold as repetitionStats, counts only
@@ -264,10 +278,8 @@ object Curation {
       .where(col("doc_id") === col("keep_id")
         && col("n_words") >= minWords
         && col("top_cnt") * repLimit <= col("n_words"))
-      .groupBy(col("source"), col("lang_guess"))
-      .agg(
-        count(lit(1)).as("docs_kept"),
-        sum(col("n_words")).as("total_ws_tokens"))
+      .select(col("doc_id"), col("text"), col("source"),
+        col("n_words"), col("lang_guess"))
   }
 
   /** Sequence packing — the concat-and-chunk step that turns a curated

@@ -80,7 +80,15 @@ object CurationQueries extends QueryPack {
       Curation.vocabCoverage(table(s, dir, "documents"), vocabSize = 100)),
 
     "corpus_shuffle" -> ((s, dir) =>
-      Curation.globalShuffle(table(s, dir, "documents"), seed = 7L, nShards = 16))
+      Curation.globalShuffle(table(s, dir, "documents"), seed = 7L, nShards = 16)),
+
+    // the composed corpus -> training-batches flow in ONE declarative
+    // plan: quality gate + exact-dedup keeper, then the survivors packed
+    // into 2048-token sequences — all-integer, hash-oracled end to end
+    "corpus_training_pipeline" -> ((s, dir) =>
+      Curation.packSequences(
+        Curation.gated(table(s, dir, "documents")).select(col("doc_id"), col("text")),
+        seqLen = 2048L))
   )
 
   /** 10 words exactly — one aligned `span = 10` segment when prefixed. */
@@ -276,6 +284,40 @@ object CurationQueries extends QueryPack {
           |                     THEN 0 ELSE 1 END) AS BIGINT) AS oov
           |FROM w
           |GROUP BY doc_id""".stripMargin,
+
+      // pipeline gate + packing fused: the surv CTE replicates the gate,
+      // then the same window-prefix-sum packing arithmetic runs over it
+      "corpus_training_pipeline" ->
+        """WITH wc AS (
+          |  SELECT doc_id, w, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          |  GROUP BY 1, 2),
+          |m AS (SELECT doc_id, max(c) AS top_cnt FROM wc GROUP BY 1),
+          |keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text),
+          |surv AS (
+          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          |  FROM documents JOIN m USING (doc_id)
+          |  WHERE doc_id IN (SELECT keep_id FROM keep)
+          |    AND len(string_split(text, ' ')) >= 30
+          |    AND top_cnt * 10 <= len(string_split(text, ' '))),
+          |c AS (SELECT doc_id, n_toks,
+          |             CAST(sum(n_toks) OVER (ORDER BY doc_id
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |                  AS BIGINT) AS cum_end
+          |      FROM surv),
+          |d AS (SELECT doc_id, n_toks, cum_end,
+          |             cum_end - n_toks AS cum_start
+          |      FROM c),
+          |e AS (SELECT doc_id, n_toks, cum_start, cum_end,
+          |             unnest(generate_series(cum_start // 2048,
+          |                                    (cum_end - 1) // 2048)) AS seq_id
+          |      FROM d)
+          |SELECT doc_id, n_toks, seq_id,
+          |       greatest(cum_start, seq_id * 2048) - cum_start AS doc_tok_start,
+          |       greatest(cum_start, seq_id * 2048) - seq_id * 2048 AS seq_tok_start,
+          |       least(cum_end, (seq_id + 1) * 2048)
+          |         - greatest(cum_start, seq_id * 2048) AS span_toks
+          |FROM e""".stripMargin,
 
       "corpus_curation_pipeline" ->
         s"""WITH wc AS (

@@ -57,4 +57,27 @@ class DistributedRankSpec extends SparkTestBase {
       .select($"rn").collect().map(_.getLong(0)).sorted
     assert(rns.toSeq == (1L to 100L))
   }
+
+  test("withGlobalRunningSum equals sum() over a global window (values, not plan)") {
+    val s = spark
+    import s.implicits._
+    // skewed values incl. zeros and negatives, forced multi-partition
+    val df = (1 to 5000)
+      .map(i => (i % 977, i, (i % 7 - 3).toLong * i)).toDF("k", "tb", "v")
+      .repartition(7)
+    val order = Seq(col("k"), col("tb"))
+    val got = DistributedRank.withGlobalRunningSum(df, "cum", col("v"), order)
+      .select($"k", $"tb", $"cum").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val want = df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"tb", $"cum").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.size == 5000)
+    // last prefix == total
+    assert(got.maxBy(t => (t._1, t._2))._3 ==
+      df.agg(sum($"v")).collect()(0).getLong(0))
+  }
 }
