@@ -225,4 +225,39 @@ class AlgebraPropertySpec extends AnyFunSuite {
       antisym && trans
     })
   }
+
+  // --- sequence-packing arithmetic ---------------------------------------
+
+  private val packGen: Gen[(List[Long], Long)] = for {
+    b <- Gen.choose(1L, 16L)
+    n <- Gen.choose(1, 30)
+    toks <- Gen.listOfN(n, Gen.choose(1L, 40L))
+  } yield (toks, b)
+
+  test("packing span arithmetic tiles every doc and fills every sequence") {
+    check(Prop.forAll(packGen) { case (toks, b) =>
+      // the same closed-form span arithmetic packSequences computes
+      val cums = toks.scanLeft(0L)(_ + _)
+      val spans = toks.zipWithIndex.flatMap { case (t, i) =>
+        val (s0, e0) = (cums(i), cums(i + 1))
+        ((s0 / b) to ((e0 - 1) / b)).map { seq =>
+          val start = math.max(s0, seq * b)
+          (i, seq, start - s0, start - seq * b, math.min(e0, (seq + 1) * b) - start)
+        }
+      }
+      val total = toks.sum
+      val tiles = toks.indices.forall { i =>
+        val mine = spans.filter(_._1 == i).sortBy(_._2)
+        mine.map(_._5).sum == toks(i) &&
+          mine.headOption.forall(_._3 == 0L) &&
+          mine.zip(mine.drop(1)).forall { case (a, c) => c._3 == a._3 + a._5 }
+      }
+      val lastSeq = (total - 1) / b
+      val fills = spans.groupBy(_._2).forall { case (seq, ss) =>
+        val tot = ss.map(_._5).sum
+        if (seq == lastSeq) tot == total - lastSeq * b else tot == b
+      }
+      tiles && fills && spans.forall(_._5 > 0)
+    })
+  }
 }

@@ -78,6 +78,29 @@ class BpeSpec extends SparkTestBase {
     assert(merges.map(_._1) == merges.indices.toList)
   }
 
+  test("merge pass properties: concatenation preserved, only shortens, pass complete") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val symsGen: Gen[Array[String]] = for {
+      n <- Gen.choose(0, 20)
+      syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "'", "é"))
+    } yield syms.toArray
+    val p = Prop.forAll(symsGen, Gen.oneOf("a", "b", "ab"), Gen.oneOf("a", "b", "c")) {
+      (syms, l, r) =>
+        val out = Bpe.mergeOnce(syms, l, r)
+        out.mkString == syms.mkString &&
+          out.length <= syms.length &&
+          // no unmerged (l, r) adjacency survives a pass UNLESS the left
+          // symbol is itself the product of a merge this pass (greedy
+          // left-to-right consumed its components)
+          out.indices.drop(1).forall(i =>
+            !(out(i - 1) == l && out(i) == r) || out(i - 1) == l + r || l == l + r)
+    } && Prop.forAll(symsGen) { syms =>
+      Bpe.mergeOnce(syms, "x", "y").toSeq == syms.toSeq // pair-free = identity
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("graft_bpe one-pass expression == the composed per-merge HOF chain") {
     val s = spark
     import s.implicits._
