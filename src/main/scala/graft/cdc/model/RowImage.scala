@@ -289,6 +289,53 @@ object RowImage {
       col("k.row_kind").as("row_kind"), img.as("img"))
   }
 
+  /** Incremental changelog aggregation — grouped (count, sum) maintained
+    * from the DELTA algebra alone: inserts add their after-image, deletes
+    * retract their before-image, updates do both (so a row whose group
+    * column changes moves between groups naturally). No per-key state, no
+    * materialization — the 100 TB win over materialize-then-aggregate,
+    * whose keyed state is corpus-sized where this shuffles only
+    * (group, value, ±1) scalars into a map-side-combinable sum. This is
+    * the retraction semantics Flink's changelog aggregation applies
+    * per-record, expressed as one batch plan.
+    *
+    * Envelope-native: only `groupCol` and `sumCol` are ever parsed (a
+    * reduced wire schema, same O(referenced-fields) discipline as
+    * [[recordKey]]); correctness of the maintained aggregate requires the
+    * log's before-images to be faithful predecessors, which is the
+    * changelog contract. Returns (groupCol, net_rows, net_sum).
+    */
+  def incrementalAggEnvelope(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      groupCol: String,
+      sumCol: String,
+      overrides: ConverterOverrides = NoOverrides): DataFrame = {
+    val sub = StructType(Seq(table.schema(groupCol), table.schema(sumCol)))
+    def side(json: Column): Column = {
+      val parsed = parseImage(json, wireSchema(sub))
+      val fields = sub.fields.map { f =>
+        val conv = overrides.applyOrElse(f, (ff: StructField) => decodeField(ff))
+        conv(parsed.getField(f.name)).as(f.name)
+      }
+      when(json.isNull, lit(null).cast(sub))
+        .otherwise(struct(fields.toIndexedSeq: _*))
+    }
+    val decoded = envelope.select(col("op"),
+      side(col("after")).as("_a"), side(col("before")).as("_b"))
+    val plus = decoded.where(col("op") =!= Changelog.OpDelete)
+      .select(col("_a").getField(groupCol).as("_g"),
+        col("_a").getField(sumCol).as("_v"), lit(1L).as("_sign"))
+    val minus = decoded
+      .where(col("op").isin(Changelog.OpUpdate, Changelog.OpDelete))
+      .select(col("_b").getField(groupCol).as("_g"),
+        col("_b").getField(sumCol).as("_v"), lit(-1L).as("_sign"))
+    plus.unionByName(minus)
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum(col("_sign")).as("net_rows"),
+        sum(col("_v") * col("_sign")).as("net_sum"))
+  }
+
   /** J2 straight over wire envelopes: the split ranges compare against the
     * pk-parsed key; image strings pass through untouched (decode nothing —
     * the filter never looks at value fields).

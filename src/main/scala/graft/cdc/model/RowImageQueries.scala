@@ -238,6 +238,15 @@ object RowImageQueries extends QueryPack {
           valueOut(img)): _*)
     }),
 
+    // A-family generic — incremental changelog aggregation: grouped sums
+    // maintained from the delta algebra alone (inserts add afters, deletes
+    // retract befores, updates both), no per-key state, no materialization
+    "rowimage_incremental_agg" -> ((s, dir) =>
+      incrementalAggEnvelope(envelope(s, dir), lineitemTable,
+        "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"), col("net_rows"),
+          col("net_sum").cast(DecimalType(20, 2)).cast(StringType).as("net_sum"))),
+
     // P2 generic — row-kind expansion with envelope before-images
     // (envelope-native: images decode once per emitted row, after explode)
     "rowimage_extract_rows" -> ((s, dir) =>
@@ -451,6 +460,24 @@ object RowImageQueries extends QueryPack {
          |SELECT o, '-D', l_partkey, l_suppkey,
          |       CAST(CAST(l_quantity + 5 AS DECIMAL(12,2)) AS VARCHAR), 'P'
          |FROM cl WHERE op = 'd'""".stripMargin,
+
+    // delta algebra replicated: +after for c/u, -before for u/d, with the
+    // fixture's deterministic before derivation (qty+5, flag 'P')
+    "rowimage_incremental_agg" ->
+      s"""$clSql,
+         |plus AS (
+         |  SELECT CASE WHEN l_returnflag = 'N' THEN NULL
+         |              ELSE l_returnflag END AS g,
+         |         CAST(l_quantity AS DECIMAL(12,2)) AS v, 1 AS sign
+         |  FROM cl WHERE op <> 'd'),
+         |minus AS (
+         |  SELECT 'P' AS g, CAST(l_quantity + 5 AS DECIMAL(12,2)) AS v,
+         |         -1 AS sign
+         |  FROM cl WHERE op IN ('u', 'd')),
+         |u AS (SELECT * FROM plus UNION ALL SELECT * FROM minus)
+         |SELECT g AS l_returnflag, CAST(sum(sign) AS BIGINT) AS net_rows,
+         |       CAST(CAST(sum(v * sign) AS DECIMAL(20,2)) AS VARCHAR) AS net_sum
+         |FROM u GROUP BY g""".stripMargin,
 
     "rowimage_upsert_materialize" -> upsertSql,
 
