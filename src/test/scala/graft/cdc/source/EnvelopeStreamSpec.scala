@@ -4,7 +4,7 @@ import graft.SparkTestBase
 import graft.cdc.model.{Changelog, RowImage, RowImageQueries}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DecimalType, StringType}
 
 /** The generic-envelope face of the DSv2 stream (`envelope=true`) composed
   * with the schema-driven sink: whole JSON row images tailed from a live
@@ -47,6 +47,35 @@ class EnvelopeStreamSpec extends SparkTestBase {
       col("l_quantity").cast(StringType), col("l_extendedprice").cast(StringType),
       col("l_shipdate").cast(StringType), col("l_shipts").cast(StringType),
       col("l_returnflag"), hex(col("l_flagbin"))).collect().toSet
+
+  test("incremental agg composes under streaming: delta state == batch across splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val fs = frames()
+    val stream = MemoryStream[(Long, String, Long, String, String)]
+    // the SAME operator, verbatim — its final groupBy/agg becomes the
+    // streaming state; complete mode surfaces the maintained aggregate
+    val agg = RowImage.incrementalAggEnvelope(
+      stream.toDS().toDF("offset", "op", "ts_ms", "before", "after"),
+      t, "l_returnflag", "l_quantity")
+    val q = agg.writeStream.format("memory").queryName("inc_agg")
+      .outputMode("complete").start()
+    val recs = fs.map { case (o, op, ts, _, b, a) => (o, op, ts, b, a) }
+    val splits = Seq(recs.take(60), recs.slice(60, 61), recs.drop(61))
+    for (b <- splits) { stream.addData(b.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    def norm2(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_returnflag"), col("net_rows"),
+        col("net_sum").cast(DecimalType(20, 2)).cast(StringType)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val got = norm2(spark.table("inc_agg"))
+    val want = norm2(RowImage.incrementalAggEnvelope(
+      recs.toSeq.toDF("offset", "op", "ts_ms", "before", "after"),
+      t, "l_returnflag", "l_quantity"))
+    assert(got == want && got.nonEmpty)
+  }
 
   test("envelope stream + generic sink: crash mid-drain, resume, exactly-once effect") {
     val fs = frames()
