@@ -171,6 +171,31 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("semanticDedupWith refined centroids: pairs are within-cell and sims exact") {
+    val emb = table(spark, sfDir, "embeddings")
+    val centroids = Similarity.kmeansRefine(emb, nCells = 4, iters = 2)
+    val got = Dedup.semanticDedupWith(emb, centroids, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, _, sim) => a < b && sim >= 0.2 })
+    // cells really come from the refined centroids; sims are exact cosine
+    val sims = Similarity.cellSimilaritiesWith(Similarity.normed(emb), centroids)
+    val cellOf = Similarity.assignCells(sims).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for ((a, b, cell, sim) <- got.take(50)) {
+      assert(cellOf(a) == cell && cellOf(b) == cell)
+      val (va, vb) = (rows(a), rows(b))
+      assert(sim == dotd(va, vb) / (math.sqrt(dotd(va, va)) * math.sqrt(dotd(vb, vb))))
+    }
+  }
+
   test("kmeans refinement matches a driver-side Lloyd replay; refined IVF works") {
     val emb = table(spark, sfDir, "embeddings")
     val nCells = 4
