@@ -13,6 +13,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     cdc.model.ModelQueries,
     cdc.model.RowImageQueries,
+    cdc.model.IvmQueries,
     cdc.offsets.OffsetQueries,
     cdc.split.ChunkQueries,
     cdc.merge.MergeQueries,

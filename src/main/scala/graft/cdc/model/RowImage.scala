@@ -242,6 +242,119 @@ object RowImage {
     decodeWinners(merged, table, overrides)
   }
 
+  /** Point-in-time (time-travel) materialization: the table state AS OF
+    * `asOf` — last-writer-wins over only the frames at or below that
+    * offset. The reference replays its log from a checkpoint to recover
+    * old state; over a retained changelog the same question is one
+    * offset predicate pushed under the merge (at scale the filter reaches
+    * the log scan, so a far-past `asOf` reads a prefix, not the whole
+    * log).
+    */
+  def upsertMaterializeEnvelopeAsOf(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      asOf: Long,
+      overrides: ConverterOverrides = NoOverrides): DataFrame =
+    upsertMaterializeEnvelope(
+      envelope.where(col("offset") <= asOf), table, overrides)
+
+  /** Log compaction (the Kafka compacted-topic contract): one frame per
+    * key — its latest — with delete TOMBSTONES retained, so the compacted
+    * log is still a changelog (replaying it into [[upsertMaterialize]]
+    * yields the same state as replaying the full log; spec-asserted).
+    * Envelope-native: the winner's image stays an opaque string through
+    * the one shuffle and decodes only per surviving key. Output: frame
+    * columns + flattened key + decoded after-image value columns (null on
+    * tombstones).
+    */
+  def compactLogEnvelope(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      overrides: ConverterOverrides = NoOverrides): DataFrame = {
+    val merged = envelope
+      .groupBy(keyColumn(table, overrides).as("key"))
+      .agg(max_by(
+        struct(col("offset"), col("op"), col("ts_ms"), col("after")),
+        col("offset")).as("last"))
+    val withParsed = merged.withColumn("_w",
+      parseImage(col("last.after"), wireSchema(table.schema)))
+    val pkOut = table.pkCols.map(c => col("key").getField(c).as(c))
+    val valOut = table.valueCols.map { c =>
+      val f = table.schema(c)
+      val conv = overrides.applyOrElse(f, (ff: StructField) => decodeField(ff))
+      conv(col("_w").getField(c)).as(c)
+    }
+    withParsed.select(
+      (col("last.offset").as("offset") +: col("last.op").as("op") +:
+        col("last.ts_ms").as("ts_ms") +: pkOut) ++ valOut: _*)
+  }
+
+  /** State DIFF between two offsets: the minimal changelog that takes the
+    * table's state as of `lo` to its state as of `hi` — `+I` for keys that
+    * appeared, `-D` (with the lo-state image) for keys that vanished, a
+    * `-U`/`+U` retraction pair for keys whose image changed. The audit /
+    * "what changed since the last sync" question a changelog consumer
+    * asks, answered in ONE hash aggregation: both point-in-time states
+    * come from conditional `max_by` folds (null ordering skips frames past
+    * the bound) in the same groupBy, so the log is scanned once and only
+    * per-key winners — never raw frames — are compared. Images decode
+    * post-merge, two per surviving key; the emitted `offset` is the
+    * hi-side state-defining frame's.
+    */
+  def changesBetweenEnvelope(
+      envelope: DataFrame,
+      table: DeclaredTable,
+      lo: Long,
+      hi: Long,
+      overrides: ConverterOverrides = NoOverrides): DataFrame = {
+    require(lo <= hi, s"changesBetween needs lo <= hi, got $lo > $hi")
+    // conditional winners via max over (offset-led) structs: max skips the
+    // nulls the bound predicate produces, and the lexicographic struct
+    // order reduces to offset order because offsets are unique per key —
+    // certain null semantics, unlike max_by with a nullable ordering
+    val grouped = envelope
+      .groupBy(keyColumn(table, overrides).as("key"))
+      .agg(
+        max(when(col("offset") <= lo,
+          struct(col("offset"), col("op"), col("after")))).as("s_lo"),
+        max(when(col("offset") <= hi,
+          struct(col("offset"), col("op"), col("after")))).as("s_hi"))
+    val loJson = when(col("s_lo").isNotNull &&
+      col("s_lo.op") =!= Changelog.OpDelete, col("s_lo.after"))
+    val hiJson = when(col("s_hi").isNotNull &&
+      col("s_hi.op") =!= Changelog.OpDelete, col("s_hi.after"))
+    val ws = wireSchema(table.schema)
+    val parsed = grouped
+      .withColumn("_lo_json", loJson)
+      .withColumn("_hi_json", hiJson)
+      .withColumn("_lo_w", parseImage(col("_lo_json"), ws))
+      .withColumn("_hi_w", parseImage(col("_hi_json"), ws))
+    val loImg = decodeImage(col("_lo_w"), col("_lo_json"), table, overrides)
+    val hiImg = decodeImage(col("_hi_w"), col("_hi_json"), table, overrides)
+    val decoded = parsed
+      .withColumn("_lo", loImg)
+      .withColumn("_hi", hiImg)
+    val empty = array().cast(ArrayType(StructType(Seq(
+      StructField("row_kind", StringType, nullable = false),
+      StructField("img", table.schema)))))
+    val frames =
+      when(col("_lo").isNull && col("_hi").isNotNull,
+        array(struct(lit("+I").as("row_kind"), col("_hi").as("img"))))
+      .when(col("_lo").isNotNull && col("_hi").isNull,
+        array(struct(lit("-D").as("row_kind"), col("_lo").as("img"))))
+      .when(col("_lo").isNotNull && col("_hi").isNotNull &&
+          !(col("_lo") <=> col("_hi")),
+        array(
+          struct(lit("-U").as("row_kind"), col("_lo").as("img")),
+          struct(lit("+U").as("row_kind"), col("_hi").as("img"))))
+      .otherwise(empty)
+    decoded
+      .select(col("key"), col("s_hi").getField("offset").as("offset"),
+        explode(frames).as("k"))
+      .select(col("offset"), col("key"),
+        col("k.row_kind").as("row_kind"), col("k.img").as("img"))
+  }
+
   /** Decode the merge winners `(key, last: (offset, op, after-json))` into
     * the flattened output shape, parsing each surviving image once.
     */

@@ -162,7 +162,7 @@ object RowImageQueries extends QueryPack {
     decodeEnvelope(envelope(spark, sfDir), lineitemTable)
 
   /** Driver-compare-safe projection of the lineitem merge output. */
-  private def upsertOut(m: DataFrame): DataFrame =
+  private[model] def upsertOut(m: DataFrame): DataFrame =
     m.select(
       col("l_partkey"), col("l_suppkey"), col("last_offset"),
       col("l_quantity").cast(StringType).as("l_quantity"),
@@ -171,7 +171,7 @@ object RowImageQueries extends QueryPack {
       hex(col("l_flagbin")).as("l_flagbin_hex"))
 
   /** Driver-compare-safe projection of one image's value columns. */
-  private def valueOut(img: Column): Seq[Column] = Seq(
+  private[model] def valueOut(img: Column): Seq[Column] = Seq(
     img.getField("l_quantity").cast(StringType).as("l_quantity"),
     img.getField("l_extendedprice").cast(StringType).as("l_extendedprice"),
     img.getField("l_shipdate").as("l_shipdate"),
@@ -196,6 +196,24 @@ object RowImageQueries extends QueryPack {
       .unionByName(row(k(1500, 25), nul, 400000000000000L))
   }
 
+  /** The last-writer-wins oracle, with an optional predicate over the
+    * derived changelog (used by the time-travel variants in [[IvmQueries]]).
+    */
+  private[model] def upsertSqlFiltered(outerWhere: String): String =
+    s"""$clSql
+       |SELECT l_partkey, l_suppkey, max(o) AS last_offset,
+       |       CAST(CAST(arg_max(l_quantity, o) AS DECIMAL(12,2)) AS VARCHAR)
+       |         AS l_quantity,
+       |       CAST(CAST(arg_max(l_extendedprice, o) AS DECIMAL(14,2)) AS VARCHAR)
+       |         AS l_extendedprice,
+       |       CAST(arg_max(l_shipdate, o) AS DATE) AS l_shipdate,
+       |       arg_max(l_shipdate, o) AS l_shipts,
+       |       CASE WHEN arg_max(op, o) = 'u'
+       |            THEN arg_max(l_returnflag, o) END AS l_returnflag,
+       |       hex(encode(arg_max(l_linestatus, o))) AS l_flagbin_hex
+       |FROM cl$outerWhere GROUP BY l_partkey, l_suppkey
+       |HAVING arg_max(op, o) <> 'd'""".stripMargin
+
   private lazy val upsertSql: String =
     s"""$clSql
        |SELECT l_partkey, l_suppkey, max(o) AS last_offset,
@@ -212,7 +230,7 @@ object RowImageQueries extends QueryPack {
        |HAVING arg_max(op, o) <> 'd'""".stripMargin
 
   /** Shared oracle prelude: the deterministic changelog derivation. */
-  private def clSqlWhere(where: String): String =
+  private[model] def clSqlWhere(where: String): String =
     s"""WITH cl AS (
       |  SELECT ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey)
       |           * 100000 + l_suppkey AS o,
@@ -222,7 +240,7 @@ object RowImageQueries extends QueryPack {
       |         l_shipdate, l_returnflag, l_linestatus
       |  FROM lineitem$where)""".stripMargin
 
-  private val clSql = clSqlWhere("")
+  private[model] val clSql = clSqlWhere("")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 full — wire decode of arbitrary multi-column images: every declared

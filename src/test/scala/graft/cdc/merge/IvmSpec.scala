@@ -1,0 +1,149 @@
+package graft.cdc.merge
+
+import graft.SparkTestBase
+import graft.cdc.model.{Changelog, IvmQueries, RowImage, RowImageQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Properties of the changelog-analytics operators beyond what the DuckDB
+  * oracles pin down:
+  *
+  *   - the join-delta stream is PREFIX-CONSISTENT: truncated at ANY offset
+  *     it folds to the join of the two table states as of that offset
+  *     (the oracle only checks the full-log endpoint);
+  *   - compaction preserves materialization: replaying the compacted log
+  *     (tombstones included) yields the same state as replaying the full
+  *     log;
+  *   - as-of materialization at the log's end equals the plain merge, and
+  *     the diff between two offsets really rewrites state(lo) to
+  *     state(hi).
+  */
+class IvmSpec extends SparkTestBase {
+
+  private def ordersEnv = IvmQueries.ordersEnvelope(spark, sfDir)
+  private def custEnv = IvmQueries.customerEnvelope(spark, sfDir)
+
+  /** sf0.001 carries one duplicated lineitem row identity — two frames
+    * with the SAME offset but different images. A real log never does
+    * this (offsets are unique positions); collapse ties deterministically
+    * so winner selection can't differ between `max_by` (arbitrary on
+    * ties) and struct-max (lexicographic) formulations.
+    */
+  private def lineitemEnv(maxOrderkey: Long): DataFrame =
+    RowImageQueries.envelopeFrom(
+        Changelog.table(spark, sfDir, "lineitem")
+          .where(col("l_orderkey") <= maxOrderkey))
+      .groupBy(col("offset"))
+      .agg(max(struct(col("op"), col("ts_ms"), col("before"), col("after")))
+        .as("f"))
+      .select(col("offset"), col("f.op").as("op"), col("f.ts_ms").as("ts_ms"),
+        col("f.before").as("before"), col("f.after").as("after"))
+
+  /** Direct (non-incremental) join of the two materialized states as of
+    * `cut`: the ground truth the folded delta prefix must reproduce.
+    */
+  private def directJoin(cut: Long): Set[(Long, Long, String, String, String)] = {
+    def state(env: DataFrame, t: RowImage.DeclaredTable) =
+      RowImage.upsertMaterialize(
+        RowImage.decodeEnvelope(env.where(col("offset") <= cut), t), t)
+    val o = state(ordersEnv, IvmQueries.ordersJoinTable)
+    val c = state(custEnv, IvmQueries.customerTable)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("string"),
+        col("c_name"), col("c_acctbal").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+      .toSet
+  }
+
+  test("join-delta stream is prefix-consistent at arbitrary cut offsets") {
+    val irA = RowImage.decodeEnvelope(ordersEnv, IvmQueries.ordersJoinTable)
+      .localCheckpoint()
+    val irB = RowImage.decodeEnvelope(custEnv, IvmQueries.customerTable)
+      .localCheckpoint()
+    val deltas = IncrementalJoin.joinDeltas(
+      irA, "o_custkey", irB, "c_custkey").localCheckpoint()
+    // cuts: mid-initial-frames, between the frame bands, mid-second-band
+    for (cut <- Seq(60000L, 2000000L, 20050000L, Long.MaxValue)) {
+      val folded = IncrementalJoin
+        .foldDeltas(deltas.where(col("offset") <= cut))
+        .select(col("a_img.o_orderkey"), col("a_img.o_custkey"),
+          col("a_img.o_totalprice").cast("string"),
+          col("b_img.c_name"), col("b_img.c_acctbal").cast("string"),
+          col("net"))
+        .collect()
+      assert(folded.forall(_.getLong(5) == 1L), s"net != 1 at cut $cut")
+      val got = folded.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+      assert(got == directJoin(cut), s"fold != direct join at cut $cut")
+    }
+  }
+
+  test("compacted log materializes to the same state as the full log") {
+    val t = RowImageQueries.lineitemTable
+    val env = lineitemEnv(2000)
+    val full = RowImage.upsertMaterializeEnvelope(env, t)
+    // re-encode the compacted frames as a wire envelope and replay it
+    val compacted = RowImage.compactLogEnvelope(env, t)
+    val img = struct(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val replayEnv = compacted.select(
+      col("offset"), col("op"), col("ts_ms"),
+      lit(null).cast("string").as("before"),
+      when(col("op") =!= Changelog.OpDelete,
+        RowImage.encodeImage(img, t)).as("after"))
+    val replayed = RowImage.upsertMaterializeEnvelope(replayEnv, t)
+    def canon(df: DataFrame) = df
+      .select(col("l_partkey"), col("l_suppkey"), col("last_offset"),
+        col("l_quantity").cast("string"), col("l_returnflag"))
+      .collect().map(_.toSeq).toSet
+    val f = canon(full)
+    assert(f.nonEmpty && f == canon(replayed))
+    // tombstones really are retained: the compacted log must carry 'd'
+    assert(compacted.where(col("op") === Changelog.OpDelete).limit(1)
+      .count() == 1L)
+  }
+
+  test("as-of at the log end equals the plain merge; diff rewrites lo to hi") {
+    val t = RowImageQueries.lineitemTable
+    val env = lineitemEnv(2000).localCheckpoint()
+    val plain = RowImage.upsertMaterializeEnvelope(env, t)
+    val asOfEnd = RowImage.upsertMaterializeEnvelopeAsOf(env, t, Long.MaxValue)
+    def keyed(df: DataFrame) = df
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("string"), col("l_shipts"),
+        col("l_returnflag"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2),
+        String.valueOf(r.get(3)), r.getString(4)))
+      .toMap
+    assert(keyed(plain) == keyed(asOfEnd) && keyed(plain).nonEmpty)
+
+    // apply the lo->hi diff onto state(lo); must land exactly on state(hi)
+    val lo = 5000000000000L
+    val hi = Long.MaxValue
+    val sLo = keyed(RowImage.upsertMaterializeEnvelopeAsOf(env, t, lo))
+    val sHi = keyed(RowImage.upsertMaterializeEnvelopeAsOf(env, t, hi))
+    val diff = RowImage.changesBetweenEnvelope(env, t, lo, hi)
+      .select(col("row_kind"),
+        col("key.l_partkey"), col("key.l_suppkey"),
+        col("img.l_quantity").cast("string"),
+        col("img.l_shipts"), col("img.l_returnflag"))
+      .collect()
+    val applied = diff.foldLeft(sLo) { (st, r) =>
+      val k = (r.getLong(1), r.getLong(2))
+      val v = (r.getString(3), String.valueOf(r.get(4)), r.getString(5))
+      r.getString(0) match {
+        case "+I" | "+U" => st + (k -> v)
+        case "-D" =>
+          assert(st.get(k).contains(v), s"-D retracts a non-live image at $k")
+          st - k
+        case "-U" =>
+          assert(st.get(k).contains(v), s"-U retracts a non-live image at $k")
+          st - k
+      }
+    }
+    assert(applied == sHi && diff.nonEmpty)
+  }
+}

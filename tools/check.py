@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, float):
         if math.isnan(v):
