@@ -28,15 +28,38 @@ object Changelog {
     * is the only data entry point — a plain parquet scan that Catalyst can
     * push filters/projections into.
     *
-    * `events.parquet` stores TIMESTAMP(NANOS) which Spark 4 only reads with
-    * the nanosAsLong legacy conf (the column then surfaces as LongType
-    * nanos-since-epoch); set it idempotently so any driver-created session
-    * works.
+    * `events.parquet` has shipped `ts` as either TIMESTAMP(NANOS) (which
+    * Spark 4 only reads with the nanosAsLong legacy conf, surfacing as
+    * LongType nanos-since-epoch) or TIMESTAMP(MICROS) (surfacing as
+    * TIMESTAMP_NTZ). [[normalizeEventTs]] folds both to the engine's
+    * canonical LongType epoch-nanos so everything downstream is
+    * generation-independent; the confs are set idempotently so any
+    * driver-created session works.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    // the oracle (DuckDB) treats naive parquet timestamps as UTC epochs;
+    // pin the session to the same interpretation so NTZ casts are exact
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Canonicalize `events.ts` to LongType epoch-nanos regardless of the
+    * parquet generation's physical type. Integer arithmetic only — micros
+    * *1000 is exact and overflows Long no earlier than year 2262.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // nanos already
+      case _: org.apache.spark.sql.types.TimestampNTZType |
+           _: org.apache.spark.sql.types.TimestampType =>
+        // NTZ -> TS cast is wall-clock identity under the UTC session set
+        // in table(); unix_micros is then the tz-free epoch
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other")
+    }
 
   /** Debezium-style op codes. */
   val OpInsert = "c"

@@ -793,6 +793,11 @@ object RowImage {
           applyOne()
         }
         conn.commit()
+      } catch { case e: Throwable =>
+        // roll back so close() can't throw 25001 and MASK the real failure
+        try conn.rollback() catch { case s: java.sql.SQLException =>
+          e.addSuppressed(s) }
+        throw e
       } finally conn.close()
     }
   }

@@ -130,11 +130,14 @@ object CdcSource {
     def loadStream(sfDir: String): DataFrame = {
       validateOptions()
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
       val raw = spark.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      // same ts canonicalization as the batch face (nanos vs micros parquet
+      // generations); a stateless projection, so streaming-safe
       val cl0 = graft.cdc.streaming.StreamingOps.changelogStream(
-        raw.withColumn("ts_ms", expr("ts div 1000000")))
+        Changelog.normalizeEventTs(raw).withColumn("ts_ms", expr("ts div 1000000")))
       val cl = opts.get("table-name") match {
         case Some(re) => cl0.where(graft.cdc.merge.ChangelogOps.tableNameCol.rlike(re))
         case None => cl0
