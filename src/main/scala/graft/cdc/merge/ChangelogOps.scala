@@ -166,4 +166,37 @@ object ChangelogOps {
         .select(col("offset"), col("pk"), col("ts_ms")),
       "commit_rank",
       Seq(col("ts_ms"), col("offset")))
+
+  /** Transaction-consistent emission: only events of COMMITTED transactions
+    * are released, each tagged with its transaction's commit offset, so a
+    * consumer ordering by (commit_off, offset) never observes a transaction
+    * half-applied. Mirrors Debezium's transaction-metadata buffering — the
+    * reference consumes whole binlog transactions per poll and a downstream
+    * with transaction metadata enabled holds events until the txn END marker
+    * (reference: BinlogSplitReader.java poll loop; Debezium
+    * `provide.transaction.metadata` envelope `transaction.id` /
+    * `data_collection_order`).
+    *
+    * Shape at scale: ONE map-side-combined hash aggregation over (txn) to
+    * find each transaction's commit marker, then a hash equi-join of the log
+    * against that (far smaller) marker set — AQE broadcasts it when it fits.
+    * No windows, no driver-side state; uncommitted (in-flight) transactions
+    * simply produce no marker row and their events are withheld, exactly the
+    * reference's buffer-until-END behavior.
+    *
+    * @param txn      transaction id of each event
+    * @param isCommit predicate marking a transaction's commit event
+    */
+  def transactionConsistent(
+      changelog: DataFrame, txn: Column, isCommit: Column): DataFrame = {
+    val tagged = changelog.withColumn("txn_id", txn)
+    val marks = tagged
+      .groupBy(col("txn_id"))
+      .agg(max(when(isCommit, col("offset"))).as("commit_off"))
+      .where(col("commit_off").isNotNull)
+    // events past their txn's commit marker belong to a not-yet-committed
+    // reuse of the id (id wraparound) — withheld like any in-flight event
+    tagged.join(marks, "txn_id")
+      .where(col("offset") <= col("commit_off"))
+  }
 }

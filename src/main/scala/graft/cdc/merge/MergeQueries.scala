@@ -65,6 +65,15 @@ object MergeQueries extends QueryPack {
     "tidb_resolved_ts_flush" -> ((s, dir) =>
       ChangelogOps.resolvedTsFlush(changelog(s, dir), TsThreshold)),
 
+    // transaction-consistent emission: 20-event transactions (txn = offset
+    // div 20), committed iff the txn contains an insert ('c' plays the
+    // Debezium txn END marker); only whole committed transactions release
+    "txn_consistent_emission" -> ((s, dir) =>
+      ChangelogOps.transactionConsistent(
+          changelog(s, dir), expr("`offset` div 20"), col("op") === OpInsert)
+        .select(col("txn_id"), col("offset"), col("pk"), col("op"),
+          col("ts_ms"), col("val"), col("commit_off"))),
+
     // T9 with a real payload: the schema history stores full
     // TableChange JSON documents (FlinkJsonTableChangeSerializer shape);
     // the query persists the encoded payload per table, then DECODES it
@@ -313,6 +322,16 @@ object MergeQueries extends QueryPack {
          |SELECT "offset", pk, ts_ms,
          |       row_number() OVER (ORDER BY ts_ms, "offset") AS commit_rank
          |FROM changelog WHERE ts_ms <= $TsThreshold""".stripMargin,
+
+    "txn_consistent_emission" ->
+      s"""$changelogSql,
+         |t AS (SELECT *, "offset" // 20 AS txn_id FROM changelog),
+         |m AS (SELECT txn_id,
+         |             max(CASE WHEN op = 'c' THEN "offset" END) AS commit_off
+         |      FROM t GROUP BY txn_id)
+         |SELECT t.txn_id, t."offset", t.pk, t.op, t.ts_ms, t.val, m.commit_off
+         |FROM t JOIN m ON t.txn_id = m.txn_id
+         |WHERE m.commit_off IS NOT NULL AND t."offset" <= m.commit_off""".stripMargin,
 
     "schema_history_decoded" ->
       s"""$changelogSql

@@ -377,4 +377,51 @@ object Curation {
         sum(coalesce(col("__in"), lit(0L))).as("in_vocab"))
       .withColumn("oov", col("n_toks") - col("in_vocab"))
   }
+
+  /** Corpus-conditional n-gram LM quality score (the CCNet/KenLM-style
+    * perplexity filter, in its add-one-smoothed bigram form): train bigram
+    * and unigram counts over the corpus itself, then score each document by
+    * its mean conditional probability
+    * `avg over positions of (c(w1,w2)+1)/(c(w1)+V)` where V is the corpus
+    * vocabulary size. Low scores mark documents whose word transitions the
+    * corpus has never seen — the same signal a KenLM perplexity gate uses,
+    * but with probabilities kept in the exact-division domain (no log), so
+    * the whole score is a deterministic IEEE fold the oracle replicates
+    * bit-for-bit.
+    *
+    * Shape at scale: the count tables are ONE map-side-combined hash
+    * aggregation each; V is a single scalar broadcast; scoring is two hash
+    * equi-joins of the token-level rows against the count tables, and the
+    * per-document fold orders terms by position inside the row
+    * (sort_array + aggregate — sums doubles in a defined sequence, never
+    * shuffle order). Documents with fewer than two tokens have no bigrams
+    * and drop out, stated behavior.
+    */
+  def ngramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // (doc_id, pos, w1, w2) token-transition rows, pos 1-based over bigrams.
+    // The size guard matters: Spark's sequence(1, 0) DESCENDS, so a
+    // single-token doc would index w[1] out of bounds instead of dropping
+    val bi = toks.where(size(col("w")) >= 2).select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val uniRows = toks.select(explode(col("w")).as("w1"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uniCounts = uniRows.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocabV = uniRows.select(countDistinct(col("w1")).as("v"))
+    bi.join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocabV))
+      .select(col("doc_id"), col("pos"),
+        ((col("cb") + lit(1.0)) / (col("cu") + col("v"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          sort_array(collect_list(struct(col("pos"), col("term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("sum_prob"))
+      .withColumn("avg_prob", col("sum_prob") / col("n_bigrams"))
+  }
 }

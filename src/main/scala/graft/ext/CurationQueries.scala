@@ -79,6 +79,12 @@ object CurationQueries extends QueryPack {
     "corpus_vocab_coverage" -> ((s, dir) =>
       Curation.vocabCoverage(table(s, dir, "documents"), vocabSize = 100)),
 
+    // KenLM-style corpus-conditional quality score, kept in the exact
+    // division domain (no log) so the per-position probability fold is a
+    // deterministic IEEE sequence both engines replay bit-for-bit
+    "corpus_ngram_lm_score" -> ((s, dir) =>
+      Curation.ngramLmScore(table(s, dir, "documents"))),
+
     "corpus_shuffle" -> ((s, dir) =>
       Curation.globalShuffle(table(s, dir, "documents"), seed = 7L, nShards = 16)),
 
@@ -283,6 +289,34 @@ object CurationQueries extends QueryPack {
           |       CAST(sum(CASE WHEN word IN (SELECT word FROM v)
           |                     THEN 0 ELSE 1 END) AS BIGINT) AS oov
           |FROM w
+          |GROUP BY doc_id""".stripMargin,
+
+      // the add-one bigram LM: counts and V from the corpus itself; the
+      // per-doc sum replays Spark's position-ordered in-row fold via
+      // list_reduce (same IEEE sequence => hash-exact doubles)
+      "corpus_ngram_lm_score" ->
+        """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+          |              FROM documents),
+          |pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS pos FROM toks),
+          |bi AS (SELECT doc_id, pos, w[pos] AS w1, w[pos + 1] AS w2 FROM pos),
+          |uni AS (SELECT unnest(w) AS w1 FROM toks),
+          |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+          |cu AS (SELECT w1, count(*) AS cu FROM uni GROUP BY w1),
+          |v AS (SELECT count(DISTINCT w1) AS v FROM uni),
+          |terms AS (
+          |  SELECT bi.doc_id, bi.pos,
+          |         (cb.cb + 1.0) / (cu.cu + v.v) AS term
+          |  FROM bi JOIN cb ON bi.w1 = cb.w1 AND bi.w2 = cb.w2
+          |          JOIN cu ON bi.w1 = cu.w1
+          |          CROSS JOIN v)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |       list_reduce(list_prepend(0.0::DOUBLE,
+          |                                list(term ORDER BY pos)),
+          |                   (acc, z) -> acc + z) AS sum_prob,
+          |       list_reduce(list_prepend(0.0::DOUBLE,
+          |                                list(term ORDER BY pos)),
+          |                   (acc, z) -> acc + z) / count(*) AS avg_prob
+          |FROM terms
           |GROUP BY doc_id""".stripMargin,
 
       // pipeline gate + packing fused: the surv CTE replicates the gate,
