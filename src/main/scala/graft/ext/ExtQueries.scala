@@ -93,6 +93,19 @@ object ExtQueries extends QueryPack {
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
 
+    // BM25 keyword retrieval over the corpus; the log-free Robertson idf
+    // keeps every score op an IEEE double both engines replay bit-for-bit
+    "text_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, 1, "table"), (1L, 2, "value"), (1L, 3, "hash"),
+        (2L, 1, "spark"), (2L, 2, "merge"), (2L, 3, "fast"),
+        (3L, 1, "window"), (3L, 2, "sort"), (3L, 3, "key"),
+        (4L, 1, "nosuchterm")
+      ).toDF("qid", "pos", "term")
+      TextAnalysis.bm25TopK(table(s, dir, "documents"), queries, k = 10)
+    }),
+
     // BPE tokenizer TRAINING (Sennrich-style merge learning) + applying
     // the learned vocab. ORACLE-LESS: the merge loop (argmax-dependent
     // rewrites per iteration) is not one SQL statement; the sequence is
@@ -506,6 +519,50 @@ object ExtQueries extends QueryPack {
         |       len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[a-z]+')) AS re_tokens
         |FROM documents""".stripMargin,
+
+    // every literal is ::DOUBLE: DuckDB otherwise parses 0.5/1.2 as
+    // DECIMAL and computes a decimal chain whose final rounding differs
+    // from Spark's per-op IEEE doubles
+    "text_bm25_topk" ->
+      """WITH q AS (SELECT * FROM (VALUES
+        |       (1, 1, 'table'), (1, 2, 'value'), (1, 3, 'hash'),
+        |       (2, 1, 'spark'), (2, 2, 'merge'), (2, 3, 'fast'),
+        |       (3, 1, 'window'), (3, 2, 'sort'), (3, 3, 'key'),
+        |       (4, 1, 'nosuchterm')) v(qid, pos, term)),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |postings AS (SELECT term, doc_id, count(*) AS tf
+        |             FROM w GROUP BY term, doc_id),
+        |dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        |terms AS (
+        |  SELECT q.qid, p.doc_id, q.pos,
+        |         ((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+        |           (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |           (p.tf + 1.2::DOUBLE *
+        |             ((1.0::DOUBLE - 0.75::DOUBLE) +
+        |              0.75::DOUBLE * dl.dl / s.avgdl)) AS term_score
+        |  FROM q JOIN postings p ON q.term = p.term
+        |         JOIN dfq f ON q.term = f.term
+        |         JOIN dl ON p.doc_id = dl.doc_id
+        |         CROSS JOIN stats s),
+        |scored AS (
+        |  SELECT qid, doc_id,
+        |         list_reduce(list_prepend(0.0::DOUBLE,
+        |                                  list(term_score ORDER BY pos)),
+        |                     (acc, z) -> acc + z) AS score
+        |  FROM terms GROUP BY qid, doc_id)
+        |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score FROM (
+        |  SELECT qid, doc_id, score,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
 
     // same lookahead-free GPT-2-style pattern under RE2 (DuckDB strings
     // keep backslashes literal, so only the quote needs doubling);

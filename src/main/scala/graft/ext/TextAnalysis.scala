@@ -174,4 +174,58 @@ object TextAnalysis {
     graft.cdc.types.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), call_function("graft_fnv64", col("text")).as("fp"))
   }
+
+  /** BM25 keyword retrieval: top-k documents per query, with the
+    * Robertson idf kept LOG-FREE — `(N - df + 0.5) / (df + 0.5)` — so every
+    * score term is a chain of IEEE additions/multiplications/divisions both
+    * engines execute identically (ln is the one op with no cross-engine
+    * bit guarantee; the ranking it induces is the same monotone order).
+    *
+    * Shape at scale: postings `(term, doc_id, tf)` are ONE
+    * map-side-combined aggregation of the exploded corpus; df and the
+    * avgdl/N scalars fold off the postings; the query set is SMALL by
+    * nature, so query terms broadcast onto the postings (an equi-join on
+    * term — only documents containing a query term ever materialize a
+    * score row). The per-(query, doc) fold orders terms by query position
+    * inside the row, and the final top-k is a window partitioned BY QUERY
+    * (cardinality = matched docs per query, never the corpus).
+    *
+    * @param queries (qid, pos, term) rows, pos 1-based within each query
+    */
+  def bm25TopK(
+      docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val postings = words.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    // N and avgdl: integer folds, one exact double division at the end
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val terms = broadcast(queries)
+      .join(postings, Seq("term"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), col("pos"),
+        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+    val scored = terms.groupBy(col("qid"), col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("pos"), col("term_score")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("term_score")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+  }
 }
