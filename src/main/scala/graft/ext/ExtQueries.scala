@@ -95,16 +95,15 @@ object ExtQueries extends QueryPack {
 
     // BM25 keyword retrieval over the corpus; the log-free Robertson idf
     // keeps every score op an IEEE double both engines replay bit-for-bit
-    "text_bm25_topk" -> ((s, dir) => {
-      import s.implicits._
-      val queries = Seq(
-        (1L, 1, "table"), (1L, 2, "value"), (1L, 3, "hash"),
-        (2L, 1, "spark"), (2L, 2, "merge"), (2L, 3, "fast"),
-        (3L, 1, "window"), (3L, 2, "sort"), (3L, 3, "key"),
-        (4L, 1, "nosuchterm")
-      ).toDF("qid", "pos", "term")
-      TextAnalysis.bm25TopK(table(s, dir, "documents"), queries, k = 10)
-    }),
+    "text_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(table(s, dir, "documents"), bm25Queries(s), k = 10)),
+
+    // two-stage retrieval: BM25 shortlist (kLex=50) re-ranked by exact
+    // cosine against the query's embedding (query-by-example: qid = vec_id)
+    "text_hybrid_search" -> ((s, dir) =>
+      Similarity.hybridSearchTopK(
+        table(s, dir, "documents"), table(s, dir, "embeddings"),
+        bm25Queries(s), kLex = 50, k = 10)),
 
     // BPE tokenizer TRAINING (Sennrich-style merge learning) + applying
     // the learned vocab. ORACLE-LESS: the merge loop (argmax-dependent
@@ -155,6 +154,17 @@ object ExtQueries extends QueryPack {
     * left fold Spark's `aggregate` HOF runs, so the doubles match
     * bit-for-bit (verified: 50/50 exact at sf0.01).
     */
+  /** The fixed retrieval query set shared by the BM25 and hybrid queries. */
+  private def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, 1, "table"), (1L, 2, "value"), (1L, 3, "hash"),
+      (2L, 1, "spark"), (2L, 2, "merge"), (2L, 3, "fast"),
+      (3L, 1, "window"), (3L, 2, "sort"), (3L, 3, "key"),
+      (4L, 1, "nosuchterm")
+    ).toDF("qid", "pos", "term")
+  }
+
   private val normedEmbSql =
     """WITH e AS (
       |  SELECT vec_id, label, embedding,
@@ -162,6 +172,45 @@ object ExtQueries extends QueryPack {
       |      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
       |      (acc, z) -> acc + z)) AS nrm
       |  FROM embeddings)""".stripMargin
+
+  /** The BM25 CTE chain up to `scored` (qid, doc_id, score) — shared by
+    * the pure-lexical and hybrid retrieval oracles. Literals are ::DOUBLE
+    * so each op is the same IEEE double op Spark runs.
+    */
+  private val bm25ScoredSql =
+    """WITH q AS (SELECT * FROM (VALUES
+      |       (1, 1, 'table'), (1, 2, 'value'), (1, 3, 'hash'),
+      |       (2, 1, 'spark'), (2, 2, 'merge'), (2, 3, 'fast'),
+      |       (3, 1, 'window'), (3, 2, 'sort'), (3, 3, 'key'),
+      |       (4, 1, 'nosuchterm')) v(qid, pos, term)),
+      |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |      FROM documents),
+      |postings AS (SELECT term, doc_id, count(*) AS tf
+      |             FROM w GROUP BY term, doc_id),
+      |dl AS (SELECT doc_id,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |          FROM dl),
+      |dfq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+      |terms AS (
+      |  SELECT q.qid, p.doc_id, q.pos,
+      |         ((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
+      |           (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      |           (p.tf + 1.2::DOUBLE *
+      |             ((1.0::DOUBLE - 0.75::DOUBLE) +
+      |              0.75::DOUBLE * dl.dl / s.avgdl)) AS term_score
+      |  FROM q JOIN postings p ON q.term = p.term
+      |         JOIN dfq f ON q.term = f.term
+      |         JOIN dl ON p.doc_id = dl.doc_id
+      |         CROSS JOIN stats s),
+      |scored AS (
+      |  SELECT qid, doc_id,
+      |         list_reduce(list_prepend(0.0::DOUBLE,
+      |                                  list(term_score ORDER BY pos)),
+      |                     (acc, z) -> acc + z) AS score
+      |  FROM terms GROUP BY qid, doc_id)""".stripMargin
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -524,44 +573,40 @@ object ExtQueries extends QueryPack {
     // DECIMAL and computes a decimal chain whose final rounding differs
     // from Spark's per-op IEEE doubles
     "text_bm25_topk" ->
-      """WITH q AS (SELECT * FROM (VALUES
-        |       (1, 1, 'table'), (1, 2, 'value'), (1, 3, 'hash'),
-        |       (2, 1, 'spark'), (2, 2, 'merge'), (2, 3, 'fast'),
-        |       (3, 1, 'window'), (3, 2, 'sort'), (3, 3, 'key'),
-        |       (4, 1, 'nosuchterm')) v(qid, pos, term)),
-        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |      FROM documents),
-        |postings AS (SELECT term, doc_id, count(*) AS tf
-        |             FROM w GROUP BY term, doc_id),
-        |dl AS (SELECT doc_id,
-        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |       FROM documents),
-        |stats AS (SELECT count(*) AS n_docs,
-        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |          FROM dl),
-        |dfq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-        |terms AS (
-        |  SELECT q.qid, p.doc_id, q.pos,
-        |         ((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE)) *
-        |           (p.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-        |           (p.tf + 1.2::DOUBLE *
-        |             ((1.0::DOUBLE - 0.75::DOUBLE) +
-        |              0.75::DOUBLE * dl.dl / s.avgdl)) AS term_score
-        |  FROM q JOIN postings p ON q.term = p.term
-        |         JOIN dfq f ON q.term = f.term
-        |         JOIN dl ON p.doc_id = dl.doc_id
-        |         CROSS JOIN stats s),
-        |scored AS (
-        |  SELECT qid, doc_id,
-        |         list_reduce(list_prepend(0.0::DOUBLE,
-        |                                  list(term_score ORDER BY pos)),
-        |                     (acc, z) -> acc + z) AS score
-        |  FROM terms GROUP BY qid, doc_id)
+      s"""$bm25ScoredSql
         |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score FROM (
         |  SELECT qid, doc_id, score,
         |         row_number() OVER (PARTITION BY qid
         |                            ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    "text_hybrid_search" ->
+      s"""$bm25ScoredSql,
+        |shortlist AS (
+        |  SELECT qid, doc_id, score AS bm25 FROM (
+        |    SELECT qid, doc_id, score,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY score DESC, doc_id ASC) AS r
+        |    FROM scored)
+        |  WHERE r <= 50),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+        |      (acc, z) -> acc + z)) AS nrm
+        |  FROM embeddings),
+        |re AS (
+        |  SELECT s.qid, s.doc_id, s.bm25,
+        |         ${dotSql("qe.embedding", "de.embedding")} / (qe.nrm * de.nrm)
+        |           AS sim
+        |  FROM shortlist s JOIN e de ON s.doc_id = de.vec_id
+        |                   JOIN e qe ON s.qid = qe.vec_id)
+        |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, bm25, sim FROM (
+        |  SELECT qid, doc_id, bm25, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, doc_id ASC) AS rank
+        |  FROM re)
         |WHERE rank <= 10""".stripMargin,
 
     // same lookahead-free GPT-2-style pattern under RE2 (DuckDB strings

@@ -38,6 +38,46 @@ object Similarity {
       .withColumn("nrm", norm(col("vd")))
   }
 
+  /** Hybrid lexical+dense retrieval: a BM25 shortlist per query
+    * ([[TextAnalysis.bm25TopK]], kLex candidates), re-ranked by exact
+    * cosine between the query's embedding and each shortlisted document's
+    * embedding — the standard two-stage retrieval a RAG/data-curation
+    * pipeline runs, composed from two operators that are each
+    * oracle-exact, so the composition is too.
+    *
+    * Scale shape: only the shortlist (nQueries x kLex rows, scalars) ever
+    * meets the embedding table — a hash equi-join on doc_id where the
+    * shortlist side broadcasts; cosine is computed for shortlist rows
+    * ONLY, never the corpus. The final window partitions per query over
+    * <= kLex rows.
+    *
+    * Convention: a query's embedding is the corpus embedding whose
+    * `vec_id` equals the query's `qid` (the query-by-example form; swap
+    * in an external query-vector table 1:1 if you have one).
+    */
+  def hybridSearchTopK(
+      docs: DataFrame, emb: DataFrame, queries: DataFrame,
+      kLex: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = TextAnalysis.bm25TopK(docs, queries, kLex)
+      .select(col("qid"), col("doc_id"), col("score").as("bm25"))
+    val base = normed(emb)
+    val qv = base.select(col("vec_id").as("qid"),
+      col("vd").as("qv"), col("nrm").as("qnorm"))
+    val dv = base.select(col("vec_id").as("doc_id"),
+      col("vd").as("dv"), col("nrm").as("dnorm"))
+    broadcast(shortlist)
+      .join(dv, Seq("doc_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("sim", dot(col("qv"), col("dv")) / (col("qnorm") * col("dnorm")))
+      .select(col("qid"), col("doc_id"), col("bm25"), col("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("bm25"), col("sim"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors. Rank ties broken by neighbor id for
     * determinism.
