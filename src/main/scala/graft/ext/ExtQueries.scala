@@ -32,6 +32,11 @@ object ExtQueries extends QueryPack {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)),
 
+    // sliding-window exact-substring dedup (Lee et al. suffix-array pass,
+    // as n-gram digests): maximal duplicated word spans per document
+    "dedup_span_detect" -> ((s, dir) =>
+      Dedup.dupSpans(table(s, dir, "documents"), n = 8)),
+
     // pairs -> clusters: the transitive closure that actually dedups a
     // corpus (A~B~C collapses to one keeper even when A~C never paired)
     "dedup_cluster_assign" -> ((s, dir) => {
@@ -350,6 +355,27 @@ object ExtQueries extends QueryPack {
          |sz AS (SELECT keeper_id, count(*) AS cluster_size FROM lbl GROUP BY keeper_id)
          |SELECT l.id AS doc_id, l.keeper_id, s.cluster_size
          |FROM lbl l JOIN sz s ON l.keeper_id = s.keeper_id""".stripMargin,
+
+    "dedup_span_detect" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS pos
+         |       FROM t WHERE len(w) >= 8),
+         |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |             ${fnvSignedSql("array_to_string(w[pos:pos + 7], ' ')", "gv")} AS h
+         |      FROM g0),
+         |rep AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |f AS (SELECT doc_id, pos FROM g JOIN rep USING (h)),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM f),
+         |s AS (SELECT doc_id, pos,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                       ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM i)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |       count(*) AS n_grams
+         |FROM s GROUP BY doc_id, island""".stripMargin,
 
     "dedup_simhash" ->
       s"""$shingleHashSql,
