@@ -200,6 +200,43 @@ object Curation {
       .select(col("doc_id"), col("source"), col("bucket_ppm"))
   }
 
+  /** Temperature-based source mixing with the rates derived FROM the
+    * corpus (the UnifiedQA/Gopher "temperature sampling" recipe at
+    * τ = 1/2): a source's target share is proportional to sqrt(n_s), which
+    * up-weights small sources against the head, and the per-source keep
+    * rate is the ppm that hits `targetFraction` of the corpus overall —
+    * then documents flow through the same deterministic mix64 gate as
+    * [[stratifiedSample]]. τ is FIXED at 1/2 because sqrt is the one power
+    * IEEE 754 requires correctly rounded — both engines produce the same
+    * bit pattern, where a general pow(x, τ) has no cross-engine guarantee.
+    *
+    * The per-source table is planner-scale (one row per source), so the
+    * sqrt-weight normalizer folds over a sorted in-row list (deterministic
+    * sum order) and broadcasts; the corpus itself only ever meets the
+    * broadcast rate row and the codegen'd hash gate — zero data-sized
+    * shuffles beyond the source-count aggregation.
+    */
+  def temperatureMix(
+      docs: DataFrame, seed: Long, targetFraction: Double): DataFrame = {
+    val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("w", sqrt(col("n_s").cast("double")))
+    val z = perSrc.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("source"), col("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("z"),
+      sum(col("n_s")).as("n_total"))
+    val rates = perSrc.crossJoin(broadcast(z))
+      .withColumn("keep_ppm",
+        least(lit(1000000L),
+          floor(col("w") / col("z") * lit(targetFraction) * col("n_total") /
+            col("n_s") * lit(1000000.0))))
+      .select(col("source"), col("keep_ppm"))
+    stratifiedSample(docs, rates, seed)
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("bucket_ppm"), col("keep_ppm"))
+  }
+
   /** Hashed-feature linear classifier scoring — the fastText-style quality
     * model pass (CCNet/LLaMA-family filtering): every whitespace token
     * hashes into one of `dim` buckets, the model is a `(bucket, w)` weight

@@ -79,6 +79,13 @@ object CurationQueries extends QueryPack {
     "corpus_vocab_coverage" -> ((s, dir) =>
       Curation.vocabCoverage(table(s, dir, "documents"), vocabSize = 100)),
 
+    // temperature mixing at tau=1/2: rates derived from the corpus via
+    // sqrt (the one correctly-rounded IEEE power), gate = the same mix64
+    // ppm bucket as the stratified sampler
+    "corpus_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureMix(table(s, dir, "documents"), seed = 42L,
+        targetFraction = 0.25)),
+
     // KenLM-style corpus-conditional quality score, kept in the exact
     // division domain (no log) so the per-position probability fold is a
     // deterministic IEEE sequence both engines replay bit-for-bit
@@ -290,6 +297,35 @@ object CurationQueries extends QueryPack {
           |                     THEN 0 ELSE 1 END) AS BIGINT) AS oov
           |FROM w
           |GROUP BY doc_id""".stripMargin,
+
+      "corpus_temperature_mix" -> {
+        val signedZf = ExtQueries.toSignedSql("zf")
+        s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents
+           |           GROUP BY source),
+           |wt AS (SELECT source, n_s, sqrt(CAST(n_s AS DOUBLE)) AS w FROM c),
+           |z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+           |                                      list(w ORDER BY source)),
+           |                         (acc, x) -> acc + x) AS z,
+           |             CAST(sum(n_s) AS BIGINT) AS n_total
+           |      FROM wt),
+           |r AS (SELECT source,
+           |             LEAST(1000000::BIGINT,
+           |                   CAST(floor(w / z.z * 0.25::DOUBLE * z.n_total
+           |                              / n_s * 1000000.0::DOUBLE) AS BIGINT))
+           |               AS keep_ppm
+           |      FROM wt CROSS JOIN z),
+           |src0 AS (SELECT doc_id, source, doc_id::UBIGINT AS hu,
+           |                42::UBIGINT AS iu
+           |         FROM documents),
+           |mx AS (SELECT * FROM ${ExtQueries.mixChainSql("src0", "doc_id, source")}),
+           |b AS (SELECT doc_id, source,
+           |             CAST((($signedZf % 1000000) + 1000000) % 1000000 AS BIGINT)
+           |               AS bucket_ppm
+           |      FROM mx)
+           |SELECT b.doc_id, b.source, b.bucket_ppm, r.keep_ppm
+           |FROM b JOIN r ON b.source = r.source
+           |WHERE b.bucket_ppm < r.keep_ppm""".stripMargin
+      },
 
       // the add-one bigram LM: counts and V from the corpus itself; the
       // per-doc sum replays Spark's position-ordered in-row fold via
