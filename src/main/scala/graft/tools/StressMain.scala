@@ -209,6 +209,26 @@ object StressMain {
     }
     println(s"STRESS-OUT bpeMerges=$bpe")
 
+    // ---- retrieval + LM scoring + span dedup over the stress docs ----
+    val queriesDf = {
+      import spark.implicits._
+      (1L to 100L).flatMap(q => (1 to 3).map(p =>
+        (q, p, s"w${(q * 37 + p * 11) % 5000}"))).toDF("qid", "pos", "term")
+    }
+    val bm = time(s"bm25TopK(100 queries, k=10) ${nDocs / 1000}k docs") {
+      graft.ext.TextAnalysis.bm25TopK(docs, queriesDf, k = 10).count()
+    }
+    val lm = time(s"ngramLmScore ${nDocs / 1000}k docs") {
+      graft.ext.Curation.ngramLmScore(docs).count()
+    }
+    val spans = time(s"dupSpans(n=8) ${nDocs / 1000}k docs") {
+      graft.ext.Dedup.dupSpans(docs, n = 8).count()
+    }
+    val tmx = time(s"temperatureMix ${nDocs / 1000}k docs") {
+      graft.ext.Curation.temperatureMix(docs, seed = 42L, targetFraction = 0.3).count()
+    }
+    println(s"STRESS-OUT bm25=$bm lmScored=$lm dupSpanRows=$spans tempKept=$tmx")
+
     spark.stop()
   }
 }
