@@ -258,6 +258,36 @@ object RowImage {
     upsertMaterializeEnvelope(
       envelope.where(col("offset") <= asOf), table, overrides)
 
+  /** In-flight field masking on the decoded IR — the Debezium
+    * HashField/MaskField SMT surface (a transform applied to every change
+    * record between source and sink, reference-adjacent: Debezium's
+    * `transforms=...HashField` with SHA-2): each masked string field is
+    * replaced by its SHA-256 hex digest in BOTH images, nulls stay null,
+    * every other field and the frame metadata pass through untouched. A
+    * pure narrow projection — nothing shuffles, masking rides whatever
+    * plan carries the IR (batch or streaming), and the masked column
+    * remains joinable/groupable (equal plaintexts keep equal digests).
+    *
+    * Masked fields must be StringType: hash masking is type-preserving
+    * only for strings (a digest of a numeric column could no longer carry
+    * the declared numeric type — project such columns away instead).
+    */
+  def maskImages(
+      ir: DataFrame, table: DeclaredTable, maskCols: Set[String]): DataFrame = {
+    val bad = maskCols.filter(c =>
+      table.schema(c).dataType != org.apache.spark.sql.types.StringType)
+    require(bad.isEmpty, s"maskImages: non-string fields $bad")
+    def masked(img: Column): Column = {
+      val fields = table.schema.fields.map { f =>
+        val v = img.getField(f.name)
+        (if (maskCols(f.name)) sha2(v, 256) else v).as(f.name)
+      }
+      when(img.isNotNull, struct(fields.toSeq: _*))
+    }
+    ir.withColumn("before", masked(col("before")))
+      .withColumn("after", masked(col("after")))
+  }
+
   /** Log compaction (the Kafka compacted-topic contract): one frame per
     * key — its latest — with delete TOMBSTONES retained, so the compacted
     * log is still a changelog (replaying it into [[upsertMaterialize]]

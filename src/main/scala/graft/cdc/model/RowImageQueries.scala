@@ -256,6 +256,21 @@ object RowImageQueries extends QueryPack {
           valueOut(img)): _*)
     }),
 
+    // the Debezium HashField SMT on the generic IR: l_returnflag masked to
+    // its sha-256 digest in both images, everything else untouched —
+    // rowimage_decode's projection over the masked frames
+    "rowimage_masked_decode" -> ((s, dir) => {
+      val r = RowImage.maskImages(rows(s, dir), lineitemTable,
+        Set("l_returnflag"))
+      val img = when(col("op") === Changelog.OpDelete, col("before"))
+        .otherwise(col("after"))
+      r.select(
+        (col("offset") +: col("op") +: col("ts_ms") +:
+          col("key.l_partkey").as("l_partkey") +:
+          col("key.l_suppkey").as("l_suppkey") +:
+          valueOut(img)): _*)
+    }),
+
     // A-family generic — incremental changelog aggregation: grouped sums
     // maintained from the delta algebra alone (inserts add afters, deletes
     // retract befores, updates both), no per-key state, no materialization
@@ -457,6 +472,23 @@ object RowImageQueries extends QueryPack {
          |       l_shipdate AS l_shipts,
          |       CASE op WHEN 'd' THEN 'P' WHEN 'u' THEN l_returnflag
          |            ELSE NULL END AS l_returnflag,
+         |       hex(encode(l_linestatus)) AS l_flagbin_hex
+         |FROM cl""".stripMargin,
+
+    "rowimage_masked_decode" ->
+      s"""$clSql
+         |SELECT o AS "offset", op,
+         |       epoch_ms(l_shipdate) AS ts_ms,
+         |       l_partkey, l_suppkey,
+         |       CAST(CAST(l_quantity +
+         |              CASE WHEN op = 'd' THEN 5 ELSE 0 END
+         |            AS DECIMAL(12,2)) AS VARCHAR) AS l_quantity,
+         |       CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR)
+         |         AS l_extendedprice,
+         |       CAST(l_shipdate AS DATE) AS l_shipdate,
+         |       l_shipdate AS l_shipts,
+         |       sha256(CASE op WHEN 'd' THEN 'P' WHEN 'u' THEN l_returnflag
+         |              ELSE NULL END) AS l_returnflag,
          |       hex(encode(l_linestatus)) AS l_flagbin_hex
          |FROM cl""".stripMargin,
 
