@@ -65,6 +65,35 @@ class TxnStreamSpec extends SparkTestBase {
     }
   }
 
+  test("randomized logs and splits: stream equals batch (8 seeded runs)") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val nTxn = 3 + rnd.nextInt(4)
+      val committed = (0 until nTxn).filter(_ => rnd.nextBoolean()).toSet
+      // assign each offset a random txn; each committed txn gets exactly
+      // one marker at a random one of its positions (the stated contract)
+      val n = 30 + rnd.nextInt(30)
+      val txnOf = (0 until n).map(_ => rnd.nextInt(nTxn))
+      val markerAt = committed.flatMap { t =>
+        val posns = (0 until n).filter(txnOf(_) == t)
+        if (posns.isEmpty) None else Some(posns(rnd.nextInt(posns.length)))
+      }
+      val log = (0 until n).map { i =>
+        TxnEvent(i.toLong, txnOf(i).toLong,
+          if (markerAt(i)) "c" else "u", i % 5, i * 100L, i * 0.25)
+      }
+      val want = batchExpected(log)
+      // random batch split preserving offset order
+      val splits = {
+        val cuts = (Seq(0, n) ++ Seq.fill(rnd.nextInt(4))(rnd.nextInt(n)))
+          .distinct.sorted
+        cuts.zip(cuts.tail).map { case (a, b) => log.slice(a, b) }
+      }
+      assert(streamed(splits) == want,
+        s"seed $seed, txns $nTxn, n $n, splits ${splits.map(_.size)}")
+    }
+  }
+
   test("late id-reuse events after the marker stay withheld") {
     // txn 0 commits at offset 3; offset 4 (post-marker) arrives a batch later
     val (pre, post) = fixture.take(5).partition(_.offset <= 3)
