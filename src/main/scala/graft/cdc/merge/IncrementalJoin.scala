@@ -121,4 +121,28 @@ object IncrementalJoin {
     val irB = RowImage.decodeEnvelope(envB, tableB)
     foldDeltas(joinDeltas(irA, joinA, irB, joinB))
   }
+
+  /** A maintained JOIN + GROUP BY view — the composed streaming-SQL
+    * workload (`SELECT k, count(*), sum(v) FROM A JOIN B ... GROUP BY k`)
+    * from the delta stream ALONE: each signed join delta contributes
+    * ±1 to its group's count and ±v to its sum, so the view folds in one
+    * hash aggregation over the deltas without ever materializing the
+    * joined relation. Groups whose count nets to zero vanish (their sums
+    * have provably netted too, for a consistent changelog). `v` must be an
+    * exact type (integer/decimal) — the sums then hash-match the direct
+    * join+aggregate of the final states, which is the oracle's form.
+    */
+  def maintainJoinAgg(
+      envA: DataFrame, tableA: DeclaredTable, joinA: String,
+      envB: DataFrame, tableB: DeclaredTable, joinB: String,
+      valueField: String): DataFrame = {
+    val irA = RowImage.decodeEnvelope(envA, tableA)
+    val irB = RowImage.decodeEnvelope(envB, tableB)
+    joinDeltas(irA, joinA, irB, joinB)
+      .groupBy(col(s"a_img.$joinA").as(joinA))
+      .agg(
+        sum(col("sign")).as("cnt"),
+        sum(col("sign") * col(s"a_img.$valueField")).as("total"))
+      .where(col("cnt") =!= 0)
+  }
 }

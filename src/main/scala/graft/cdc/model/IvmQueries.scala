@@ -139,6 +139,18 @@ object IvmQueries extends QueryPack {
         col("net"))
     }),
 
+    // IVM join + aggregate — the maintained `GROUP BY` over the joined
+    // view from the delta stream alone; exact decimal sums, so the fold
+    // hash-matches the direct join+aggregate of the final states
+    "rowimage_incremental_join_agg" -> ((s, dir) =>
+      IncrementalJoin.maintainJoinAgg(
+          ordersEnvelope(s, dir), ordersJoinTable, "o_custkey",
+          customerEnvelope(s, dir), customerTable, "c_custkey",
+          valueField = "o_totalprice")
+        .select(col("o_custkey"), col("cnt"),
+          col("total").cast(DecimalType(18, 2)).cast(StringType)
+            .as("total"))),
+
     // time travel — state as of an offset: one predicate pushed under the
     // last-writer-wins merge (reaches the log scan at scale)
     "rowimage_asof_materialize" -> ((s, dir) =>
@@ -215,6 +227,14 @@ object IvmQueries extends QueryPack {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |WHERE o_orderstatus <> 'F' AND c_mktsegment <> 'AUTOMOBILE'"""
         .stripMargin,
+
+    "rowimage_incremental_join_agg" ->
+      s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+         |                 AS DECIMAL(18,2)) AS VARCHAR) AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_orderstatus <> 'F' AND c_mktsegment <> 'AUTOMOBILE'
+         |GROUP BY o_custkey""".stripMargin,
 
     "rowimage_asof_materialize" ->
       RowImageQueries.upsertSqlFiltered(s" WHERE o <= $AsOf"),

@@ -81,6 +81,26 @@ class IvmSpec extends SparkTestBase {
     }
   }
 
+  test("maintained join+group-by equals aggregating the folded view") {
+    // the agg folds the DELTAS directly; the folded joined view (net=1
+    // rows) aggregated the ordinary way is the ground truth — including
+    // the fixture's group-moving o_custkey update
+    val agg = IncrementalJoin.maintainJoinAgg(
+        ordersEnv, IvmQueries.ordersJoinTable, "o_custkey",
+        custEnv, IvmQueries.customerTable, "c_custkey", "o_totalprice")
+      .select(col("o_custkey"), col("cnt"), col("total").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val direct = IncrementalJoin.materializeJoin(
+        ordersEnv, IvmQueries.ordersJoinTable, "o_custkey",
+        custEnv, IvmQueries.customerTable, "c_custkey")
+      .groupBy(col("a_img.o_custkey").as("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("a_img.o_totalprice")).as("total"))
+      .select(col("o_custkey"), col("cnt"), col("total").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(agg.nonEmpty && agg == direct)
+  }
+
   test("compacted log materializes to the same state as the full log") {
     val t = RowImageQueries.lineitemTable
     val env = lineitemEnv(2000)
