@@ -167,6 +167,27 @@ object ChangelogOps {
       "commit_rank",
       Seq(col("ts_ms"), col("offset")))
 
+  /** Source-reader lag metrics — the reference's monitoring surface
+    * (MySqlSourceReaderMetrics: currentFetchEventTimeLag /
+    * currentEmitEventTimeLag / sourceIdleTime) as a per-table aggregation
+    * over the changelog: event-time lag of each record against a
+    * processing-time reference, rolled up to max/min/mean per captured
+    * table in ONE map-side-combined hash aggregation. `refMs` is passed in
+    * (not wall-clock) so the metric is deterministic and back-computable
+    * over any log slice; a live pipeline passes the batch's processing
+    * time. The mean divides two exact integers (one IEEE division), so
+    * even the double is reproducible.
+    */
+  def sourceLagMetrics(changelog: DataFrame, refMs: Long): DataFrame =
+    changelog
+      .withColumn("tbl", tableNameCol)
+      .groupBy(col("tbl"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(lit(refMs) - col("ts_ms")).as("max_lag_ms"),
+        min(lit(refMs) - col("ts_ms")).as("min_lag_ms"),
+        (sum(lit(refMs) - col("ts_ms")) / count(lit(1))).as("mean_lag_ms"))
+
   /** Transaction-consistent emission: only events of COMMITTED transactions
     * are released, each tagged with its transaction's commit offset, so a
     * consumer ordering by (commit_off, offset) never observes a transaction

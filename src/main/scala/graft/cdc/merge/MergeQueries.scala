@@ -65,6 +65,11 @@ object MergeQueries extends QueryPack {
     "tidb_resolved_ts_flush" -> ((s, dir) =>
       ChangelogOps.resolvedTsFlush(changelog(s, dir), TsThreshold)),
 
+    // the reference's reader-metrics surface (fetch/emit event-time lag)
+    // per captured table, against the fixed TsThreshold reference instant
+    "source_lag_metrics" -> ((s, dir) =>
+      ChangelogOps.sourceLagMetrics(changelog(s, dir), TsThreshold)),
+
     // transaction-consistent emission: 20-event transactions (txn = offset
     // div 20), committed iff the txn contains an insert ('c' plays the
     // Debezium txn END marker); only whole committed transactions release
@@ -322,6 +327,16 @@ object MergeQueries extends QueryPack {
          |SELECT "offset", pk, ts_ms,
          |       row_number() OVER (ORDER BY ts_ms, "offset") AS commit_rank
          |FROM changelog WHERE ts_ms <= $TsThreshold""".stripMargin,
+
+    "source_lag_metrics" ->
+      s"""$changelogSql
+         |SELECT 'users_' || (pk % 3) AS tbl,
+         |       count(*) AS n_events,
+         |       max($TsThreshold - ts_ms) AS max_lag_ms,
+         |       min($TsThreshold - ts_ms) AS min_lag_ms,
+         |       CAST(sum($TsThreshold - ts_ms) AS DOUBLE) / count(*)
+         |         AS mean_lag_ms
+         |FROM changelog GROUP BY 1""".stripMargin,
 
     "txn_consistent_emission" ->
       s"""$changelogSql,
