@@ -64,33 +64,32 @@ object ExtQueries extends QueryPack {
       Similarity.ivfTopK(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
         nQueries = 10, k = 5)),
 
-    // Lloyd-refined centroids through the same probe/re-rank path.
-    // Deliberately ORACLE-LESS (rows-only driver check): refined centroids
-    // are floating-point shuffle-order sums, deterministic only to ~1e-12 —
-    // the fit is spec-verified against a driver-side replay instead
-    // (ExtOpsSpec), the house policy for model-fit steps
+    // Lloyd-refined centroids through the same probe/re-rank path. The fit
+    // is the ORDER-DETERMINISTIC kmeansRefineExact (vec_id-ordered folds),
+    // so the whole pipeline — fit included — carries a bit-exact DuckDB
+    // oracle that unrolls both Lloyd iterations as CTE stages; the
+    // corpus-scale shuffle-sum kmeansRefine is pinned to it in ExtOpsSpec
     "similarity_kmeans_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Similarity.ivfTopKWith(emb, Similarity.kmeansRefine(emb, nCells = 8, iters = 2),
+      Similarity.ivfTopKWith(emb, Similarity.kmeansRefineExact(emb, nCells = 8, iters = 2),
         nProbe = 3, nQueries = 10, k = 5)
     }),
 
     // Product-quantization search end-to-end: codebook fit + encode + ADC
-    // shortlist + exact re-rank (the FAISS ADC+refine pipeline).
-    // ORACLE-LESS for the same reason as similarity_kmeans_ivf: shortlist
-    // membership depends on float codebook means; the algebra is
-    // spec-verified against a driver replay + recall floors (ExtOpsSpec)
+    // shortlist + exact re-rank (the FAISS ADC+refine pipeline), on the
+    // order-deterministic pqCodebooksExact fit — hash-oracled end-to-end
     "similarity_pq_search" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      Similarity.pqSearchTopK(emb, Similarity.pqCodebooks(emb, m = 8, k = 64, iters = 2),
+      Similarity.pqSearchTopK(emb, Similarity.pqCodebooksExact(emb, m = 8, k = 64, iters = 2),
         m = 8, nQueries = 10, k = 5, shortlist = 100)
     }),
 
     // the full FAISS IVFADC composition: cell gate + code-only ADC +
-    // exact re-rank; rows-only (float model fit) like its two parts
+    // exact re-rank, on the order-deterministic codebook fit
     "similarity_ivfpq_search" -> ((s, dir) =>
-      Similarity.ivfPqTopK(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
-        m = 8, kCodes = 64, iters = 2, nQueries = 10, k = 5, shortlist = 100)),
+      Similarity.ivfPqTopKWith(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
+        m = 8, Similarity.pqCodebooksExact(table(s, dir, "embeddings"), m = 8, k = 64, iters = 2),
+        nQueries = 10, k = 5, shortlist = 100)),
 
     "similarity_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegativesTopK(table(s, dir, "embeddings"), nQueries = 10, k = 5)),
@@ -111,9 +110,10 @@ object ExtQueries extends QueryPack {
         bm25Queries(s), kLex = 50, k = 10)),
 
     // BPE tokenizer TRAINING (Sennrich-style merge learning) + applying
-    // the learned vocab. ORACLE-LESS: the merge loop (argmax-dependent
-    // rewrites per iteration) is not one SQL statement; the sequence is
-    // integer-deterministic and equals a full driver replay (BpeSpec)
+    // the learned vocab. The merge loop is integer-deterministic (every
+    // tie-break total), so the whole learning run IS oracle-able: the
+    // oracle unrolls the nMerges iterations as generated DuckDB CTE
+    // stages (see bpeLearnStagesSql) and replays the exact greedy rewrite
     "text_bpe_learn" -> ((s, dir) =>
       Bpe.learnMerges(table(s, dir, "documents"), nMerges = 30)),
 
@@ -159,6 +159,47 @@ object ExtQueries extends QueryPack {
     * left fold Spark's `aggregate` HOF runs, so the doubles match
     * bit-for-bit (verified: 50/50 exact at sf0.01).
     */
+  /** Unrolled DuckDB replay of [[Bpe.learnMerges]] — `n` CTE stages, each
+    * computing the best pair (freq desc, then (l, r) lexicographic, freq >=
+    * minFreq 2) and applying it with the exact greedy left-to-right
+    * single-pass semantics of [[Bpe.mergeSyms]].
+    *
+    * Encoding trick: a word's symbol array is carried as ONE VARCHAR of
+    * `\x02sym\x03` units, so applying a merge (l, r) is
+    * `replace(s, '\x02l\x03\x02r\x03', '\x02lr\x03')` — SQL `replace` is
+    * left-to-right and non-overlapping, which is exactly the fold's
+    * hold-back semantics ("a a a a" -> "aa aa", and a merged symbol never
+    * chain-matches in the same pass because its trailing \x03 was consumed).
+    * \x02/\x03 cannot occur in the corpus (driver documents are ASCII
+    * words); \x01 is the never-matching placeholder once learning stops
+    * early, which also freezes all later stages — the same early-stop the
+    * Scala loop takes. CTEs are MATERIALIZED because each `w{i}` is read
+    * twice (pair-count path + rewrite path): default inlining would double
+    * the tree per stage.
+    */
+  private def bpeLearnStagesSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS MATERIALIZED (
+             |  SELECT word, count(*) AS cnt,
+             |    list_reduce(list_prepend('', list_transform(range(1, length(word)+1),
+             |      i -> chr(2) || word[i] || chr(3))), (a,b) -> a || b) AS s
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |  WHERE length(word) > 0 GROUP BY word)""".stripMargin
+    for (i <- 0 until n) {
+      sb ++= s""",
+        |t$i AS (SELECT cnt, string_split(substring(s, 2, length(s) - 2), chr(3) || chr(2)) AS tl FROM w$i),
+        |p$i AS (SELECT cnt, tl, unnest(range(1, len(tl))) AS j FROM t$i),
+        |pc$i AS (SELECT tl[j] AS l, tl[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS freq FROM p$i GROUP BY 1, 2),
+        |best$i AS MATERIALIZED (SELECT l, r, freq FROM pc$i WHERE freq >= 2 ORDER BY freq DESC, l, r LIMIT 1),
+        |b$i AS (SELECT min(l) AS l, min(r) AS r FROM best$i),
+        |w${i + 1} AS MATERIALIZED (SELECT w.word, w.cnt,
+        |  replace(w.s, chr(2) || coalesce(b.l, chr(1)) || chr(3) || chr(2) || coalesce(b.r, chr(1)) || chr(3),
+        |          chr(2) || coalesce(b.l, '') || coalesce(b.r, '') || chr(3)) AS s
+        |  FROM w$i w CROSS JOIN b$i b)""".stripMargin
+    }
+    sb.result()
+  }
+
   /** The fixed retrieval query set shared by the BM25 and hybrid queries. */
   private def bm25Queries(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -286,6 +327,26 @@ object ExtQueries extends QueryPack {
        |h AS (SELECT doc_id, ${fnvUSql("shingle")} AS hu FROM sh)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the full learning run, unrolled (see bpeLearnStagesSql): each row of
+    // the model table is the i-th stage's argmax pair
+    "text_bpe_learn" ->
+      s"""WITH ${bpeLearnStagesSql(30)}
+         |${(0 until 30).map(i =>
+              s"""SELECT $i AS step, l AS "left", r AS "right", freq FROM best$i""")
+             .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // 20 learn stages, then the tokenize tail: per-word token counts from
+    // the final symbol encoding, joined back to each word occurrence (empty
+    // words are absent from w0, so the join drops them — the same filter
+    // the Spark side applies before its join)
+    "text_bpe_tokenize" ->
+      s"""WITH ${bpeLearnStagesSql(20)},
+         |wt AS (SELECT word, len(string_split(substring(s, 2, length(s) - 2),
+         |                         chr(3) || chr(2))) AS word_toks FROM w20)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(word_toks) AS BIGINT) AS bpe_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+         |JOIN wt USING (word)
+         |GROUP BY doc_id""".stripMargin,
     // frame slicing replicated on the VARCHAR side (documents.text is pure
     // ASCII, so 1-based char substring == the binary slice and length() ==
     // octet_length); frame feature = the same FNV-1a fold as text_fingerprint

@@ -259,6 +259,47 @@ object Similarity {
     centroids
   }
 
+  /** [[kmeansRefine]] with ORDER-DETERMINISTIC means: each (cell, pos)
+    * partial sum is a sequential fold over members in ascending `vec_id`
+    * order (sort_array(collect_list(struct(vec_id, v))) then an
+    * `aggregate` HOF), so the refined centroids are bit-exact across runs
+    * and engines — the variant that keeps a hash-exact DuckDB oracle
+    * (the oracle unrolls the iterations as CTE stages running the same
+    * fold via `list(v ORDER BY vec_id)`).
+    *
+    * The price of exactness is a collect_list per (cell, pos) group —
+    * member-count-sized state, so this is the FIT-ON-SAMPLE form (the
+    * standard k-means practice: FAISS trains on <=1M sampled vectors; cap
+    * the input with a deterministic filter first). The shuffle-order
+    * [[kmeansRefine]] remains the corpus-scale path; ExtOpsSpec pins the
+    * two to agree within float tolerance.
+    */
+  def kmeansRefineExact(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val base = normed(emb).localCheckpoint()
+    var centroids = seedCentroids(base, nCells).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(cellSimilaritiesWith(base, centroids))
+      val means = assigned
+        .select(col("cell"), col("vec_id"), posexplode(col("vd")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(vec_id, col))), 0D, (acc, x) -> acc + x.col)")
+            .as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s / n))), x -> x.col2)")
+          .as("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+      centroids = centroids.as("old")
+        .join(means.as("new"), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("new.cv"), col("old.cv")).as("cv"),
+          coalesce(col("new.cnrm"), col("old.cnrm")).as("cnrm"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
   /** [[ivfTopK]] against an externally fitted centroid table (cell, cv,
     * cnrm) — e.g. [[kmeansRefine]]'s output — instead of the raw seeds.
     */
@@ -369,6 +410,39 @@ object Similarity {
     books
   }
 
+  /** [[pqCodebooks]] with ORDER-DETERMINISTIC means — the same
+    * vec_id-ordered sequential-fold trick as [[kmeansRefineExact]], applied
+    * per (sub, code, pos) group, making the fitted codebooks bit-exact and
+    * the PQ search pipeline hash-oracle-able end-to-end. Fit-on-sample form
+    * (collect_list state per group is member-count-sized); the
+    * shuffle-order [[pqCodebooks]] is the corpus-scale path and ExtOpsSpec
+    * pins the two to agree within float tolerance.
+    */
+  def pqCodebooksExact(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val subs = subVectors(normed(emb), m).localCheckpoint()
+    var books = seedBooks(subs, k).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = assignCodes(subs, books, keepSv = true)
+      val means = assigned
+        .select(col("sub"), col("code"), col("vec_id"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(
+          expr("aggregate(array_sort(collect_list(struct(vec_id, col))), 0D, (acc, x) -> acc + x.col)")
+            .as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s / n))), x -> x.col2)")
+          .as("cv"))
+      books = books.as("old")
+        .join(means.as("new"), Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("new.cv"), col("old.cv")).as("cv"))
+        .withColumn("cvv", dot(col("cv"), col("cv")))
+        .localCheckpoint()
+    }
+    books
+  }
+
   /** PQ-encode the corpus: (vec_id, sub, code) — `m` small integers per
     * vector in place of the raw floats. At 64 dims x 4 bytes -> m bytes
     * (after dense re-indexing), the 32-64x compression that lets a 100 TB
@@ -376,6 +450,14 @@ object Similarity {
     */
   def pqEncode(emb: DataFrame, books: DataFrame, m: Int): DataFrame =
     assignCodes(subVectors(normed(emb), m), books)
+
+  /** The ADC distance: per-(qid, nid) sum of the m per-subspace partial
+    * distances, as a sub-ordered sequential fold so the double result is
+    * independent of shuffle arrival order (bit-deterministic).
+    */
+  private val adcFold: Column =
+    expr("aggregate(array_sort(collect_list(struct(sub, pdist))), 0D, (acc, x) -> acc + x.pdist)")
+      .as("adc")
 
   /** Asymmetric-distance (ADC) top-k: exact query subvectors against the
     * corpus' PQ codes. The query x codebook lookup table — nQueries x m x
@@ -408,7 +490,10 @@ object Similarity {
       .join(broadcast(lut), Seq("sub", "code"))
       .where(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
-      .agg(sum(col("pdist")).as("adc"))
+      // sub-ordered sequential fold, not sum(): m doubles per group arrive
+      // in shuffle order, and an order-dependent adc would make shortlist
+      // membership (hence the oracle hash) flutter at rank boundaries
+      .agg(adcFold)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))))
       .where(col("rank") <= k)
@@ -489,6 +574,22 @@ object Similarity {
       nQueries: Int,
       k: Int,
       shortlist: Int
+  ): DataFrame =
+    ivfPqTopKWith(emb, nCells, nProbe, m, pqCodebooks(emb, m, kCodes, iters),
+      nQueries, k, shortlist)
+
+  /** [[ivfPqTopK]] against an externally fitted codebook table (sub, code,
+    * cv, cvv) — e.g. [[pqCodebooksExact]]'s output.
+    */
+  def ivfPqTopKWith(
+      emb: DataFrame,
+      nCells: Int,
+      nProbe: Int,
+      m: Int,
+      books: DataFrame,
+      nQueries: Int,
+      k: Int,
+      shortlist: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = normed(emb)
@@ -500,7 +601,6 @@ object Similarity {
       .where(col("crank") <= nProbe)
       .select(col("vec_id").as("qid"), col("cell"))
     val subs = subVectors(base, m)
-    val books = pqCodebooks(emb, m, kCodes, iters)
     val codes = assignCodes(subs, books)
     val lut = subs.where(col("vec_id") < nQueries)
       .join(broadcast(books), Seq("sub"))
@@ -512,7 +612,7 @@ object Similarity {
       .join(broadcast(lut), Seq("sub", "code", "qid"))
       .where(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
-      .agg(sum(col("pdist")).as("adc"))
+      .agg(adcFold) // sub-ordered fold — see pqAdcTopK
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))))
       .where(col("arank") <= shortlist)
