@@ -563,6 +563,12 @@ object ExtQueries extends QueryPack {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
 
+    // the three deterministic-fit ANN pipelines — generated stage-unrolled
+    // replays of the exact fits + search tails (see SimilarityOracles)
+    "similarity_kmeans_ivf" -> SimilarityOracles.kmeansIvf,
+    "similarity_pq_search" -> SimilarityOracles.pqSearch,
+    "similarity_ivfpq_search" -> SimilarityOracles.ivfPqSearch,
+
     "similarity_topk_bruteforce" ->
       s"""$normedEmbSql,
          |p AS (

@@ -239,6 +239,29 @@ class ExtOpsSpec extends SparkTestBase {
     assert(topk.length == 15 && topk.forall(_.getInt(3) <= 3))
   }
 
+  test("exact-fold fits agree with the shuffle-sum fits to float tolerance") {
+    val emb = table(spark, sfDir, "embeddings")
+    // k-means: same seeds, same assignments — only the mean's summation
+    // order differs, so centroids must agree to ~1e-9 relative
+    val float = Similarity.kmeansRefine(emb, nCells = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val exact = Similarity.kmeansRefineExact(emb, nCells = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(float.keySet == exact.keySet && float.nonEmpty)
+    for ((c, fv) <- float; i <- fv.indices)
+      assert(math.abs(fv(i) - exact(c)(i)) <= 1e-9 * math.max(1.0, math.abs(fv(i))),
+        s"cell $c dim $i")
+    // PQ codebooks: same per (sub, code)
+    val fBooks = Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray).toMap
+    val eBooks = Similarity.pqCodebooksExact(emb, m = 4, k = 16, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray).toMap
+    assert(fBooks.keySet == eBooks.keySet && fBooks.nonEmpty)
+    for ((kk, fv) <- fBooks; i <- fv.indices)
+      assert(math.abs(fv(i) - eBooks(kk)(i)) <= 1e-9 * math.max(1.0, math.abs(fv(i))),
+        s"book $kk dim $i")
+  }
+
   test("PQ encode matches a driver-side argmin replay; ADC top-k has real recall") {
     val emb = table(spark, sfDir, "embeddings")
     val m = 8; val kCodes = 64
