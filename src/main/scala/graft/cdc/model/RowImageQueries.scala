@@ -115,9 +115,22 @@ object RowImageQueries extends QueryPack {
   /** lineitem -> wire envelope frames (offset, op, ts_ms, before, after)
     * with JSON-string images — the raw shape a Debezium topic delivers.
     * Narrow projection; no shuffle.
+    *
+    * Cached per (session, sfDir): a dozen `rowimage_*` / `ivm_*` queries
+    * consume the same fixture, and re-running the to_json synthesis +
+    * stand-in repartition per query would dominate their bench times (the
+    * operators under test are usually cheaper than the synthesis). A real
+    * envelope arrives from a topic — the synthesis is fixture scaffolding,
+    * so materializing it once (localCheckpoint, same trade as the hybrid
+    * fixture) makes the bench measure operators, not fixture setup.
     */
   def envelope(spark: SparkSession, sfDir: String): DataFrame =
-    envelopeFrom(Changelog.table(spark, sfDir, "lineitem"))
+    envelopeCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+      envelopeFrom(Changelog.table(s, dir, "lineitem")).localCheckpoint()
+    })
+
+  private val envelopeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Envelope frames derived from an (optionally filtered) lineitem frame. */
   def envelopeFrom(lineitem: DataFrame): DataFrame = {
