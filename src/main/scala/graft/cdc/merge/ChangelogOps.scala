@@ -211,9 +211,14 @@ object ChangelogOps {
   def transactionConsistent(
       changelog: DataFrame, txn: Column, isCommit: Column): DataFrame = {
     val tagged = changelog.withColumn("txn_id", txn)
+    // FIRST marker in offset order — matching the streaming operator
+    // (TxnStream releases at the first marker it can see in the offset-
+    // sorted buffer), so batch == stream holds for ANY predicate, even one
+    // matching multiple events per txn; under the one-marker-per-txn
+    // contract min and max coincide anyway
     val marks = tagged
       .groupBy(col("txn_id"))
-      .agg(max(when(isCommit, col("offset"))).as("commit_off"))
+      .agg(min(when(isCommit, col("offset"))).as("commit_off"))
       .where(col("commit_off").isNotNull)
     // events past their txn's commit marker belong to a not-yet-committed
     // reuse of the id (id wraparound) — withheld like any in-flight event

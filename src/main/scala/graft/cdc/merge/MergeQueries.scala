@@ -342,7 +342,7 @@ object MergeQueries extends QueryPack {
       s"""$changelogSql,
          |t AS (SELECT *, "offset" // 20 AS txn_id FROM changelog),
          |m AS (SELECT txn_id,
-         |             max(CASE WHEN op = 'c' THEN "offset" END) AS commit_off
+         |             min(CASE WHEN op = 'c' THEN "offset" END) AS commit_off
          |      FROM t GROUP BY txn_id)
          |SELECT t.txn_id, t."offset", t.pk, t.op, t.ts_ms, t.val, m.commit_off
          |FROM t JOIN m ON t.txn_id = m.txn_id

@@ -21,9 +21,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale shape: state is hash-partitioned by txn_id across the state store
   * and holds only UNCOMMITTED transactions (a committed txn's state
   * collapses to its commit offset, kept to withhold late id-reuse events;
-  * `stateTtl` ages even that out for long-running streams). Transactions
-  * are bounded (a binlog txn fits memory by construction), so per-key
-  * buffers are small; nothing global, no driver-side state.
+  * `stateTtl` ages out ONLY those released tombstones — in-flight buffers
+  * are never timed, so a stalled transaction can never release
+  * half-applied). Transactions are bounded (a binlog txn fits memory by
+  * construction), so per-key buffers are small; nothing global, no
+  * driver-side state.
   */
 object TxnStream {
 
@@ -81,7 +83,13 @@ object TxnStream {
                     Nil
                 }
             }
-            stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            // TTL applies ONLY to released-txn tombstones (committedAt set):
+            // an in-flight buffer must never age out, or a txn could release
+            // half-applied once its marker finally arrives — the timeout
+            // stays unset until release, so uncommitted state is immortal
+            // (the whole-or-nothing guarantee outlives any stall)
+            if (state.getOption.exists(_.committedAt.isDefined))
+              stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
             out.iterator
           }
         })

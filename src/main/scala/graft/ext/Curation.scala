@@ -215,6 +215,15 @@ object Curation {
     * sum order) and broadcasts; the corpus itself only ever meets the
     * broadcast rate row and the codegen'd hash gate — zero data-sized
     * shuffles beyond the source-count aggregation.
+    *
+    * Saturation caveat: keep_ppm is clamped at 1,000,000 per source (a
+    * source cannot emit more documents than it has), and the clipped
+    * budget is NOT redistributed — when a small source's sqrt share
+    * saturates, the realized overall kept fraction undershoots
+    * `targetFraction` by the clipped mass. This one-pass behavior is
+    * intentional (a waterfilling iteration would redistribute but costs a
+    * fixpoint loop over the source table); callers needing the exact
+    * overall fraction should raise targetFraction or iterate externally.
     */
   def temperatureMix(
       docs: DataFrame, seed: Long, targetFraction: Double): DataFrame = {

@@ -32,16 +32,19 @@ class TxnConsistentSpec extends SparkTestBase {
     assert(out.toSeq == Seq(10L, 11L))
   }
 
-  test("commit_off is the txn's LAST commit marker; ordering key is total") {
+  test("commit_off is the txn's FIRST commit marker (stream-aligned)") {
+    // the streaming operator releases at the first marker it sees in
+    // offset order; batch must agree for multi-marker predicates too
     val l = log((10, 1, "c"), (11, 1, "u"), (12, 1, "c"),
                 (20, 2, "c"), (30, 3, "u"))
     val out = ChangelogOps
       .transactionConsistent(l, col("txn"), col("op") === "c")
       .select(col("txn"), col("offset"), col("commit_off"))
       .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
-    // txn 1 releases all three events under commit_off=12; txn 3 withheld
-    assert(out.toSeq == Seq((1L, 10L, 12L), (1L, 11L, 12L), (1L, 12L, 12L),
-      (2L, 20L, 20L)).sortBy(r => (r._3, r._2)))
+    // txn 1 releases only offset 10 under commit_off=10 (11, 12 arrive
+    // after the marker -> withheld as id reuse); txn 3 withheld entirely
+    assert(out.toSeq == Seq((1L, 10L, 10L), (2L, 20L, 20L))
+      .sortBy(r => (r._3, r._2)))
   }
 
   test("empty log and all-uncommitted log both emit nothing") {
