@@ -51,13 +51,21 @@ object RowImage {
   type ConverterOverrides = PartialFunction[StructField, Column => Column]
   val NoOverrides: ConverterOverrides = PartialFunction.empty
 
-  /** JSON wire type carrying a declared field. */
+  /** JSON wire type carrying a declared field. Recurses through nested
+    * ROW/ARRAY/MAP shapes (the reference's Mongo path converts nested BSON
+    * documents, arrays and maps into nested rows the same way —
+    * MongoDBConnectorDeserializationSchema.java:690-770); JSON object keys
+    * are always strings on the wire, whatever the declared map key type.
+    */
   def wireType(dt: DataType): DataType = dt match {
-    case DateType       => IntegerType
-    case TimestampType  => LongType
-    case _: DecimalType => StringType
-    case BinaryType     => StringType
-    case other          => other
+    case DateType           => IntegerType
+    case TimestampType      => LongType
+    case _: DecimalType     => StringType
+    case BinaryType         => StringType
+    case st: StructType     => wireSchema(st)
+    case ArrayType(et, _)   => ArrayType(wireType(et), containsNull = true)
+    case MapType(_, vt, _)  => MapType(StringType, wireType(vt), valueContainsNull = true)
+    case other              => other
   }
 
   def wireSchema(schema: StructType): StructType =
@@ -65,9 +73,16 @@ object RowImage {
       StructField(f.name, wireType(f.dataType), nullable = true)))
 
   /** Default decode ladder: wire column -> declared-type column. The
-    * reference's `createNotNullConverter` switch, as expressions.
+    * reference's `createNotNullConverter` switch, as expressions; nested
+    * ROW/ARRAY/MAP fields recurse element-wise (`createRowConverter` /
+    * ARRAY/MAP branches of the Mongo converter), so a declared
+    * `STRUCT<ARRAY<DECIMAL>>` decodes each leaf through the same ladder.
+    * Overrides apply at the top-level field ONLY — an overridden field owns
+    * its whole nested content.
     */
-  def decodeField(f: StructField): Column => Column = f.dataType match {
+  def decodeField(f: StructField): Column => Column = decodeValue(f.dataType)
+
+  private def decodeValue(dt: DataType): Column => Column = dt match {
     case DateType      => c => date_from_unix_date(c)
     case TimestampType => c => timestamp_micros(c)
     case d: DecimalType =>
@@ -77,13 +92,24 @@ object RowImage {
       c => (c.cast(DecimalType(d.precision, 0)) *
         lit(java.math.BigDecimal.valueOf(1L, d.scale))).cast(d)
     case BinaryType => c => unbase64(c)
-    case other      => c => c.cast(other)
+    case st: StructType => c =>
+      when(c.isNull, lit(null).cast(st)).otherwise(struct(
+        st.fields.map(f => decodeValue(f.dataType)(c.getField(f.name)).as(f.name))
+          .toIndexedSeq: _*))
+    case ArrayType(et, _) => c => transform(c, x => decodeValue(et)(x))
+    case MapType(kt, vt, _) => c =>
+      transform_keys(transform_values(c, (_, v) => decodeValue(vt)(v)),
+        (k, _) => k.cast(kt))
+    case other => c => c.cast(other)
   }
 
   /** Inverse ladder, used by sources that put images ON the wire (fixture
-    * synthesis, the Kafka envelope face) and by round-trip specs.
+    * synthesis, the Kafka envelope face) and by round-trip specs. Recurses
+    * like [[decodeField]].
     */
-  def encodeField(f: StructField): Column => Column = f.dataType match {
+  def encodeField(f: StructField): Column => Column = encodeValue(f.dataType)
+
+  private def encodeValue(dt: DataType): Column => Column = dt match {
     case DateType      => c => unix_date(c)
     case TimestampType => c => unix_micros(c)
     case d: DecimalType =>
@@ -92,7 +118,15 @@ object RowImage {
       c => (c * lit(java.math.BigDecimal.TEN.pow(d.scale)))
         .cast(DecimalType(d.precision, 0)).cast(StringType)
     case BinaryType => c => base64(c)
-    case other      => c => c.cast(wireType(other))
+    case st: StructType => c =>
+      when(c.isNull, lit(null).cast(wireType(st))).otherwise(struct(
+        st.fields.map(f => encodeValue(f.dataType)(c.getField(f.name)).as(f.name))
+          .toIndexedSeq: _*))
+    case ArrayType(et, _) => c => transform(c, x => encodeValue(et)(x))
+    case MapType(_, vt, _) => c =>
+      transform_keys(transform_values(c, (_, v) => encodeValue(vt)(v)),
+        (k, _) => k.cast(StringType))
+    case other => c => c.cast(wireType(other))
   }
 
   /** Declared-typed image struct -> wire JSON string (null image -> null). */

@@ -112,6 +112,72 @@ object RowImageQueries extends QueryPack {
           encodeImage(after, ordersTable)).as("after"))
   }
 
+  /** A FOURTH table shape: NESTED declared fields — a ROW (struct), an
+    * ARRAY of decimals, and a MAP — exercising the recursive converter
+    * ladder (the reference's Mongo path converts nested BSON documents /
+    * arrays / maps into nested rows,
+    * MongoDBConnectorDeserializationSchema.java:690-770). The nested
+    * leaves deliberately include DATE and DECIMAL so non-trivial wire
+    * conversions run INSIDE the nesting, not just at the top level.
+    */
+  val nestedTable: DeclaredTable = DeclaredTable(
+    "orders_nested",
+    StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("cust", StructType(Seq(
+        StructField("c_key", LongType),
+        StructField("c_since", DateType),
+        StructField("c_name", StringType)))),
+      StructField("amounts", ArrayType(DecimalType(14, 2))),
+      StructField("attrs", MapType(StringType, StringType))
+    )),
+    pkCols = Seq("o_orderkey"))
+
+  /** orders (+ per-order sorted lineitem prices) -> nested wire envelope:
+    * op from o_orderstatus (F -> d, P -> u, else c), after images carry the
+    * full nested shape (priority nulled on the insert path so a nested
+    * null map value rides the wire), before images differ in every nested
+    * container (renamed struct leaf, sliced array, reduced map).
+    */
+  def nestedEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val amounts = Changelog.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_extendedprice").cast(DecimalType(14, 2))))
+        .as("amounts"))
+    def cust(name: Column) = struct(
+      col("o_custkey").as("c_key"),
+      col("o_orderdate").cast(DateType).as("c_since"),
+      name.as("c_name"))
+    val after = struct(
+      col("o_orderkey"),
+      cust(concat(lit("C#"), col("o_custkey"))).as("cust"),
+      col("amounts"),
+      map(
+        lit("priority"),
+        when(col("o_orderstatus") === "O", lit(null).cast(StringType))
+          .otherwise(col("o_orderpriority")),
+        lit("status"), col("o_orderstatus")).as("attrs"))
+    val before = struct(
+      col("o_orderkey"),
+      cust(lit("gone")).as("cust"),
+      slice(col("amounts"), 1, 2).as("amounts"),
+      map(lit("priority"), lit("NONE")).as("attrs"))
+    Changelog.table(spark, sfDir, "orders")
+      .join(amounts, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("op",
+        when(col("o_orderstatus") === "F", Changelog.OpDelete)
+          .when(col("o_orderstatus") === "P", Changelog.OpUpdate)
+          .otherwise(Changelog.OpInsert))
+      .select(
+        col("o_orderkey").as("offset"),
+        col("op"),
+        unix_millis(col("o_orderdate").cast(TimestampType)).as("ts_ms"),
+        when(col("op").isin(Changelog.OpUpdate, Changelog.OpDelete),
+          encodeImage(before, nestedTable)).as("before"),
+        when(col("op") =!= Changelog.OpDelete,
+          encodeImage(after, nestedTable)).as("after"))
+  }
+
   /** lineitem -> wire envelope frames (offset, op, ts_ms, before, after)
     * with JSON-string images — the raw shape a Debezium topic delivers.
     * Narrow projection; no shuffle.
@@ -267,6 +333,29 @@ object RowImageQueries extends QueryPack {
           col("key.l_partkey").as("l_partkey") +:
           col("key.l_suppkey").as("l_suppkey") +:
           valueOut(img)): _*)
+    }),
+
+    // P1 nested — declared ROW/ARRAY/MAP fields through the recursive
+    // converter ladder: encode -> JSON wire -> decodeEnvelope on the nested
+    // declared schema, then scalar projections of every nested leaf (struct
+    // field access, array fold + element, map lookups incl. an absent key)
+    "rowimage_nested_decode" -> ((s, dir) => {
+      val ir = decodeEnvelope(nestedEnvelope(s, dir), nestedTable)
+      val img = when(col("op") === Changelog.OpDelete, col("before"))
+        .otherwise(col("after"))
+      ir.withColumn("img", img).select(
+        col("offset"), col("op"), col("ts_ms"),
+        col("key.o_orderkey").as("o_orderkey"),
+        col("img.cust.c_key").as("c_key"),
+        col("img.cust.c_since").as("c_since"),
+        col("img.cust.c_name").as("c_name"),
+        size(col("img.amounts")).as("n_amounts"),
+        expr("""CAST(aggregate(img.amounts, CAST(0 AS DECIMAL(22,2)),
+               |     (acc, x) -> CAST(acc + x AS DECIMAL(22,2))) AS STRING)""".stripMargin)
+          .as("amount_total"),
+        element_at(col("img.amounts"), 1).cast(StringType).as("first_amount"),
+        element_at(col("img.attrs"), "priority").as("priority"),
+        element_at(col("img.attrs"), "status").as("status"))
     }),
 
     // the Debezium HashField SMT on the generic IR: l_returnflag masked to
@@ -471,6 +560,37 @@ object RowImageQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the nested-envelope round trip is lossless, so the oracle computes
+    // every projected leaf directly from orders/lineitem with the same
+    // deterministic derivation (sorted per-order price list, op from
+    // o_orderstatus, before-image containers sliced/renamed/reduced)
+    "rowimage_nested_decode" ->
+      s"""WITH a AS (SELECT l_orderkey,
+         |             list_sort(list(CAST(l_extendedprice AS DECIMAL(14,2)))) AS am
+         |           FROM lineitem GROUP BY l_orderkey),
+         |j AS (SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_orderstatus,
+         |             o.o_orderpriority, a.am,
+         |        CASE o.o_orderstatus WHEN 'F' THEN 'd' WHEN 'P' THEN 'u'
+         |             ELSE 'c' END AS op
+         |      FROM orders o JOIN a ON o.o_orderkey = a.l_orderkey),
+         |s AS (SELECT *, CASE WHEN op = 'd' THEN am[1:2] ELSE am END AS amx FROM j)
+         |SELECT o_orderkey AS "offset", op,
+         |       epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts_ms,
+         |       o_orderkey,
+         |       o_custkey AS c_key,
+         |       CAST(o_orderdate AS DATE) AS c_since,
+         |       CASE WHEN op = 'd' THEN 'gone' ELSE 'C#' || o_custkey END AS c_name,
+         |       len(amx) AS n_amounts,
+         |       CAST(CAST(list_aggregate(amx, 'sum') AS DECIMAL(22,2)) AS VARCHAR)
+         |         AS amount_total,
+         |       CAST(amx[1] AS VARCHAR) AS first_amount,
+         |       CASE WHEN op = 'd' THEN 'NONE'
+         |            WHEN op = 'c' THEN NULL
+         |            ELSE o_orderpriority END AS priority,
+         |       CASE WHEN op = 'd' THEN NULL
+         |            ELSE o_orderstatus END AS status
+         |FROM s""".stripMargin,
+
     "rowimage_decode" ->
       s"""$clSql
          |SELECT o AS "offset", op,
