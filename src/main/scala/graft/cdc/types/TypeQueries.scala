@@ -14,6 +14,23 @@ import graft.cdc.model.Changelog._
   */
 object TypeQueries extends QueryPack {
 
+  /** Declared shape shared by the TiKV / logproxy wire-face queries:
+    * single-column pk (the TiDB clustered handle), decimal + date + string
+    * values.
+    */
+  private val tikvTable = graft.cdc.model.RowImage.DeclaredTable(
+    "orders_kv",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DecimalType(14, 2)),
+      org.apache.spark.sql.types.StructField("o_orderdate",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType))),
+    pkCols = Seq("o_orderkey"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §1.3 — unsigned widening ladder, DECIMAL(20,0) for BIGINT UNSIGNED,
     // TINYINT(1)->BOOLEAN, DECIMAL(p,s), decimal->string rendering
@@ -130,6 +147,71 @@ object TypeQueries extends QueryPack {
         col("val").cast("decimal(18,2)").cast("string").as("decimal128_str")
       )),
 
+    // F19 true wire face — TiKV KV pairs: key bytes carry
+    // t{table_id}_r{handle} (big-endian int64s), value bytes carry the
+    // image; decode through DialectWire.decodeTikvKv + the RowImage ladder
+    "tikv_kv_decode" -> ((s, dir) => {
+      val t = tikvTable
+      val image = struct(
+        col("o_orderkey"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(14, 2))
+          .as("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderstatus"))
+      val ms = unix_millis(col("o_orderdate").cast("timestamp"))
+      val kv = table(s, dir, "orders").select(
+        DialectWire.tikvKey(lit(42L), col("o_orderkey")).as("key"),
+        when(col("o_orderstatus") =!= "F",
+          graft.cdc.model.RowImage.encodeImage(image, t).cast("binary")).as("value"),
+        when(col("o_orderstatus") === "F", "d").otherwise("c").as("op"),
+        (shiftleft(ms, 18) + col("o_orderkey") % 262144).as("commit_ts"))
+      DialectWire.decodeTikvKv(kv, t).select(
+        col("offset"), col("op"), col("ts_ms"), col("table_id"),
+        col("key.o_orderkey").as("o_orderkey"),
+        col("after.o_totalprice").cast("string").as("o_totalprice"),
+        col("after.o_orderdate").as("o_orderdate"),
+        col("after.o_orderstatus").as("o_orderstatus"))
+    }),
+
+    // F20 true wire face — OceanBase logproxy records: textual old/new
+    // field maps + tenant metadata, heartbeat records dropped in decode
+    "oceanbase_logproxy_decode" -> ((s, dir) => {
+      val t = tikvTable
+      val priceStr = (shift: Int) => (col("o_totalprice") + lit(shift))
+        .cast(org.apache.spark.sql.types.DecimalType(14, 2)).cast("string")
+      def fields(shift: Int) = map(
+        lit("o_orderkey"), col("o_orderkey").cast("string"),
+        lit("o_totalprice"), priceStr(shift),
+        lit("o_orderdate"), col("o_orderdate").cast("date").cast("string"),
+        lit("o_orderstatus"), col("o_orderstatus"))
+      val base = table(s, dir, "orders").select(
+        when(col("o_orderstatus") === "F", "DELETE")
+          .when(col("o_orderstatus") === "P", "UPDATE")
+          .otherwise("INSERT").as("rtype"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) / 1000)
+          .cast("long").as("ts_s"),
+        concat(lit("tenant_"), col("o_custkey") % 3).as("tenant"),
+        lit("db1").as("db"), lit("orders").as("tbl"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus").isin("F", "P"), fields(10)).as("olds"),
+        when(col("o_orderstatus") =!= "F", fields(0)).as("news"))
+      // heartbeat records ride the same stream and must be dropped
+      val hb = table(s, dir, "orders").where(col("o_orderkey") % 10 === 0)
+        .select(lit("HEARTBEAT").as("rtype"), lit(0L).as("ts_s"),
+          lit("tenant_0").as("tenant"), lit("db1").as("db"),
+          lit("orders").as("tbl"), col("o_orderkey").as("seq"),
+          lit(null).cast("map<string,string>").as("olds"),
+          lit(null).cast("map<string,string>").as("news"))
+      val img = when(col("op") === "d", col("before")).otherwise(col("after"))
+      DialectWire.decodeLogProxy(base.unionByName(hb), t)
+        .withColumn("img", img).select(
+          col("offset"), col("op"), col("ts_ms"), col("tenant_name"),
+          col("key.o_orderkey").as("o_orderkey"),
+          col("img.o_totalprice").cast("string").as("o_totalprice"),
+          col("img.o_orderdate").as("o_orderdate"),
+          col("img.o_orderstatus").as("o_orderstatus"))
+    }),
+
     // F12 — WKB -> GeoJSON via the native codegen'd expression
     // (graft_wkb_geojson); only the WKB construction is a UDF (test input
     // synthesis, not part of the operator)
@@ -146,6 +228,42 @@ object TypeQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the KV round trip is lossless, so the oracle recomputes the decoded
+    // scalars directly: offset = commit_ts = (epoch_ms << 18) + key bits,
+    // ts_ms = the TSO physical part, deletes carry no value image
+    "tikv_kv_decode" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice, o_orderdate, o_orderstatus,
+        |             CASE WHEN o_orderstatus = 'F' THEN 'd' ELSE 'c' END AS op,
+        |             epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms
+        |           FROM orders)
+        |SELECT ms * 262144 + o_orderkey % 262144 AS "offset", op, ms AS ts_ms,
+        |       42 AS table_id, o_orderkey,
+        |       CASE WHEN op = 'c'
+        |            THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)
+        |       END AS o_totalprice,
+        |       CASE WHEN op = 'c' THEN CAST(o_orderdate AS DATE) END AS o_orderdate,
+        |       CASE WHEN op = 'c' THEN o_orderstatus END AS o_orderstatus
+        |FROM t""".stripMargin,
+
+    // textual logproxy maps decode back to the same typed values; deletes
+    // surface the before image (price shifted +10 in the fixture),
+    // heartbeat records are dropped by the decode
+    "oceanbase_logproxy_decode" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        |             o_orderstatus,
+        |             CASE o_orderstatus WHEN 'F' THEN 'd' WHEN 'P' THEN 'u'
+        |                  ELSE 'c' END AS op,
+        |             epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 1000 AS ts_s
+        |           FROM orders)
+        |SELECT ts_s * 1000000 + o_orderkey AS "offset", op,
+        |       ts_s * 1000 AS ts_ms,
+        |       'tenant_' || (o_custkey % 3) AS tenant_name, o_orderkey,
+        |       CAST(CAST(o_totalprice + CASE WHEN op = 'd' THEN 10 ELSE 0 END
+        |            AS DECIMAL(14,2)) AS VARCHAR) AS o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       o_orderstatus
+        |FROM t""".stripMargin,
+
     // The WKB round trip (encodePoint -> graft_wkb_geojson) must reproduce
     // the input doubles exactly; both Java's Double.toString and DuckDB's
     // VARCHAR cast print the shortest round-trip decimal, and the value
