@@ -159,8 +159,85 @@ object CdcSource {
       * min(chunks, pool size); Spark's JDBC source runs at most that many
       * concurrent scans).
       */
+    /** Attach-time contract validation — the analog of the reference's
+      * server-precondition probe (MySqlValidator.java:43-110 checks
+      * version / binlog_format=ROW / row image FULL before starting; our
+      * synthetic change table's contract is op-domain and SEQ uniqueness,
+      * plus OPTIONALLY ts monotonicity along SEQ — opt-in via
+      * 'scan.attach.validate.ts-monotonic' because TS_MS is monotone only
+      * when it carries the LOG clock (binlog commit order); sources whose
+      * ts column is payload EVENT time are legitimately out of order
+      * (that is what watermarks are for). One bounded probe: the most
+      * recent `sample` rows by SEQ (index-backed ORDER BY DESC), so attach
+      * cost is O(sample) regardless of log size. Violations raise
+      * [[ValidationException]] naming the offending SEQ — before any
+      * stream state is created, like the reference failing fast at start.
+      */
+    private[source] def validateChangeTable(
+        url: String, dbtable: String, sample: Int,
+        checkTsMonotonic: Boolean = false): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = try st.executeQuery(
+            s"SELECT SEQ, OP, TS_MS FROM ${validIdentifier(dbtable)} " +
+              s"ORDER BY SEQ DESC FETCH FIRST $sample ROWS ONLY")
+          catch {
+            case e: java.sql.SQLException =>
+              throw new ValidationException(
+                s"Change table $dbtable is not attachable: ${e.getMessage} — " +
+                  "the table must exist with (SEQ, OP, TS_MS) columns before " +
+                  "the stream starts", e)
+          }
+          val rows = Iterator.continually(rs)
+            .takeWhile(_.next())
+            .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+            .toVector.reverse // ascending SEQ
+          val validOps = Set("c", "u", "d", "r")
+          for ((seq, op, _) <- rows if !validOps.contains(op))
+            throw new ValidationException(
+              s"Change table $dbtable violates the op-domain contract at " +
+                s"SEQ=$seq: op '$op' not in {c, u, d, r} — is this a " +
+                "change table? (reference analog: binlog_format must be ROW)")
+          for (Seq((s1, _, t1), (s2, _, t2)) <- rows.sliding(2)) {
+            if (s2 == s1)
+              throw new ValidationException(
+                s"Change table $dbtable has duplicate SEQ=$s1 — the log " +
+                  "position must be unique")
+            if (checkTsMonotonic && t2 < t1)
+              throw new ValidationException(
+                s"Change table $dbtable violates log-clock monotonicity: " +
+                  s"TS_MS drops from $t1 (SEQ=$s1) to $t2 (SEQ=$s2) — " +
+                  "with scan.attach.validate.ts-monotonic the ts column " +
+                  "must carry the monotone log clock")
+          }
+        } finally st.close()
+      } finally conn.close()
+    }
+
     def loadJdbc(url: String, tableName: String, key: String): DataFrame = {
       validateOptions()
+      // attach-time precondition: the chunk key must be null-free (the
+      // reference requires a usable chunk/split key before snapshotting;
+      // a null key would silently fall out of every range predicate). One
+      // pushed probe, index-satisfiable when the key is indexed.
+      if (opts.getOrElse("scan.attach.validate", "true").toBoolean) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(
+              s"SELECT 1 FROM ${validIdentifier(tableName)} WHERE " +
+                s"${validIdentifier(key)} IS NULL FETCH FIRST 1 ROWS ONLY")
+            if (rs.next())
+              throw new ValidationException(
+                s"Chunk key '$key' of $tableName contains NULLs — a null " +
+                  "key falls outside every chunk range; choose a null-free " +
+                  "(ideally unique) key column")
+          } finally st.close()
+        } finally conn.close()
+      }
       val props = new java.util.Properties()
       props.setProperty("fetchsize",
         intOption("scan.snapshot.fetch.size", 1024, 1).toString)
@@ -263,6 +340,12 @@ object CdcSource {
         if (startupConn != null)
           try startupConn.close() catch { case _: Throwable => () }
       }
+      // attach-time contract probe AFTER the option/startup algebra (option
+      // errors must surface first), BEFORE any stream state exists
+      if (opts.getOrElse("scan.attach.validate", "true").toBoolean)
+        validateChangeTable(url, dbtable,
+          intOption("scan.attach.validate.sample", 1024, 0),
+          opts.getOrElse("scan.attach.validate.ts-monotonic", "false").toBoolean)
       val reader = spark.readStream.format("graft-cdc-stream")
         .option("url", url)
         .option("dbtable", dbtable)

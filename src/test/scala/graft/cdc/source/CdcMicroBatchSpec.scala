@@ -71,9 +71,11 @@ class CdcMicroBatchSpec extends SparkTestBase {
     while (!committed() && System.nanoTime < deadline) Thread.sleep(20)
     q1.stop()
 
-    // the log keeps growing while the stream is down
+    // the log keeps growing while the stream is down (event time keeps
+    // advancing too — the attach probe checks ts monotonicity along SEQ)
     val maxSeq = rows.map(_._1).max
-    val extra = (1L to 57L).map(i => (maxSeq + i, i % 97, "u", 4200000L + i, i * 1.5))
+    val maxTs = rows.map(_._4).max
+    val extra = (1L to 57L).map(i => (maxSeq + i, i % 97, "u", maxTs + i, i * 1.5))
     CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG", extra.iterator)
 
     val q2 = start()
@@ -264,5 +266,54 @@ class CdcMicroBatchSpec extends SparkTestBase {
         .option("scan.incremental.snapshot.chunk.size", 0)
         .loadMicroBatch("jdbc:derby:memory:unused2;create=true")
     }
+  }
+
+  test("attach-time contract probe rejects broken change tables, passes sane ones") {
+    // a missing table is an attach error with a clear message, not a raw
+    // SQLException from deep inside the stream
+    val noTable = intercept[CdcSource.ValidationException] {
+      CdcSource.read(spark)
+        .loadMicroBatch("jdbc:derby:memory:attachv;create=true", "NO_SUCH_TABLE")
+    }
+    assert(noTable.getMessage.contains("not attachable"))
+
+    // op outside {c,u,d,r} -> the op-domain contract names the SEQ
+    val dir = java.nio.file.Files.createTempDirectory("derby_attach").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG",
+      Iterator((1L, 1L, "c", 100L, 1.0), (2L, 2L, "X", 200L, 2.0)))
+    val badOp = intercept[CdcSource.ValidationException] {
+      CdcSource.read(spark).loadMicroBatch(url)
+    }
+    assert(badOp.getMessage.contains("op-domain") && badOp.getMessage.contains("SEQ=2"))
+
+    // ts regression: ignored by default (event-time sources are unordered),
+    // rejected under the opt-in log-clock contract
+    val dir2 = java.nio.file.Files.createTempDirectory("derby_attach2").toString
+    val url2 = s"jdbc:derby:$dir2/logdb;create=true"
+    CdcMicroBatch.appendChangeTable(url2, "GRAFT_CHANGELOG",
+      Iterator((1L, 1L, "c", 300L, 1.0), (2L, 2L, "u", 200L, 2.0)))
+    CdcSource.read(spark).loadMicroBatch(url2) // default: attaches fine
+    val tsDrop = intercept[CdcSource.ValidationException] {
+      CdcSource.read(spark)
+        .option("scan.attach.validate.ts-monotonic", "true")
+        .loadMicroBatch(url2)
+    }
+    assert(tsDrop.getMessage.contains("monotonicity"))
+
+    // loadJdbc: a chunk key with NULLs is rejected before any chunk probe
+    val dir3 = java.nio.file.Files.createTempDirectory("derby_attach3").toString
+    val url3 = s"jdbc:derby:$dir3/db;create=true"
+    val c = java.sql.DriverManager.getConnection(url3)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE SNAP (K BIGINT, V DOUBLE)")
+      st.execute("INSERT INTO SNAP VALUES (1, 1.0), (NULL, 2.0)")
+      st.close()
+    } finally c.close()
+    val nullKey = intercept[CdcSource.ValidationException] {
+      CdcSource.read(spark).loadJdbc(url3, "SNAP", "K")
+    }
+    assert(nullKey.getMessage.contains("NULL"))
   }
 }
