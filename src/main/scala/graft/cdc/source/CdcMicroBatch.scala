@@ -175,6 +175,42 @@ object CdcMicroBatch {
       } finally ins.close()
     } finally conn.close()
   }
+
+  /** The reserved table tag of heartbeat rows. The reference emits periodic
+    * heartbeat events to a dedicated topic so the source's offset advances
+    * even when every captured table is idle (MySqlSourceOptions.java:
+    * 188-191 heartbeat.interval; RecordUtils.java:226-230 isHeartbeatEvent)
+    * — here heartbeats are ordinary log rows under this tag: they move
+    * MAX(SEQ) (so the stream checkpoints past them) and every reader drops
+    * them before the capture-list filter (so no downstream operator ever
+    * sees one).
+    */
+  val HeartbeatTable = "__heartbeat__"
+
+  /** Emit one heartbeat row (seq = MAX(SEQ)+1) into a change table — the
+    * source-side writer's periodic progress tick. Works for both layouts
+    * (`envelope` selects the image-bearing DDL with null images).
+    */
+  def appendHeartbeat(
+      url: String, table: String, tsMs: Long, envelope: Boolean = false): Unit = {
+    CdcSource.validIdentifier(table)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val next = try {
+        val rs = st.executeQuery(s"SELECT MAX(SEQ) FROM $table")
+        rs.next()
+        val m = rs.getLong(1)
+        (if (rs.wasNull()) -1L else m) + 1L
+      } finally st.close()
+      if (envelope)
+        appendEnvelopeTable(url, table,
+          Iterator((next, "r", tsMs, HeartbeatTable, null, null)))
+      else
+        appendChangeTableTagged(url, table,
+          Iterator((next, 0L, "r", tsMs, 0.0, HeartbeatTable)))
+    } finally conn.close()
+  }
 }
 
 /** Checkpointable stream position: the last log sequence number (exclusive)
@@ -477,8 +513,14 @@ class CdcPartitionReader(
 
   override def next(): Boolean = {
     if (rs == null) open()
+    // heartbeat rows advance the offset but are never emitted (the
+    // reference's isHeartbeatEvent drop, RecordUtils.java:226-230); the
+    // capture-list filter applies after that
+    def keep(tbl: String): Boolean =
+      tbl != CdcMicroBatch.HeartbeatTable &&
+        pattern.forall(_.matcher(tbl).find())
     var has = rs.next()
-    while (has && !pattern.forall(_.matcher(rs.getString(tblIndex)).find()))
+    while (has && !keep(rs.getString(tblIndex)))
       has = rs.next()
     has
   }

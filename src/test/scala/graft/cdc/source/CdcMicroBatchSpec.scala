@@ -268,6 +268,46 @@ class CdcMicroBatchSpec extends SparkTestBase {
     }
   }
 
+  test("heartbeats advance the checkpoint on an idle log without emitting rows") {
+    val (url, rows) = freshLog()
+    val ckpt = java.nio.file.Files.createTempDirectory("mb_hb_ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("mb_hb_sink").toString
+    var batchId = 0L
+    def drain(): Long = {
+      val q = CdcSource.read(spark).loadMicroBatch(url)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batchId += 1
+          batch.write.mode("overwrite").parquet(s"$sink/run=$batchId")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain did not terminate")
+      spark.read.option("basePath", sink).parquet(sink).count()
+    }
+    assert(drain() == rows.length)
+
+    // captured tables idle; only heartbeats arrive. The stream must
+    // checkpoint PAST them while emitting nothing
+    val maxTs = rows.map(_._4).max
+    for (i <- 1 to 5)
+      CdcMicroBatch.appendHeartbeat(url, "GRAFT_CHANGELOG", maxTs + i)
+    assert(drain() == rows.length, "heartbeats must not surface as rows")
+
+    // the checkpoint really advanced: a new data row after the heartbeats
+    // is picked up alone (a re-probe from the old offset would re-read and
+    // duplicate, or re-deliver heartbeat seqs)
+    val maxSeq = rows.map(_._1).max
+    CdcMicroBatch.appendChangeTable(url, "GRAFT_CHANGELOG",
+      Iterator((maxSeq + 10, 1L, "u", maxTs + 10, 9.5)))
+    assert(drain() == rows.length + 1)
+    val got = spark.read.option("basePath", sink).parquet(sink)
+      .select("offset").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "duplicates after heartbeat advance")
+    assert(got.max == maxSeq + 10)
+  }
+
   test("attach-time contract probe rejects broken change tables, passes sane ones") {
     // a missing table is an attach error with a clear message, not a raw
     // SQLException from deep inside the stream
