@@ -78,7 +78,20 @@ object IncrementalJoin {
     */
   def joinDeltas(
       irA: DataFrame, joinA: String,
-      irB: DataFrame, joinB: String): DataFrame = {
+      irB: DataFrame, joinB: String): DataFrame =
+    joinDeltasBetween(
+      signedDeltas(irA), versionIntervals(irA), joinA,
+      signedDeltas(irB), versionIntervals(irB), joinB)
+
+  /** [[joinDeltas]] over pre-built delta / version-interval frames — the
+    * decomposed form the STREAMING maintainer needs, where each
+    * micro-batch's deltas join version intervals derived from persisted
+    * open-version state plus the batch (the batch form passes each side's
+    * own log for both roles).
+    */
+  def joinDeltasBetween(
+      dA: DataFrame, vA: DataFrame, joinA: String,
+      dB: DataFrame, vB: DataFrame, joinB: String): DataFrame = {
     def oneSide(deltas: DataFrame, dJoin: String,
         versions: DataFrame, vJoin: String): DataFrame = {
       val d = deltas.alias("d")
@@ -89,10 +102,10 @@ object IncrementalJoin {
           (col("v.end_offset").isNull ||
             col("d.offset") < col("v.end_offset")))
     }
-    val aOnB = oneSide(signedDeltas(irA), joinA, versionIntervals(irB), joinB)
+    val aOnB = oneSide(dA, joinA, vB, joinB)
       .select(col("d.offset").as("offset"), col("d.sign").as("sign"),
         col("d.img").as("a_img"), col("v.img").as("b_img"))
-    val bOnA = oneSide(signedDeltas(irB), joinB, versionIntervals(irA), joinA)
+    val bOnA = oneSide(dB, joinB, vA, joinA)
       .select(col("d.offset").as("offset"), col("d.sign").as("sign"),
         col("v.img").as("a_img"), col("d.img").as("b_img"))
     aOnB.unionByName(bOnA)

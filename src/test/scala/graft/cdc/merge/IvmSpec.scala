@@ -101,6 +101,80 @@ class IvmSpec extends SparkTestBase {
     assert(agg.nonEmpty && agg == direct)
   }
 
+  test("streaming IVM under foreachBatch equals the batch fold across splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // one interleaved log (the single-binlog model), tagged by table name
+    val tagged = ordersEnv
+      .withColumn("table_name", lit(IvmQueries.ordersJoinTable.name))
+      .unionByName(custEnv
+        .withColumn("table_name", lit(IvmQueries.customerTable.name)))
+      .select("offset", "op", "ts_ms", "table_name", "before", "after")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getString(5)))
+      .sortBy(_._1)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("ivm_stream").toString
+    val maintainer = new graft.cdc.streaming.StreamingIvm(
+      stateDir,
+      IvmQueries.ordersJoinTable, "o_custkey",
+      IvmQueries.customerTable, "c_custkey", "o_totalprice")
+
+    val stream = MemoryStream[(Long, String, Long, String, String, String)]
+    val q = stream.toDS()
+      .toDF("offset", "op", "ts_ms", "table_name", "before", "after")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        maintainer.processBatch(batch, id)
+      }
+      .start()
+    // three uneven splits — each boundary lands inside live intervals
+    val cuts = Seq(tagged.length / 5, tagged.length / 2, tagged.length)
+    var from = 0
+    for (to <- cuts) {
+      stream.addData(tagged.slice(from, to).toIndexedSeq)
+      q.processAllAvailable()
+      from = to
+    }
+    q.stop()
+
+    def viewSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a_img.o_orderkey"), col("a_img.o_custkey"),
+        col("a_img.o_totalprice").cast("string"),
+        col("b_img.c_name"), col("b_img.c_acctbal").cast("string"), col("net"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSet
+    val streamed = viewSet(maintainer.view(spark))
+    val batch = viewSet(IncrementalJoin.materializeJoin(
+      ordersEnv, IvmQueries.ordersJoinTable, "o_custkey",
+      custEnv, IvmQueries.customerTable, "c_custkey"))
+    assert(streamed.nonEmpty && streamed == batch)
+
+    val streamedAgg = maintainer.viewAgg(spark)
+      .select(col("o_custkey"), col("cnt"),
+        col("total").cast("decimal(18,2)").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batchAgg = IncrementalJoin.maintainJoinAgg(
+        ordersEnv, IvmQueries.ordersJoinTable, "o_custkey",
+        custEnv, IvmQueries.customerTable, "c_custkey", "o_totalprice")
+      .select(col("o_custkey"), col("cnt"),
+        col("total").cast("decimal(18,2)").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamedAgg.nonEmpty && streamedAgg == batchAgg)
+
+    // a replayed batch (foreachBatch at-least-once) is idempotent: rerun
+    // the LAST batch's frames against the same state version
+    val lastBatch = tagged.slice(cuts(1), cuts(2))
+      .toSeq.toDF("offset", "op", "ts_ms", "table_name", "before", "after")
+    maintainer.processBatch(lastBatch, 2L)
+    assert(viewSet(maintainer.view(spark)) == batch)
+  }
+
   test("compacted log materializes to the same state as the full log") {
     val t = RowImageQueries.lineitemTable
     val env = lineitemEnv(2000)
