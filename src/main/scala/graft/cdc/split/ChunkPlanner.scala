@@ -275,6 +275,125 @@ object ChunkPlanner {
     } finally conn.close()
   }
 
+  /** The COLLATION CONTRACT for string split keys pushed to a live
+    * database: the planner's boundaries and the DB's `ORDER BY` /
+    * comparison semantics must agree, or pushed range predicates bracket
+    * different row sets than the planner ordered — chunk gaps/overlaps
+    * (the reference delegates both to the DB's own ordering,
+    * MySqlChunkSplitter.java:355-376 + StatementUtils.java:299-319, so it
+    * never faces the mismatch; a Spark-side planner does). Spark compares
+    * strings by UTF-8 binary codepoint, so `orderExpr` must force the DB
+    * to the same order:
+    *
+    *   - [[SqlCollation.Binary]]      — identity; for DBs/columns whose
+    *     collation already IS codepoint order (Derby UCS_BASIC, MySQL
+    *     `*_bin` columns, SQLite default)
+    *   - [[SqlCollation.MySqlBinary]] — `BINARY k`; for utf8mb4_general_ci
+    *     and friends
+    *   - [[SqlCollation.PostgresC]]   — `k COLLATE "C"`
+    *   - [[SqlCollation.Custom]]      — any dialect's spelling
+    *
+    * Every probe (min/max/next-boundary) and every rendered predicate goes
+    * through the same `orderExpr`, so planning order == scan order by
+    * construction — ChunkPlannerSpec pins the disjoint-exact-cover
+    * property on a case-mixed VARCHAR key where naive CI ordering would
+    * differ.
+    */
+  sealed trait SqlCollation { def orderExpr(key: String): String }
+  object SqlCollation {
+    case object Binary extends SqlCollation { def orderExpr(key: String): String = key }
+    case object MySqlBinary extends SqlCollation {
+      def orderExpr(key: String): String = s"BINARY $key"
+    }
+    case object PostgresC extends SqlCollation {
+      def orderExpr(key: String): String = s"""$key COLLATE "C""""
+    }
+    final case class Custom(wrap: String => String) extends SqlCollation {
+      def orderExpr(key: String): String = wrap(key)
+    }
+  }
+
+  /** [[unevenChunkRangesJdbc]] for VARCHAR split keys under an explicit
+    * [[SqlCollation]] contract. Boundaries are actual key VALUES (probed
+    * via collation-ordered OFFSET/FETCH, not MIN/MAX aggregates — an
+    * aggregate would use the column's own collation); ranges follow the
+    * keyed planner's (start, end] convention. Duplicate keys never split
+    * across chunks (the boundary row's full duplicate run stays in its
+    * chunk; the next probe starts strictly past the boundary value).
+    */
+  def unevenChunkRangesJdbcString(
+      url: String,
+      table: String,
+      key: String,
+      chunkSize: Int,
+      collation: SqlCollation = SqlCollation.Binary,
+      props: java.util.Properties = new java.util.Properties(),
+      maxChunks: Int = 10000
+  ): Seq[(Option[String], Option[String])] = {
+    val e = collation.orderExpr(key)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      def one(sql: String, param: Option[String]): Option[String] = {
+        val st = conn.prepareStatement(sql)
+        try {
+          param.foreach(st.setString(1, _))
+          val rs = st.executeQuery()
+          if (rs.next()) Option(rs.getString(1)) else None
+        } finally st.close()
+      }
+      val maxK = one(
+        s"SELECT $key FROM $table ORDER BY $e DESC FETCH FIRST 1 ROWS ONLY", None)
+        .getOrElse(return Seq((None, None)))
+      val probeSql =
+        s"SELECT $key FROM $table WHERE $e > ? ORDER BY $e " +
+          s"OFFSET ${chunkSize - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+      val firstSql =
+        s"SELECT $key FROM $table ORDER BY $e " +
+          s"OFFSET ${chunkSize - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+      val ranges = Seq.newBuilder[(Option[String], Option[String])]
+      var start: Option[String] = None
+      var done = false
+      var n = 0
+      while (!done) {
+        if (n >= maxChunks)
+          throw new IllegalStateException(
+            s"JDBC string splitter exceeded maxChunks=$maxChunks before covering " +
+              "the key space; raise maxChunks or use sampledChunkRanges")
+        val boundary = (start match {
+          case Some(b) => one(probeSql, Some(b))
+          case None    => one(firstSql, None)
+        }).getOrElse(maxK)
+        // Java-order >= only decides how EARLY to stop; coverage stays
+        // exact either way because the final range is open-ended
+        if (Ordering.String.gteq(boundary, maxK)) {
+          ranges += ((start, None))
+          done = true
+        } else {
+          ranges += ((start, Some(boundary)))
+          start = Some(boundary)
+        }
+        n += 1
+      }
+      ranges.result()
+    } finally conn.close()
+  }
+
+  /** Render (start, end] string ranges as JDBC partition predicates under
+    * the SAME collation contract the planner probed with.
+    */
+  def jdbcPredicatesString(
+      key: String,
+      ranges: Seq[(Option[String], Option[String])],
+      collation: SqlCollation = SqlCollation.Binary
+  ): Array[String] = {
+    val e = collation.orderExpr(key)
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    ranges.map { case (lo, hi) =>
+      val parts = lo.map(l => s"$e > ${q(l)}").toSeq ++ hi.map(h => s"$e <= ${q(h)}")
+      if (parts.isEmpty) "1 = 1" else parts.mkString(" AND ")
+    }.toArray
+  }
+
   /** S1/S2 — render planned chunk ranges as `spark.read.jdbc(url, table,
     * predicates, props)` partition predicates: one JDBC connection per
     * predicate, each a half-open range like the reference's chunk scans

@@ -68,6 +68,20 @@ object ChunkQueries extends QueryPack {
           col("split_start.c_name").as("split_start"),
           col("split_end.c_name").as("split_end"))),
 
+    // the collation contract on a CASE-MIXED string key: binary
+    // (codepoint) boundaries — 'B' sorts before 'a' — must hash-match an
+    // engine whose default collation is codepoint order (DuckDB), exactly
+    // the ordering the SqlCollation.Binary JDBC contract pushes to a DB
+    "chunk_ranges_cased" -> ((s, dir) =>
+      KeyedChunkPlanner.unevenChunkRanges(
+          table(s, dir, "customer").withColumn("ck",
+            when(col("c_custkey") % 2 === 0, upper(col("c_name")))
+              .otherwise(col("c_name"))),
+          Seq("ck"), ChunkSize)
+        .select(col("split_id"),
+          col("split_start.ck").as("split_start"),
+          col("split_end.ck").as("split_end"))),
+
     // composite split key (l_orderkey, l_linenumber), lexicographic
     // boundaries flattened to scalar columns for the compare
     "chunk_ranges_composite" -> ((s, dir) =>
@@ -143,6 +157,21 @@ object ChunkQueries extends QueryPack {
 
     // DuckDB default collation is binary and c_name is ASCII, so ORDER BY
     // matches Spark's UTF8 string order exactly
+    "chunk_ranges_cased" ->
+      s"""WITH d AS (SELECT DISTINCT CASE WHEN c_custkey % 2 = 0
+         |             THEN upper(c_name) ELSE c_name END AS k
+         |           FROM customer),
+         |b AS (SELECT k AS boundary, row_number() OVER (ORDER BY k) AS rn FROM d
+         |      QUALIFY rn % $ChunkSize = 0)
+         |SELECT (rn // $ChunkSize) - 1 AS split_id,
+         |       lag(boundary) OVER (ORDER BY rn) AS split_start,
+         |       boundary AS split_end
+         |FROM b
+         |UNION ALL
+         |SELECT count(*) AS split_id, max(boundary) AS split_start,
+         |       CAST(NULL AS VARCHAR) AS split_end
+         |FROM b""".stripMargin,
+
     "chunk_ranges_string" ->
       s"""WITH d AS (SELECT DISTINCT c_name AS k FROM customer),
          |b AS (SELECT k AS boundary, row_number() OVER (ORDER BY k) AS rn FROM d

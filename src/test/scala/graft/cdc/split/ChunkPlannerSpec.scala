@@ -172,6 +172,57 @@ class ChunkPlannerSpec extends SparkTestBase {
     }
   }
 
+  test("string-key JDBC splitter under the collation contract covers a case-mixed key exactly") {
+    // case-mixed VARCHAR key: binary (codepoint) order differs from any
+    // case-insensitive collation ('B' < 'a'); Derby's default UCS_BASIC is
+    // codepoint order, i.e. the SqlCollation.Binary contract
+    val dir = java.nio.file.Files.createTempDirectory("derby_coll").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val names = table(spark, sfDir, "customer").select("c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cased = names.map { case (k, n) =>
+      (k, if (k % 2 == 0) n.toUpperCase else n)
+    }
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE T (ID BIGINT, CK VARCHAR(64))")
+      st.close()
+      val ins = conn.prepareStatement("INSERT INTO T VALUES (?, ?)")
+      try cased.foreach { case (k, n) =>
+        ins.setLong(1, k); ins.setString(2, n); ins.addBatch()
+      } finally { ins.executeBatch(); ins.close() }
+    } finally conn.close()
+
+    val ranges = ChunkPlanner.unevenChunkRangesJdbcString(
+      url, "T", "CK", chunkSize = 64, ChunkPlanner.SqlCollation.Binary)
+    assert(ranges.length >= 3)
+    // the contract property: DB-probed boundaries ARE Spark-order
+    // boundaries — the Spark-side keyed planner over the same rows agrees
+    val s = spark
+    import s.implicits._
+    val df = cased.toSeq.toDF("id", "CK")
+    val sparkRanges = KeyedChunkPlanner
+      .unevenChunkRangesIterative(df, Seq("CK"), 64)
+      .map { case (lo, hi) =>
+        (lo.map(_.head.asInstanceOf[String]), hi.map(_.head.asInstanceOf[String]))
+      }
+    assert(ranges == sparkRanges,
+      s"DB and Spark planners ordered boundaries differently:\n$ranges\nvs\n$sparkRanges")
+    // pushed predicates partition the table exactly once
+    val preds = ChunkPlanner.jdbcPredicatesString(
+      "CK", ranges, ChunkPlanner.SqlCollation.Binary)
+    val perChunk = spark.read.jdbc(url, "T", preds, new java.util.Properties())
+    assert(perChunk.count() == cased.length)
+    assert(perChunk.select("ID").distinct().count() == cased.length)
+    // the MySQL/Postgres spellings render through the same contract
+    assert(ChunkPlanner.jdbcPredicatesString("k",
+      Seq((Some("o'brien"), Some("z"))),
+      ChunkPlanner.SqlCollation.MySqlBinary).head ==
+      "BINARY k > 'o''brien' AND BINARY k <= 'z'")
+    assert(ChunkPlanner.SqlCollation.PostgresC.orderExpr("k") == """k COLLATE "C"""")
+  }
+
   test("window-form keyed ranges agree with the iterative probe on unique keys") {
     // two formulations of the same operator must not drift (round-1 lesson:
     // test every variant): over a unique key the window form's distinct-rank
