@@ -129,7 +129,10 @@ object Bench {
       pb.redirectErrorStream(true)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes())
-      val done = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      // the oracle suite has grown past 600s at sf0.1 (the stage-unrolled
+      // ANN/BPE replays are DuckDB-expensive); cap generously — a hung
+      // python still can't wedge the bench
+      val done = proc.waitFor(2400, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { proc.destroyForcibly(); None }
       else "ORACLE_WALL=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
