@@ -45,8 +45,11 @@ object ExtQueries extends QueryPack {
         Dedup.minhashLsh(docs, numHashes = 32, rowsPerBand = 4))
     }),
 
+    // label blocking refined by the deterministic semantic cell — the
+    // scale-stable form (pure-label blocks grow with the corpus when label
+    // cardinality is fixed; the sf1 run measured the quadratic blow-up)
     "dedup_embedding_cosine" -> ((s, dir) =>
-      Dedup.embeddingCosine(table(s, dir, "embeddings"), 0.4)),
+      Dedup.embeddingCosineCells(table(s, dir, "embeddings"), 0.3, nCells = 8)),
 
     // SemDeDup: cell assignment from the vectors themselves as the
     // blocking key (vs embeddingCosine's given label column)
@@ -556,12 +559,31 @@ object ExtQueries extends QueryPack {
          |      FROM cand)
          |SELECT qid, nid, cell, rank, sim FROM r WHERE rank <= 5""".stripMargin,
 
+    // same seed/assignment replication as dedup_semantic (8 cells), with
+    // the pair join on BOTH the given label and the assigned cell
     "dedup_embedding_cosine" ->
-      s"""$normedEmbSql
-         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.label,
-         |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+      s"""$normedEmbSql,
+         |mx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,
+         |          ${Similarity.IvfSeedSalt}::UBIGINT AS iu FROM e),
+         |mxs AS (SELECT vec_id, ${toSignedSql("zf")} AS mix
+         |        FROM ${mixChainSql("mx0", "vec_id")}),
+         |seeds AS (SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm
+         |          FROM mxs JOIN e ON mxs.vec_id = e.vec_id
+         |          ORDER BY mxs.mix, e.vec_id LIMIT 8),
+         |cs AS (SELECT e.vec_id, e.label, e.embedding, e.nrm, s.cell,
+         |         ${dotSql("e.embedding", "s.cv")} / (e.nrm * s.cnrm) AS csim
+         |       FROM e CROSS JOIN seeds s),
+         |assign AS (SELECT vec_id, label, embedding, nrm, cell FROM (
+         |             SELECT vec_id, label, embedding, nrm, cell,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                                  ORDER BY csim DESC, cell) AS rn
+         |             FROM cs) WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.label,
+         |        ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |      FROM assign a JOIN assign b
+         |        ON a.label = b.label AND a.cell = b.cell
+         |           AND a.vec_id < b.vec_id)
+         |SELECT doc_a, doc_b, label, sim FROM p WHERE sim >= 0.3""".stripMargin,
 
     // the three deterministic-fit ANN pipelines — generated stage-unrolled
     // replays of the exact fits + search tails (see SimilarityOracles)

@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: reads an existing testdata SF directory
+  * and writes a factor-N copy with shifted keys, preserving schema,
+  * referential integrity, and value distributions. Used to produce the sf1
+  * bench input (factor 10 over sf0.1 -> ~6M lineitem) without touching the
+  * read-only driver testdata.
+  *
+  * Replication scheme: each table is exploded over `copy in [0, factor)`;
+  * every key column is shifted by `copy * stride(domain)` where stride is
+  * the domain's max+1 probed from the source, so copies never collide and
+  * every foreign key lands on the matching shifted dimension row. Dimension
+  * tables small enough to be genuinely fixed-cardinality (region, nation)
+  * pass through unchanged. Payload perturbations keep near-dup/similarity
+  * workloads non-degenerate at scale: document text gets a per-copy suffix
+  * token (n_chars recomputed), embeddings get a tiny per-copy additive
+  * offset, event timestamps get +copy microseconds so event-time order stays
+  * total. No randomness anywhere -> identical bytes on re-run.
+  *
+  * Output is one plain parquet FILE per table (coalesce(1) then rename), so
+  * both Spark and the DuckDB oracle (`read_parquet('<dir>/<t>.parquet')`)
+  * read it exactly like the driver-generated directories.
+  *
+  * Run: sbt "runMain graft.tools.GenScale /root/testdata/sf0.1 bench-data/sf1 10"
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.drop(1).headOption.getOrElse("bench-data/sf1")
+    val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+
+    // key-domain strides probed once from the source (planner-scale collect)
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
+
+    val customer = read("customer")
+    val supplier = read("supplier")
+    val part = read("part")
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    val events = read("events")
+    val documents = read("documents")
+    val embeddings = read("embeddings")
+
+    val cS = stride(customer, "c_custkey")
+    val sS = stride(supplier, "s_suppkey")
+    val pS = stride(part, "p_partkey")
+    val oS = stride(orders, "o_orderkey")
+    val eS = stride(events, "event_id")
+    val dS = stride(documents, "doc_id")
+    val vS = stride(embeddings, "vec_id")
+
+    /** Explode df over the copy index and shift the named long keys; no join
+      * (explode of a literal sequence), so the plan is a single narrow map.
+      */
+    def replicate(df: DataFrame, shifts: Map[String, Long])(
+        extra: DataFrame => DataFrame): DataFrame = {
+      val base = df
+        .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      val shifted = shifts.foldLeft(base) { case (d, (c, st)) =>
+        d.withColumn(c, (col(c) + col("copy") * lit(st)).cast(df.schema(c).dataType))
+      }
+      extra(shifted).drop("copy").select(df.columns.map(col).toIndexedSeq: _*)
+    }
+
+    val outTmp = s"$dst/_tmp"
+    def write(name: String, df: DataFrame): Unit = {
+      val tmp = s"$outTmp/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val partFile = dir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $name"))
+      val target = new java.io.File(s"$dst/$name.parquet")
+      if (target.exists()) target.delete()
+      java.nio.file.Files.move(partFile.toPath, target.toPath)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      println(s"GENSCALE $name -> ${target.getPath} (${target.length() / 1048576} MiB)")
+    }
+
+    new java.io.File(dst).mkdirs()
+
+    // fixed-cardinality dims pass through
+    write("region", read("region"))
+    write("nation", read("nation"))
+
+    write("customer", replicate(customer, Map("c_custkey" -> cS))(identity))
+    write("supplier", replicate(supplier, Map("s_suppkey" -> sS))(identity))
+    write("part", replicate(part, Map("p_partkey" -> pS))(identity))
+    write("orders",
+      replicate(orders, Map("o_orderkey" -> oS, "o_custkey" -> cS))(identity))
+    write("lineitem",
+      replicate(lineitem,
+        Map("l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS))(identity))
+    // +copy microseconds keeps (user_id, ts) and global event-time order total
+    write("events", replicate(events, Map("event_id" -> eS)) { d =>
+      d.withColumn("ts", expr("timestampadd(MICROSECOND, copy, ts)"))
+    })
+    // per-copy suffix: copies are near-duplicates, not byte-duplicates
+    write("documents", replicate(documents, Map("doc_id" -> dS)) { d =>
+      d.withColumn("text",
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" c"), col("copy"))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+    write("embeddings", replicate(embeddings, Map("vec_id" -> vS)) { d =>
+      d.withColumn("embedding",
+        transform(col("embedding"),
+          x => (x + col("copy").cast("float") * lit(0.001f)).cast("float")))
+    })
+
+    new java.io.File(outTmp).delete()
+    spark.stop()
+  }
+}

@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc probe main used by the verify workflow (not part of the driver
-  * contract).
+  * contract). args: sfDir queryName [queryName...] — times each named
+  * SparkEntry query twice (min-of-2, the bench's convention).
   */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
@@ -12,16 +13,20 @@ object ProbeMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("rowimage_hybrid_materialize", "rowimage_upsert_materialize")
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      val n = graft.SparkEntry.queries(name)(s, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"TIME $name $t%.2f s rows=$n")
+      t
     }
-    time("hybrid_1")(graft.SparkEntry.queries("rowimage_hybrid_materialize")(s, dir).count())
-    time("hybrid_2")(graft.SparkEntry.queries("rowimage_hybrid_materialize")(s, dir).count())
-    time("upsert_1")(graft.SparkEntry.queries("rowimage_upsert_materialize")(s, dir).count())
-    time("upsert_2")(graft.SparkEntry.queries("rowimage_upsert_materialize")(s, dir).count())
+    names.foreach { n =>
+      val t = math.min(once(n), once(n))
+      println(f"BEST $n $t%.2f s")
+    }
     s.stop()
   }
 }

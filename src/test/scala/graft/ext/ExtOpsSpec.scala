@@ -138,6 +138,21 @@ class ExtOpsSpec extends SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("cell-refined embedding-cosine is a subset of pure-label pairs with equal sims") {
+    val emb = table(spark, sfDir, "embeddings")
+    def sims(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = sims(Dedup.embeddingCosine(emb, 0.35))
+    val refined = sims(Dedup.embeddingCosineCells(emb, 0.35, nCells = 8))
+    assert(refined.nonEmpty && refined.keySet.subsetOf(exact.keySet))
+    // the refinement only drops pairs; surviving sims are the same doubles
+    refined.foreach { case (k, s) => assert(exact(k) == s) }
+    // one cell = no refinement: the two operators agree exactly
+    val one = sims(Dedup.embeddingCosineCells(emb, 0.35, nCells = 1))
+    assert(one == exact)
+  }
+
   test("semantic dedup matches a driver-side replay of seeds, assignment, pairs") {
     val emb = table(spark, sfDir, "embeddings")
     val nCells = 4
