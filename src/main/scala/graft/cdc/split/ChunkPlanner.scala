@@ -229,7 +229,8 @@ object ChunkPlanner {
       chunkSize: Int,
       props: java.util.Properties = new java.util.Properties(),
       maxChunks: Int = 10000,
-      fetchClause: Int => String = n => s"FETCH FIRST $n ROWS ONLY"
+      fetchClause: Int => String = n => s"FETCH FIRST $n ROWS ONLY",
+      throttle: ProbeThrottle = ProbeThrottle.Off
   ): Seq[(Option[Long], Option[Long])] = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
@@ -269,10 +270,30 @@ object ChunkPlanner {
             lower = boundary + 1
           }
           n += 1
+          throttle.maybePause(n)
         }
         ranges.result()
       } finally probe.close()
     } finally conn.close()
+  }
+
+  /** Probe pacing against a production primary: the serial boundary-probe
+    * loop fires one query per chunk, and an unthrottled loop over a large
+    * table is a sustained read burst on the source DB. The reference pauses
+    * 100 ms every 10 probes (MySqlChunkSplitter.java:484-494 maySleep);
+    * [[ProbeThrottle.Reference]] reproduces that policy and `pause` is
+    * injectable so tests assert the pacing points without sleeping.
+    */
+  final case class ProbeThrottle(
+      everyProbes: Int,
+      pauseMs: Long,
+      pause: Long => Unit = Thread.sleep(_)) {
+    def maybePause(probeCount: Int): Unit =
+      if (everyProbes > 0 && probeCount % everyProbes == 0) pause(pauseMs)
+  }
+  object ProbeThrottle {
+    val Off: ProbeThrottle = ProbeThrottle(0, 0L, _ => ())
+    val Reference: ProbeThrottle = ProbeThrottle(10, 100L)
   }
 
   /** The COLLATION CONTRACT for string split keys pushed to a live
@@ -328,7 +349,8 @@ object ChunkPlanner {
       chunkSize: Int,
       collation: SqlCollation = SqlCollation.Binary,
       props: java.util.Properties = new java.util.Properties(),
-      maxChunks: Int = 10000
+      maxChunks: Int = 10000,
+      throttle: ProbeThrottle = ProbeThrottle.Off
   ): Seq[(Option[String], Option[String])] = {
     val e = collation.orderExpr(key)
     val conn = java.sql.DriverManager.getConnection(url, props)
@@ -373,6 +395,7 @@ object ChunkPlanner {
           start = Some(boundary)
         }
         n += 1
+        throttle.maybePause(n)
       }
       ranges.result()
     } finally conn.close()
@@ -419,6 +442,103 @@ object ChunkPlanner {
       .withColumn("bucket", ntile(n).over(Window.orderBy(col("k"))))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("lo"), max(col("k")).as("hi"))
+  }
+
+  /** The reference's sample-rate DECISION policy (SampleBucketSplitStrategy
+    * .java:67-168): collections smaller than one chunk stay a single split;
+    * otherwise `numChunks = size/chunkBytes + 1`, and the sample size is the
+    * full count below `samplingThreshold` (reference: 102400) or
+    * `floor(count * samplingRate)` (reference: 0.05) above it — Mongo's
+    * `$sample` stays a cheap pseudo-random cursor only under ~5%.
+    */
+  final case class SamplePlan(numChunks: Int, numberOfSamples: Long) {
+    def fullSample(count: Long): Boolean = numberOfSamples == count
+  }
+  def samplePlan(
+      sizeInBytes: Long,
+      count: Long,
+      chunkSizeBytes: Long,
+      samplingThreshold: Long = 102400L,
+      samplingRate: Double = 0.05
+  ): SamplePlan =
+    if (sizeInBytes < chunkSizeBytes) SamplePlan(1, 0L)
+    else {
+      val numChunks = (sizeInBytes / chunkSizeBytes).toInt + 1
+      val samples =
+        if (count < samplingThreshold) count
+        else math.floor(count * samplingRate).toLong
+      SamplePlan(numChunks, samples)
+    }
+
+  /** W2 — the sample-rate splitter: [[samplePlan]]'s decision applied as a
+    * split chain, the `$sample` + `$bucketAuto` pipeline of
+    * SampleBucketSplitStrategy.java:109-112 re-expressed as relational ops.
+    * Sampling is SYSTEMATIC (every step-th row of the key order) rather
+    * than pseudo-random so the result is verification-deterministic — the
+    * production analog is `df.sample(rate, seed)`, same boundary-precision
+    * contract. Bucketing replays ntile's exact fill arithmetic on the
+    * sample rank, so no partition-less Window node appears (the rank comes
+    * from [[DistributedRank]]). Output is the reference's split chain: a
+    * leading (null, firstLower], one (lo, hi] per bucket, a trailing
+    * (lastUpper, null] — `cnt` is the sampled-rows-per-bucket diagnostic,
+    * null on the two cap rows.
+    *
+    * Driver-side probes: ONE 1-row aggregate for (count, bytes) and ONE
+    * 1-row aggregate for the sampled-rank total — planner probes like
+    * [[analyze]], never a data collect.
+    */
+  def sampleRateBuckets(
+      df: DataFrame,
+      key: String,
+      sizeCol: Column,
+      chunkSizeBytes: Long,
+      samplingThreshold: Long = 102400L,
+      samplingRate: Double = 0.05
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val stats = df.agg(count(lit(1)), sum(sizeCol).cast("long")).collect()(0)
+    val cnt = stats.getLong(0)
+    val bytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val plan = samplePlan(bytes, cnt, chunkSizeBytes, samplingThreshold, samplingRate)
+    val nullK = lit(null).cast("long")
+    if (plan.numChunks == 1 || plan.numberOfSamples == 0)
+      return spark.range(1).select(
+        lit(0L).as("split_id"), nullK.as("cnt"),
+        nullK.as("split_start"), nullK.as("split_end"))
+    val step = math.max(cnt / plan.numberOfSamples, 1L)
+    val ranked = DistributedRank.withGlobalRowNumber(
+      df.select(col(key).cast("long").as("k")), "rn", Seq(col("k")), dedup = true)
+    val m = ranked.agg((max(col("rn")).cast("long") / lit(step)).cast("long"))
+      .collect()(0) match {
+      case row if row.isNullAt(0) => 0L
+      case row => row.getLong(0)
+    }
+    if (m == 0L)
+      return spark.range(1).select(
+        lit(0L).as("split_id"), nullK.as("cnt"),
+        nullK.as("split_start"), nullK.as("split_end"))
+    // ntile(n) fill arithmetic over sample rank sr = rn/step in 1..m: the
+    // first (m % n) buckets hold ceil(m/n) rows, the rest floor(m/n)
+    val n = math.min(plan.numChunks.toLong, m)
+    val q = m / n
+    val r = m % n
+    val sampled = ranked.where(col("rn") % step === 0)
+      .withColumn("sr", (col("rn") / step).cast("long"))
+    val bucketed = sampled.withColumn("bucket",
+      when(col("sr") <= lit((q + 1) * r), (col("sr") - 1) / lit(q + 1) + 1)
+        .otherwise(lit(r) + (col("sr") - lit((q + 1) * r) - 1) / lit(math.max(q, 1L)) + 1)
+        .cast("long"))
+    val buckets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("lo"), max(col("k")).as("hi"))
+    val mid = buckets.select(col("bucket").as("split_id"), col("cnt"),
+      col("lo").as("split_start"), col("hi").as("split_end"))
+    val first = buckets.where(col("bucket") === 1).select(
+      lit(0L).as("split_id"), nullK.as("cnt"),
+      nullK.as("split_start"), col("lo").as("split_end"))
+    val last = buckets.where(col("bucket") === n).select(
+      lit(n + 1).as("split_id"), nullK.as("cnt"),
+      col("hi").as("split_start"), nullK.as("split_end"))
+    first.unionAll(mid).unionAll(last)
   }
 
   /** W2 at 100 TB — equi-depth split boundaries from the Greenwald-Khanna

@@ -60,6 +60,18 @@ object ChunkQueries extends QueryPack {
     "sample_buckets" -> ((s, dir) =>
       ChunkPlanner.sampleBuckets(table(s, dir, "customer"), "c_custkey", 8)),
 
+    // W2 — the reference's sample-RATE decision policy over documents:
+    // numChunks from size/chunkBytes, sample count from the 5%-above-
+    // threshold rule, systematic sample, ntile-arithmetic buckets, and the
+    // min/max-capped split chain (SampleBucketSplitStrategy.java:67-168).
+    // threshold=300 < |documents| at every SF, so the gate exercises the
+    // RATE branch (the reference constant 102400 would always full-sample
+    // at test scale); n_chars stands in for the uncompressed byte size.
+    "sample_buckets_rate" -> ((s, dir) =>
+      ChunkPlanner.sampleRateBuckets(
+        table(s, dir, "documents"), "doc_id", col("n_chars"),
+        chunkSizeBytes = 16384L, samplingThreshold = 300L)),
+
     // string split key (reference splits on any comparable column,
     // MySqlChunkSplitter.java:63-510): uneven boundaries over c_name
     "chunk_ranges_string" -> ((s, dir) =>
@@ -154,6 +166,39 @@ object ChunkQueries extends QueryPack {
         |           FROM customer)
         |SELECT bucket, count(*) AS cnt, min(k) AS lo, max(k) AS hi
         |FROM t GROUP BY bucket""".stripMargin,
+
+    // replays samplePlan + the systematic sample + ntile fill arithmetic
+    "sample_buckets_rate" ->
+      """WITH s AS (SELECT count(*) AS c, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |           FROM documents),
+        |p AS (SELECT c, bytes // 16384 + 1 AS nchunks,
+        |        CASE WHEN c < 300 THEN c
+        |             ELSE CAST(floor(c * 0.05) AS BIGINT) END AS nsamp
+        |      FROM s),
+        |st AS (SELECT c, nchunks, nsamp, greatest(c // nsamp, 1) AS step FROM p),
+        |rk AS (SELECT doc_id AS k, row_number() OVER (ORDER BY doc_id) AS rn
+        |       FROM (SELECT DISTINCT doc_id FROM documents)),
+        |d1 AS (SELECT (SELECT max(rn) FROM rk) // step AS m, nchunks, step FROM st),
+        |d2 AS (SELECT m, least(nchunks, m) AS n, step FROM d1),
+        |d3 AS (SELECT m, n, step, m // n AS q, m % n AS r FROM d2),
+        |samp AS (SELECT k, rn // (SELECT step FROM d3) AS sr FROM rk
+        |         WHERE rn % (SELECT step FROM d3) = 0),
+        |b AS (SELECT k, CASE WHEN sr <= (q + 1) * r
+        |                     THEN (sr - 1) // (q + 1) + 1
+        |                     ELSE r + (sr - (q + 1) * r - 1) // greatest(q, 1) + 1
+        |                END AS bucket
+        |      FROM samp CROSS JOIN d3),
+        |g AS (SELECT bucket, count(*) AS cnt, min(k) AS lo, max(k) AS hi
+        |      FROM b GROUP BY bucket)
+        |SELECT CAST(0 AS BIGINT) AS split_id, CAST(NULL AS BIGINT) AS cnt,
+        |       CAST(NULL AS BIGINT) AS split_start, lo AS split_end
+        |FROM g WHERE bucket = 1
+        |UNION ALL
+        |SELECT bucket AS split_id, cnt, lo AS split_start, hi AS split_end FROM g
+        |UNION ALL
+        |SELECT n + 1 AS split_id, CAST(NULL AS BIGINT) AS cnt,
+        |       hi AS split_start, CAST(NULL AS BIGINT) AS split_end
+        |FROM g CROSS JOIN d3 WHERE bucket = n""".stripMargin,
 
     // DuckDB default collation is binary and c_name is ASCII, so ORDER BY
     // matches Spark's UTF8 string order exactly

@@ -68,6 +68,46 @@ class JdbcScanSpec extends SparkTestBase {
     assert(viaJdbc.length > 1)
   }
 
+  test("probe throttle paces the boundary-probe loop at the reference policy") {
+    url // force fixture
+    // recording pacer: no real sleeping in tests
+    var pauses = List.empty[Long]
+    val ranges = graft.cdc.split.ChunkPlanner.unevenChunkRangesJdbc(
+      url, "customer", "C_CUSTKEY", chunkSize = 8,
+      throttle = graft.cdc.split.ChunkPlanner.ProbeThrottle(
+        everyProbes = 10, pauseMs = 100L, pause = ms => pauses ::= ms))
+    // same plan as unthrottled — pacing changes timing only
+    assert(ranges == graft.cdc.split.ChunkPlanner.unevenChunkRangesJdbc(
+      url, "customer", "C_CUSTKEY", chunkSize = 8))
+    // the reference pauses 100ms once per 10 probes (MySqlChunkSplitter
+    // maySleep); chunkSize=8 over the fixture plans enough chunks to fire
+    assert(pauses.nonEmpty, s"expected pacing pauses for ${ranges.length} chunks")
+    assert(pauses.forall(_ == 100L))
+    assert(pauses.length == ranges.length / 10)
+    // default throttle is Off: maybePause never invokes the pacer
+    var offFired = false
+    graft.cdc.split.ChunkPlanner.ProbeThrottle.Off
+      .copy(pause = _ => offFired = true).maybePause(10)
+    assert(!offFired)
+    // string-key variant paces through the same hook (VARCHAR key, where
+    // the probe loop actually walks the whole key space)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE throttle_str (k VARCHAR(16) PRIMARY KEY)")
+      val ins = conn.prepareStatement("INSERT INTO throttle_str VALUES (?)")
+      (0 until 160).foreach { i => ins.setString(1, f"k$i%05d"); ins.addBatch() }
+      ins.executeBatch()
+    } finally conn.close()
+    var strPauses = 0
+    val strRanges = graft.cdc.split.ChunkPlanner.unevenChunkRangesJdbcString(
+      url, "throttle_str", "k", chunkSize = 8,
+      throttle = graft.cdc.split.ChunkPlanner.ProbeThrottle(
+        everyProbes = 10, pauseMs = 100L, pause = _ => strPauses += 1))
+    assert(strRanges.length == 20, s"ranges=${strRanges.length}")
+    assert(strPauses == 2)
+  }
+
   test("facade option validation still guards the JDBC path") {
     intercept[CdcSource.ValidationException] {
       CdcSource.read(spark)

@@ -289,6 +289,48 @@ class ChunkPlannerSpec extends SparkTestBase {
     }
   }
 
+  test("sample-rate policy takes the reference's three decision branches") {
+    import ChunkPlanner.{samplePlan, SamplePlan}
+    // below one chunk: single split, no sampling
+    assert(samplePlan(sizeInBytes = 100, count = 10, chunkSizeBytes = 1024) ==
+      SamplePlan(1, 0L))
+    // above chunk size but under the sampling threshold: full sample
+    assert(samplePlan(sizeInBytes = 10 * 1024, count = 500, chunkSizeBytes = 1024) ==
+      SamplePlan(11, 500L))
+    // reference constants: 102400 threshold, 5% rate
+    assert(samplePlan(sizeInBytes = 64L << 20, count = 200000,
+      chunkSizeBytes = 1L << 20) == SamplePlan(65, 10000L))
+    // boundary: exactly at the threshold switches to the rate
+    assert(samplePlan(sizeInBytes = 10 * 1024, count = 102400,
+      chunkSizeBytes = 1024).numberOfSamples == 5120L)
+  }
+
+  test("sample-rate buckets form a covering split chain with capped ends") {
+    val docs = graft.cdc.model.Changelog.table(spark, sfDir, "documents")
+    val out = ChunkPlanner.sampleRateBuckets(
+      docs, "doc_id", org.apache.spark.sql.functions.col("n_chars"),
+      chunkSizeBytes = 16384L, samplingThreshold = 300L)
+      .orderBy("split_id").collect()
+    assert(out.length >= 3, s"expected caps+buckets, got ${out.length}")
+    // leading cap: open start, closed at the first bucket's lo
+    assert(out.head.isNullAt(2) && !out.head.isNullAt(3))
+    // trailing cap: open end
+    assert(!out.last.isNullAt(2) && out.last.isNullAt(3))
+    // interior buckets chain: each start <= end, ends non-decreasing
+    val mids = out.drop(1).dropRight(1)
+    mids.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+    mids.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) <= b.getLong(2))
+      case _ =>
+    }
+    // single-chunk collection degenerates to one open split
+    val single = ChunkPlanner.sampleRateBuckets(
+      docs, "doc_id", org.apache.spark.sql.functions.col("n_chars"),
+      chunkSizeBytes = Long.MaxValue)
+      .collect()
+    assert(single.length == 1 && single(0).isNullAt(2) && single(0).isNullAt(3))
+  }
+
   test("keyed analyze agrees with the Long-path analyze on a single numeric key") {
     val a = ChunkPlanner.analyze(customer, "c_custkey").collect()(0)
     val b = KeyedChunkPlanner.analyze(customer, Seq("c_custkey")).collect()(0)

@@ -15,7 +15,7 @@ results):
     proved the driver hash has no tolerance;
   - array/list output columns crash the driver's sort -> treated as FAIL.
 """
-import sys, os, json, math, datetime
+import sys, os, json, math, datetime, time
 import duckdb
 import numpy as np
 import pandas as pd
@@ -63,7 +63,7 @@ def pandas_rows(df):
     # values as pandas/numpy deliver them — this is the driver's domain
     return [list(r) for r in df.itertuples(index=False, name=None)]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -71,11 +71,14 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = 0
+    report = {}
+    oracle_secs = {}
     # a query that failed inside Verify leaves no output dir — that must
     # FAIL the gate, not silently vanish from the report
     produced = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
     for name in sorted(set(oracles) - produced):
         print(f"[FAIL-miss] {name}: oracle declared but no Verify output dir")
+        report[name] = {"status": "FAIL-miss"}
         n_bad += 1
     for name in sorted(produced):
         d = os.path.join(out_dir, name)
@@ -84,28 +87,36 @@ def main(sf_dir, out_dir):
             sc, srows = canon(list(sdf.columns), pandas_rows(sdf))
         except TypeError as e:
             print(f"[FAIL-type] {name}: spark side: {e}")
+            report[name] = {"status": "FAIL-type", "err": str(e)}
             n_bad += 1
             continue
         if name not in oracles:
             if len(srows) > 0:
                 print(f"[rows-only] {name}: rows={len(srows)} OK")
+                report[name] = {"status": "rows-only", "rows": len(srows)}
             else:
                 print(f"[FAIL-empty] {name}: rows-only query returned 0 rows")
+                report[name] = {"status": "FAIL-empty"}
                 n_bad += 1
             continue
         try:
+            t0 = time.time()
             odf = con.execute(oracles[name]).df()
+            oracle_secs[name] = round(time.time() - t0, 3)
             oc, orows = canon(list(odf.columns), pandas_rows(odf))
         except TypeError as e:
             print(f"[FAIL-type] {name}: oracle side: {e}")
+            report[name] = {"status": "FAIL-type", "err": str(e)}
             n_bad += 1
             continue
         except Exception as e:
             print(f"[FAIL-sql ] {name}: {e}")
+            report[name] = {"status": "FAIL-sql", "err": str(e)}
             n_bad += 1
             continue
         if sc != oc:
             print(f"[FAIL-cols] {name}: spark={sc} oracle={oc}")
+            report[name] = {"status": "FAIL-cols", "spark_cols": sc, "oracle_cols": oc}
             n_bad += 1
         elif srows != orows:
             n_bad += 1
@@ -116,11 +127,28 @@ def main(sf_dir, out_dir):
             print(f"[FAIL-rows] {name}: spark={len(srows)} oracle={len(orows)}")
             print(f"   spark-only: {diff_a}")
             print(f"   oracle-only: {diff_b}")
+            report[name] = {"status": "FAIL-rows",
+                            "spark_rows": len(srows), "oracle_rows": len(orows)}
         else:
             n_ok += 1
             print(f"[OK       ] {name}: rows={len(srows)}")
+            report[name] = {"status": "OK", "rows": len(srows),
+                            "oracle_s": oracle_secs.get(name)}
+        sys.stdout.flush()
     print(f"== {n_ok} ok, {n_bad} bad ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
+                       "oracle_wall_s": round(sum(oracle_secs.values()), 3),
+                       "queries": report}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    json_out = None
+    args = [a for a in sys.argv[1:]]
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], json_out))
