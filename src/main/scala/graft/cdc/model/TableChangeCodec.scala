@@ -48,6 +48,83 @@ object TableChangeCodec {
   /** JSON payload -> typed struct (what a restarting reader consumes). */
   def decode(json: Column): Column = from_json(json, tableChangeType)
 
+  // ---------------------------------------------------------------------
+  // Debezium/Flink-CDC schema-history WIRE COMPATIBILITY. The reference
+  // persists TableChange documents in the exact field set and order of
+  // FlinkJsonTableChangeSerializer.java:55-107 (Debezium's
+  // JsonTableChangeSerializer + the enumValues addition): a user pointing
+  // this engine at an EXISTING history topic must decode those records,
+  // and a history written here must be readable by the reference. Field
+  // order below IS the serializer's insertion order — to_json emits struct
+  // fields in declaration order, which is what makes the round trip
+  // byte-identical.
+  // ---------------------------------------------------------------------
+
+  /** The reference's column document (FlinkJsonTableChangeSerializer
+    * .java:78-107): always-present name/jdbcType/typeName/typeExpression/
+    * charsetName/position/optional/autoIncremented/generated/enumValues,
+    * conditionally-present nativeType/length/scale (omitted when unset).
+    */
+  val debeziumColumnType: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("jdbcType", IntegerType, nullable = false),
+    StructField("nativeType", IntegerType, nullable = true),
+    StructField("typeName", StringType, nullable = false),
+    StructField("typeExpression", StringType, nullable = true),
+    StructField("charsetName", StringType, nullable = true),
+    StructField("length", IntegerType, nullable = true),
+    StructField("scale", IntegerType, nullable = true),
+    StructField("position", IntegerType, nullable = false),
+    StructField("optional", BooleanType, nullable = false),
+    StructField("autoIncremented", BooleanType, nullable = true),
+    StructField("generated", BooleanType, nullable = true),
+    StructField("enumValues", ArrayType(StringType, containsNull = false), nullable = true)
+  ))
+
+  /** The reference's TableChange document. DROP still carries a `table`
+    * document (an empty editor: null charset, [] pk, [] columns) —
+    * FlinkJsonTableChangeSerializer.java:55-61 always sets it.
+    */
+  val debeziumTableChangeType: StructType = StructType(Seq(
+    StructField("type", StringType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("table", StructType(Seq(
+      StructField("defaultCharsetName", StringType, nullable = true),
+      StructField("primaryKeyColumnNames", ArrayType(StringType, containsNull = false)),
+      StructField("columns", ArrayType(debeziumColumnType, containsNull = false))
+    )))
+  ))
+
+  /** Tolerant decode of a reference-serialized history record. `from_json`
+    * maps by name: fields absent from a record (nativeType/length/scale, or
+    * everything this engine's compact [[tableChangeType]] form doesn't
+    * carry) decode to null, unknown extra fields are ignored — the analog
+    * of the reference deserializer's null-checked getInteger ladder
+    * (FlinkJsonTableChangeSerializer.java:133-186).
+    */
+  def decodeDebezium(json: Column): Column = from_json(json, debeziumTableChangeType)
+
+  /** Re-serialize a decoded change in the reference's wire form. Two
+    * asymmetric null conventions coexist in one record: charsetName /
+    * defaultCharsetName / typeExpression serialize as explicit nulls while
+    * unset nativeType/length/scale are OMITTED — so emit with explicit
+    * nulls, then strip exactly the three conditional keys. The conditional
+    * keys are never the last field of a column document (position et al.
+    * always follow), so the trailing-comma form is total.
+    */
+  def encodeDebezium(change: Column): Column =
+    regexp_replace(
+      to_json(change, java.util.Map.of("ignoreNullFields", "false")),
+      """"(nativeType|length|scale)":null,""", "")
+
+  /** Unquote a Debezium `TableId.toDoubleQuotedString` identity —
+    * `"inventory"."users_1"` -> [inventory, users_1]. Parts are split on
+    * the quote-dot-quote separator after shedding the outer quotes (every
+    * part is always quoted in this form).
+    */
+  def tableIdParts(id: Column): Column =
+    split(regexp_replace(id, """^"|"$""", ""), """"\.\"""")
+
   /** Render a decoded change as DDL — the `ddl` field a Debezium
     * HistoryRecord carries next to the document. Deterministic string
     * build so it is oracle-checkable: `CREATE TABLE id (col TYPE[(len)]
