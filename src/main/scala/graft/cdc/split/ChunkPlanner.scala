@@ -334,6 +334,30 @@ object ChunkPlanner {
     }
   }
 
+  /** The exact SQL faces the string splitter pushes to a live database,
+    * exposed as pure builders so their per-dialect spelling is PINNED by
+    * spec (JdbcScanSpec): no H2/MySQL/Postgres engine ships in this
+    * sandbox (Derby only), so the dialect strings cannot be live-parsed
+    * here — the contract is (a) these golden renderings against the
+    * public grammars (MySQL `BINARY col` cast, PostgreSQL `COLLATE "C"`,
+    * both documented expression syntax in ORDER BY/WHERE), and (b) the
+    * Binary face executed end-to-end on Derby, whose UCS_BASIC collation
+    * IS the codepoint order the contract pins.
+    */
+  def maxKeySql(table: String, key: String, collation: SqlCollation): String =
+    s"SELECT $key FROM $table ORDER BY ${collation.orderExpr(key)} DESC " +
+      "FETCH FIRST 1 ROWS ONLY"
+  def boundaryProbeSql(
+      table: String, key: String, chunkSize: Int, collation: SqlCollation): String = {
+    val e = collation.orderExpr(key)
+    s"SELECT $key FROM $table WHERE $e > ? ORDER BY $e " +
+      s"OFFSET ${chunkSize - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+  }
+  def firstBoundarySql(
+      table: String, key: String, chunkSize: Int, collation: SqlCollation): String =
+    s"SELECT $key FROM $table ORDER BY ${collation.orderExpr(key)} " +
+      s"OFFSET ${chunkSize - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+
   /** [[unevenChunkRangesJdbc]] for VARCHAR split keys under an explicit
     * [[SqlCollation]] contract. Boundaries are actual key VALUES (probed
     * via collation-ordered OFFSET/FETCH, not MIN/MAX aggregates — an
@@ -363,15 +387,10 @@ object ChunkPlanner {
           if (rs.next()) Option(rs.getString(1)) else None
         } finally st.close()
       }
-      val maxK = one(
-        s"SELECT $key FROM $table ORDER BY $e DESC FETCH FIRST 1 ROWS ONLY", None)
+      val maxK = one(maxKeySql(table, key, collation), None)
         .getOrElse(return Seq((None, None)))
-      val probeSql =
-        s"SELECT $key FROM $table WHERE $e > ? ORDER BY $e " +
-          s"OFFSET ${chunkSize - 1} ROWS FETCH NEXT 1 ROWS ONLY"
-      val firstSql =
-        s"SELECT $key FROM $table ORDER BY $e " +
-          s"OFFSET ${chunkSize - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+      val probeSql = boundaryProbeSql(table, key, chunkSize, collation)
+      val firstSql = firstBoundarySql(table, key, chunkSize, collation)
       val ranges = Seq.newBuilder[(Option[String], Option[String])]
       var start: Option[String] = None
       var done = false

