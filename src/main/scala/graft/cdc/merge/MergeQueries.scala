@@ -106,6 +106,43 @@ object MergeQueries extends QueryPack {
         TableChangeCodec.ddl(dec).as("ddl"))
     }),
 
+    // T9 wire compat — the history round-trips through the reference's OWN
+    // serialized form (encodeDebezium emits the FlinkJsonTableChangeSerializer
+    // bytes; decodeDebezium is the tolerant compat parse), flattened to one
+    // row per (table, column). The oracle independently constructs the same
+    // wire bytes as a string and parses them with DuckDB's native JSON
+    // engine — two engines agreeing on the same document text.
+    "schema_history_debezium" -> ((s, dir) => {
+      import graft.cdc.model.TableChangeCodec
+      val hist = changelog(s, dir)
+        .withColumn("tbl", ChangelogOps.tableNameCol)
+        .groupBy(col("tbl"))
+        .agg(max(col("offset")).as("last_offset"))
+        .withColumn("payload", TableChangeCodec.encodeDebezium(
+          TableChangeCodec.debeziumUsersChange(lit("CREATE"), col("tbl"))))
+      val dec = TableChangeCodec.decodeDebezium(col("payload"))
+      val parts = TableChangeCodec.tableIdParts(dec.getField("id"))
+      hist.select(col("tbl"), col("last_offset"),
+          dec.getField("type").as("change_type"),
+          parts.getItem(0).as("id_catalog"),
+          parts.getItem(1).as("id_table"),
+          dec.getField("table").getField("defaultCharsetName").as("charset"),
+          explode(dec.getField("table").getField("columns")).as("c"))
+        .select(col("tbl"), col("last_offset"), col("change_type"),
+          col("id_catalog"), col("id_table"), col("charset"),
+          col("c.name").as("col_name"), col("c.jdbcType").as("jdbc_type"),
+          col("c.nativeType").as("native_type"),
+          col("c.typeName").as("type_name"),
+          col("c.typeExpression").as("type_expr"),
+          col("c.charsetName").as("col_charset"),
+          col("c.length").as("col_length"), col("c.scale").as("col_scale"),
+          col("c.position").as("col_position"),
+          col("c.optional").as("is_optional"),
+          col("c.autoIncremented").as("auto_inc"),
+          col("c.generated").as("is_generated"),
+          array_join(col("c.enumValues"), ",").as("enum_csv"))
+    }),
+
     "startup_timestamp" -> ((s, dir) =>
       changelog(s, dir).where(col("ts_ms") >= TsThreshold)
         .select(col("offset"), col("pk"), col("op"), col("ts_ms"))),
@@ -360,6 +397,58 @@ object MergeQueries extends QueryPack {
          |       'ALTER TABLE inventory.users_' || (pk % 3) ||
          |       ' (pk BIGINT NOT NULL, val DOUBLE NOT NULL, k INT(11), PRIMARY KEY (pk))' AS ddl
          |FROM changelog GROUP BY pk % 3""".stripMargin,
+
+    // independently reconstructs the reference wire bytes as TEXT and
+    // parses them with DuckDB's own JSON engine
+    "schema_history_debezium" ->
+      s"""$changelogSql,
+         |h AS (SELECT 'users_' || (pk % 3) AS tbl, max("offset") AS last_offset
+         |      FROM changelog GROUP BY pk % 3),
+         |w AS (SELECT tbl, last_offset,
+         |  '{"type":"CREATE","id":"\\"inventory\\".\\"' || tbl ||
+         |  '\\"","table":{"defaultCharsetName":"utf8mb4",' ||
+         |  '"primaryKeyColumnNames":["pk"],"columns":[' ||
+         |  '{"name":"pk","jdbcType":-5,"nativeType":8,"typeName":"BIGINT",' ||
+         |  '"typeExpression":"BIGINT","charsetName":null,"position":1,' ||
+         |  '"optional":false,"autoIncremented":true,"generated":false,' ||
+         |  '"enumValues":[]},' ||
+         |  '{"name":"val","jdbcType":8,"typeName":"DOUBLE",' ||
+         |  '"typeExpression":"DOUBLE","charsetName":null,"position":2,' ||
+         |  '"optional":false,"autoIncremented":false,"generated":false,' ||
+         |  '"enumValues":[]},' ||
+         |  '{"name":"k","jdbcType":4,"typeName":"INT",' ||
+         |  '"typeExpression":"INT","charsetName":null,"length":11,' ||
+         |  '"position":3,"optional":true,"autoIncremented":false,' ||
+         |  '"generated":false,"enumValues":[]},' ||
+         |  '{"name":"status","jdbcType":1,"nativeType":247,"typeName":"ENUM",' ||
+         |  '"typeExpression":"ENUM","charsetName":"utf8mb4","length":7,' ||
+         |  '"position":4,"optional":true,"autoIncremented":false,' ||
+         |  '"generated":false,"enumValues":["''on''","''off''"]}]}}' AS payload
+         |  FROM h),
+         |d AS (SELECT tbl, last_offset, json_transform(payload,
+         |  '{"type":"VARCHAR","id":"VARCHAR","table":{' ||
+         |  '"defaultCharsetName":"VARCHAR","primaryKeyColumnNames":["VARCHAR"],' ||
+         |  '"columns":[{"name":"VARCHAR","jdbcType":"INTEGER",' ||
+         |  '"nativeType":"INTEGER","typeName":"VARCHAR",' ||
+         |  '"typeExpression":"VARCHAR","charsetName":"VARCHAR",' ||
+         |  '"length":"INTEGER","scale":"INTEGER","position":"INTEGER",' ||
+         |  '"optional":"BOOLEAN","autoIncremented":"BOOLEAN",' ||
+         |  '"generated":"BOOLEAN","enumValues":["VARCHAR"]}]}}') AS doc
+         |  FROM w)
+         |SELECT tbl, last_offset, doc.type AS change_type,
+         |  string_split(regexp_replace(doc.id, '^"|"$$', '', 'g'), '"."')[1]
+         |    AS id_catalog,
+         |  string_split(regexp_replace(doc.id, '^"|"$$', '', 'g'), '"."')[2]
+         |    AS id_table,
+         |  doc."table".defaultCharsetName AS charset,
+         |  u.c."name" AS col_name, u.c.jdbcType AS jdbc_type,
+         |  u.c.nativeType AS native_type, u.c.typeName AS type_name,
+         |  u.c.typeExpression AS type_expr, u.c.charsetName AS col_charset,
+         |  u.c."length" AS col_length, u.c."scale" AS col_scale,
+         |  u.c."position" AS col_position, u.c."optional" AS is_optional,
+         |  u.c.autoIncremented AS auto_inc, u.c."generated" AS is_generated,
+         |  coalesce(array_to_string(u.c.enumValues, ','), '') AS enum_csv
+         |FROM d, LATERAL unnest(doc."table".columns) AS u(c)""".stripMargin,
 
     "startup_timestamp" ->
       s"""$changelogSql

@@ -153,6 +153,46 @@ object TableChangeCodec {
       .otherwise(concat(lit("CREATE TABLE "), change.getField("id"), lit(" "), body))
   }
 
+  /** The `users_N` fixture spec in the FULL reference wire form (what
+    * [[encodeDebezium]] serializes): double-quoted TableId, every
+    * always-present Debezium column field, conditional nativeType/length/
+    * scale left null where a MySQL capture leaves them unset, plus an ENUM
+    * column exercising the Flink enumValues addition. nativeType ids are
+    * MySQL's (8=BIGINT, 247=ENUM).
+    */
+  def debeziumUsersChange(changeType: Column, tableName: Column): Column = {
+    val nullInt = lit(null).cast("int")
+    val nullStr = lit(null).cast("string")
+    def col0(name: String, jdbc: Int, native: Column, typeName: String,
+        charset: Column, length: Column, scale: Column, pos: Int,
+        opt: Boolean, autoInc: Boolean, enums: Column) =
+      struct(lit(name).as("name"), lit(jdbc).as("jdbcType"),
+        native.as("nativeType"), lit(typeName).as("typeName"),
+        lit(typeName).as("typeExpression"), charset.as("charsetName"),
+        length.as("length"), scale.as("scale"), lit(pos).as("position"),
+        lit(opt).as("optional"), lit(autoInc).as("autoIncremented"),
+        lit(false).as("generated"), enums.as("enumValues"))
+    val noEnums = array().cast("array<string>")
+    struct(
+      changeType.as("type"),
+      concat(lit("\"inventory\".\""), tableName, lit("\"")).as("id"),
+      struct(
+        lit("utf8mb4").as("defaultCharsetName"),
+        array(lit("pk")).as("primaryKeyColumnNames"),
+        array(
+          col0("pk", -5, lit(8), "BIGINT", nullStr, nullInt, nullInt,
+            1, opt = false, autoInc = true, noEnums),
+          col0("val", 8, nullInt, "DOUBLE", nullStr, nullInt, nullInt,
+            2, opt = false, autoInc = false, noEnums),
+          col0("k", 4, nullInt, "INT", nullStr, lit(11), nullInt,
+            3, opt = true, autoInc = false, noEnums),
+          col0("status", 1, lit(247), "ENUM", lit("utf8mb4"), lit(7), nullInt,
+            4, opt = true, autoInc = false, array(lit("'on'"), lit("'off'")))
+        ).as("columns")
+      ).as("table")
+    )
+  }
+
   /** The fixture's table spec as a change struct: the captured `users_N`
     * shards carry (pk BIGINT, val DOUBLE, k INT nullable) with PRIMARY KEY
     * (pk) — `k` is the props-payload column the ALTER introduces.
