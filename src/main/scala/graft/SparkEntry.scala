@@ -21,7 +21,8 @@ object SparkEntry {
     cdc.source.SourceQueries,
     relational.RelationalQueries,
     ext.ExtQueries,
-    ext.CurationQueries
+    ext.CurationQueries,
+    ext.LayoutQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

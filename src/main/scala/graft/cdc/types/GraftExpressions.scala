@@ -54,6 +54,39 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
   * inside whole-stage codegen instead of paying a Scala-UDF encoder round
   * trip per row.
   */
+/** `graft_zorder(array<long>, bits) -> long`: Morton interleave of the low
+  * `bits` bits of each key — the multi-dimensional clustering value for
+  * file-level data skipping at 100 TB (range-partition + sort by this value
+  * and every dimension's per-file min/max stays tight, so predicates on ANY
+  * key prune files). Compiled into whole-stage codegen; `bits` must be
+  * foldable and `n * bits <= 63`.
+  */
+case class ZOrderValue(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_zorder"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+        org.apache.spark.sql.types.IntegerType)
+        if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, foldable int), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.ext.Hashing.zorder(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.Hashing.zorder($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrderValue =
+    copy(left = newLeft, right = newRight)
+}
+
 case class GtidContains(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "graft_gtid_contains"
@@ -483,6 +516,14 @@ object GraftFunctions {
         case children =>
           throw new IllegalArgumentException(
             s"graft_bpe expects exactly 2 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderValue].getName, "graft_zorder"),
+      {
+        case Seq(a, b) => ZOrderValue(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_zorder expects exactly 2 arguments, got ${children.length}")
       }),
     (FunctionIdentifier("graft_gtid_contains"),
       new ExpressionInfo(classOf[GtidContains].getName, "graft_gtid_contains"),

@@ -209,4 +209,30 @@ object Hashing {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
+
+  /** Morton (Z-order) interleave: bit `i` of dimension `d` lands at output
+    * bit `i * n + d`, using the low `bits` bits of each of the `n` input
+    * keys. The standard multi-dimensional clustering value for file-level
+    * data skipping: sorting/range-partitioning a 100 TB table by this value
+    * keeps EVERY dimension's min/max tight per file, so predicates on any
+    * key prune, not just the leading sort key. Null elements contribute
+    * zero bits (chunk keys are null-free by the attach-time contract);
+    * `n * bits` must fit a signed long.
+    */
+  def zorder(keys: org.apache.spark.sql.catalyst.util.ArrayData, bits: Int): Long = {
+    val n = keys.numElements()
+    require(n * bits <= 63, s"zorder needs n*bits <= 63, got n=$n bits=$bits")
+    var z = 0L
+    var d = 0
+    while (d < n) {
+      val v = if (keys.isNullAt(d)) 0L else keys.getLong(d)
+      var i = 0
+      while (i < bits) {
+        z |= ((v >>> i) & 1L) << (i * n + d)
+        i += 1
+      }
+      d += 1
+    }
+    z
+  }
 }
