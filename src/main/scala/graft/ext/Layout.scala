@@ -63,4 +63,31 @@ object Layout {
       .sortWithinPartitions(col(z))
       .drop(z)
   }
+
+  /** Stage `df` as a BUCKETED, bucket-sorted table (hash-partitioned into
+    * `buckets` files by `key`, sorted by `key` within each) — the layout
+    * that makes every later equi-join/aggregation on `key` between
+    * co-bucketed tables SHUFFLE-FREE: both sides' bucket i hold the same
+    * key hashes, so Spark joins bucket-to-bucket with no exchange. At
+    * 100 TB this converts the recurring join's full network pass into a
+    * one-time layout cost. Idempotent per session (keyed by the catalog
+    * name); `saveAsTable` is required because bucketing lives in catalog
+    * metadata, not the parquet files.
+    */
+  def stageBucketed(
+      df: DataFrame,
+      tableName: String,
+      buckets: Int,
+      key: String
+  ): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(tableName)) {
+      df.write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tableName)
+    }
+  }
 }

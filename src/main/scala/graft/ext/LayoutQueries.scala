@@ -27,7 +27,7 @@ object LayoutQueries extends QueryPack {
         s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" + ")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = queriesBucketed ++ Map(
     "layout_zorder" -> ((s, dir) => {
       graft.cdc.types.GraftFunctions.register(s)
       table(s, dir, "lineitem").select(
@@ -51,7 +51,43 @@ object LayoutQueries extends QueryPack {
     })
   )
 
+  private def stageKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  def queriesBucketed: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // co-located join on bucketed layout: both sides staged bucketed by the
+    // join key, then the recurring join runs bucket-to-bucket (the
+    // BucketedJoinSpec asserts the exchange-free plan; here the driver gate
+    // checks the ANSWER matches the plain-join oracle)
+    "layout_bucketed_join" -> ((s, dir) => {
+      val k = stageKey(dir)
+      val liT = s"graft_bk_li_$k"
+      val ordT = s"graft_bk_ord_$k"
+      Layout.stageBucketed(
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        liT, buckets = 8, key = "l_orderkey")
+      Layout.stageBucketed(
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        ordT, buckets = 8, key = "o_orderkey")
+      s.table(liT)
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("string").as("sum_price"))
+    })
+  )
+
   def oracles: Map[String, String] = Map(
+    "layout_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR)
+        |         AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "layout_zorder" ->
       s"SELECT l_orderkey, l_linenumber, ${zSql} AS zval FROM lineitem",
 

@@ -27,6 +27,31 @@ class LayoutSpec extends SparkTestBase {
     assert(zs == zs.sorted && zs.distinct == zs)
   }
 
+  test("co-bucketed tables join without a shuffle exchange") {
+    val li = Changelog.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val ord = Changelog.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Layout.stageBucketed(li, "bkt_li_spec", 8, "l_orderkey")
+    Layout.stageBucketed(ord, "bkt_ord_spec", 8, "o_orderkey")
+    // force the sort-merge path (broadcast would hide the bucketing)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_li_spec")
+        .join(spark.table("bkt_ord_spec"), col("l_orderkey") === col("o_orderkey"))
+      val exec = joined.queryExecution.executedPlan
+      val exchanges = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucket-to-bucket join must not exchange:\n$exec")
+      // and the answer matches the plain (shuffled) join
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("z-clustering bounds EVERY dimension's per-partition extent") {
     val li = Changelog.table(spark, sfDir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"))
