@@ -82,6 +82,13 @@ object Layout {
   ): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(tableName)) {
+      // the in-memory catalog forgets tables across sessions but their
+      // warehouse directories survive — clear our own stale staging dir
+      // or the CREATE fails with LOCATION_ALREADY_EXISTS
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, tableName.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
       df.write
         .bucketBy(buckets, key)
         .sortBy(key)

@@ -15,7 +15,7 @@ results):
     proved the driver hash has no tolerance;
   - array/list output columns crash the driver's sort -> treated as FAIL.
 """
-import sys, os, json, math, datetime, time
+import sys, os, json, math, datetime, time, threading
 import duckdb
 import numpy as np
 import pandas as pd
@@ -63,7 +63,7 @@ def pandas_rows(df):
     # values as pandas/numpy deliver them — this is the driver's domain
     return [list(r) for r in df.itertuples(index=False, name=None)]
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, timeout_s=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -101,9 +101,28 @@ def main(sf_dir, out_dir, json_out=None):
             continue
         try:
             t0 = time.time()
-            odf = con.execute(oracles[name]).df()
+            timer = None
+            if timeout_s:
+                timer = threading.Timer(timeout_s, con.interrupt)
+                timer.start()
+            try:
+                odf = con.execute(oracles[name]).df()
+            finally:
+                if timer:
+                    timer.cancel()
             oracle_secs[name] = round(time.time() - t0, 3)
             oc, orows = canon(list(odf.columns), pandas_rows(odf))
+        except duckdb.InterruptException:
+            # the ORACLE exceeded the cap, not the engine under test — the
+            # Spark result exists; DuckDB couldn't restate it in budget.
+            # Counted separately from failures (honest but distinct).
+            print(f"[ORACLE-TIMEOUT] {name}: duckdb exceeded {timeout_s}s "
+                  f"(spark rows={len(srows)})")
+            report[name] = {"status": "ORACLE-TIMEOUT",
+                            "spark_rows": len(srows),
+                            "timeout_s": timeout_s}
+            sys.stdout.flush()
+            continue
         except TypeError as e:
             print(f"[FAIL-type] {name}: oracle side: {e}")
             report[name] = {"status": "FAIL-type", "err": str(e)}
@@ -135,10 +154,13 @@ def main(sf_dir, out_dir, json_out=None):
             report[name] = {"status": "OK", "rows": len(srows),
                             "oracle_s": oracle_secs.get(name)}
         sys.stdout.flush()
-    print(f"== {n_ok} ok, {n_bad} bad ==")
+    n_to = sum(1 for r in report.values() if r.get("status") == "ORACLE-TIMEOUT")
+    print(f"== {n_ok} ok, {n_bad} bad, {n_to} oracle-timeout ==")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"sf": sf_dir, "n_ok": n_ok, "n_bad": n_bad,
+                       "n_oracle_timeout": n_to,
+                       "oracle_timeout_s": timeout_s,
                        "oracle_wall_s": round(sum(oracle_secs.values()), 3),
                        "queries": report}, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
@@ -146,9 +168,14 @@ def main(sf_dir, out_dir, json_out=None):
 
 if __name__ == "__main__":
     json_out = None
+    timeout_s = None
     args = [a for a in sys.argv[1:]]
     if "--json" in args:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i:i + 2]
-    sys.exit(main(args[0], args[1], json_out))
+    if "--oracle-timeout" in args:
+        i = args.index("--oracle-timeout")
+        timeout_s = float(args[i + 1])
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], json_out, timeout_s))

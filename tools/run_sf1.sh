@@ -14,7 +14,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   JAVA_FLAGS="$JAVA_FLAGS --add-opens java.base/$p=ALL-UNNAMED"
 done
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# snapshot the classes so a concurrent `sbt compile` can't swap classfiles
+# under a running JVM mid-pipeline
+SNAP=$(mktemp -d /tmp/graft_classes_XXXX)
+cp -r target/scala-2.13/classes/* "$SNAP/"
+CP="$SNAP:/opt/spark/jars/*"
 SF=/root/repo/bench-data/sf1
 
 echo "=== 1. spark bench at sf1 ==="
