@@ -27,6 +27,30 @@ class LayoutSpec extends SparkTestBase {
     assert(zs == zs.sorted && zs.distinct == zs)
   }
 
+  test("zorder is a bijection: slow per-bit deinterleave recovers every key") {
+    graft.cdc.types.GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    // independent slow reference: read bit i*n+d of z back into key d
+    def deinterleave(z: Long, n: Int, bits: Int): Seq[Long] =
+      (0 until n).map { d =>
+        (0 until bits).foldLeft(0L) { (acc, i) =>
+          acc | (((z >>> (i * n + d)) & 1L) << i)
+        }
+      }
+    val rnd = new scala.util.Random(42)
+    val triples = Seq.fill(200)((
+      rnd.nextLong() & 0xFFFFFL, rnd.nextLong() & 0xFFFFFL, rnd.nextLong() & 0xFFFFFL))
+    val zs = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zOrderCol(Seq(col("a"), col("b"), col("c")), 20).as("z"))
+      .collect()
+    zs.foreach { r =>
+      assert(deinterleave(r.getLong(3), 3, 20) ==
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val li = Changelog.table(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
