@@ -179,6 +179,15 @@ object StressMain {
     }
     println(s"STRESS-OUT semanticPairs=$sem segmentRows=$sd classified=$cls sampled=$smp")
 
+    // ---- layout family: Z-order rewrite shape over the 20M events ----
+    // (one range exchange + sorted partitions — the 100 TB rewrite job)
+    val zin = events.select(col("offset"), col("pk"), col("ts_ms"))
+    val zc = time(s"clusterByZOrder ${nEvents / 1000000}M rows, 2 dims, 64 parts") {
+      graft.ext.Layout.clusterByZOrder(zin, Seq("pk", "ts_ms"), bits = 24,
+        numPartitions = 64).queryExecution.toRdd.count()
+    }
+    println(s"STRESS-OUT zClustered=$zc")
+
     // ---- sequence packing: distributed prefix sum over the stress docs
     val pk = time(s"packSequences ${nDocs / 1000}k docs, 2048-token seqs") {
       graft.ext.Curation.packSequences(docs, seqLen = 2048L)
