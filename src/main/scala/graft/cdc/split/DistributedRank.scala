@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
+  /** Pin the range exchange to an EXPLICIT partition count
+    * (REPARTITION_BY_NUM). Without it the exchange is REPARTITION_BY_COL
+    * and AQE may coalesce each CONSUMER'S AQEShuffleRead independently —
+    * the rank rows and the broadcast bases then read the same exchange
+    * through DIFFERENT partition merges, their `__pid`s disagree, and the
+    * join adds the wrong bases (first reproduced at sf1 under a downstream
+    * `coalesce(1)`: 185k of 299k ranks wrong; invisible at small SF where
+    * BOTH branches happened to coalesce to one partition). An explicit
+    * count is exempt from AQE coalescing, so partition identity is a pure
+    * function of the data and the sampled range boundaries — identical for
+    * every consumer and under any downstream plan shape.
+    */
+  private def numShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Append `rnCol` = 1-based global rank by `orderCols`.
     *
     * With `dedup = true`, rows are deduplicated first (hash-aggregate
@@ -35,12 +50,25 @@ object DistributedRank {
       dedup: Boolean = false
   ): DataFrame = {
     val in = if (dedup) df.dropDuplicates() else df
-    val parted = in.repartitionByRange(orderCols: _*)
+    // MATERIALIZE the (pid, lrn)-stamped frame once (localCheckpoint):
+    // pid/lrn read runtime task identity, which is only meaningful for ONE
+    // evaluation. Without the barrier the bases aggregate and the output
+    // join each re-derive the range exchange as separate plans — different
+    // rdd-id-seeded boundary samples and per-consumer AQE partition
+    // coalescing make their pids DISAGREE, and the join adds wrong bases
+    // (first caught at sf1 under a downstream coalesce(1): 185k of 299k
+    // ranks wrong; invisible at small SF where both sides coalesce to one
+    // partition). After the checkpoint, partition identity is frozen data:
+    // every consumer and any downstream plan shape sees the same pids.
+    // Callers project to the skinny (key[, value]) frame first, so the
+    // materialization is scalar-width (the documented contract).
+    val parted = in.repartitionByRange(numShufflePartitions(df), orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
       .withColumn("__lrn", col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
       .drop("__mid")
+      .localCheckpoint()
     // per-partition bases: base(p) = sum of counts of partitions before p —
     // a map-side-combined <=32-row aggregate + triangular join, so no
     // partition-less Window node appears anywhere in the plan
@@ -76,14 +104,14 @@ object DistributedRank {
     * `orderCols` must form a total order; `valueCol` must be integral
     * (sums stay in the long domain, so results are engine-exact).
     *
-    * The run/totals branches each re-derive the range exchange rather than
-    * sharing a materialization: range boundary sampling is seeded
-    * deterministically per input partition, so both branches compute
-    * identical `__pid` assignments (same assumption
-    * [[withGlobalRowNumber]] has relied on across rounds). The cost is the
-    * upstream projection evaluating once per branch — a 100 TB job whose
-    * value column is expensive (e.g. tokenization) should persist the
-    * narrow (key, value) projection before calling this.
+    * The pid-stamped frame is localCheckpoint-materialized once and shared
+    * by the run/totals branches — partition identity is runtime task
+    * identity, which independent re-evaluations of the exchange do NOT
+    * reproduce (rdd-id-seeded boundary sampling + per-consumer AQE
+    * coalescing; see [[withGlobalRowNumber]]). A 100 TB job whose value
+    * column is expensive (e.g. tokenization) should still project to the
+    * narrow (key, value) frame first — that projection is what gets
+    * materialized.
     */
   def withGlobalRunningSum(
       df: DataFrame,
@@ -92,9 +120,12 @@ object DistributedRank {
       orderCols: Seq[Column]
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parted = df.repartitionByRange(orderCols: _*)
+    // same single-evaluation barrier as withGlobalRowNumber: __pid is task
+    // identity, meaningful only for one materialized evaluation
+    val parted = df.repartitionByRange(numShufflePartitions(df), orderCols: _*)
       .withColumn("__v", valueCol.cast("long"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val run = parted.withColumn("__run", sum(col("__v")).over(w))

@@ -58,6 +58,36 @@ class DistributedRankSpec extends SparkTestBase {
     assert(rns.toSeq == (1L to 100L))
   }
 
+  test("ranks survive a downstream coalesce(1) write under forced AQE partition pressure") {
+    // regression: pid/lrn read runtime task identity; before the
+    // localCheckpoint barrier, the bases aggregate and the output join
+    // re-derived the range exchange separately and a downstream
+    // coalesce(1) (the Verify write path) made their AQE partition merges
+    // diverge — at sf1 this corrupted 185k of 299k ranks while every
+    // small-SF run passed (both sides coalesced to one partition there).
+    // Force many surviving partitions so the small repro exercises it.
+    val s = spark
+    import s.implicits._
+    val adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try {
+      // heavy ts ties (the sf1 trigger shape) + unique tie-breaker
+      val df = (1 to 60000).map(i => (i % 97, i.toLong)).toDF("ts", "off")
+      val order = Seq(col("ts"), col("off"))
+      val dir = java.nio.file.Files.createTempDirectory("rank_coalesce").toString
+      DistributedRank.withGlobalRowNumber(df, "rn", order)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir)
+        .select($"ts", $"off", $"rn").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      val want = df.collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+        .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+      assert(got.size == want.size)
+      val bad = want.collect { case (k, rk) if got(k) != rk => (k, got(k), rk) }
+      assert(bad.isEmpty, s"${bad.size} corrupted ranks, e.g. ${bad.take(3)}")
+    } finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
+  }
+
   test("withGlobalRunningSum equals sum() over a global window (values, not plan)") {
     val s = spark
     import s.implicits._
