@@ -113,7 +113,10 @@ class PlanSpec extends SparkTestBase {
     // reappears it must be partitioned
     windows(plan).foreach(w => assert(w.partitionSpec.nonEmpty,
       s"partition-less Window in tidb_resolved_ts_flush:\n$plan"))
-    assert(plan.toString.contains("rangepartitioning"), plan.toString)
+    // the range exchange now lives INSIDE the rank's localCheckpoint
+    // barrier (partition identity frozen as data — the AQE-divergence
+    // fix), so the visible plan reads the checkpointed RDD
+    assert(plan.toString.contains("ExistingRDD"), plan.toString)
   }
 
   test("IVF runs no driver-side model fit: seed selection is a bounded TakeOrdered") {
@@ -137,7 +140,9 @@ class PlanSpec extends SparkTestBase {
     for (l <- s.linesIterator if l.contains("windowspecdefinition"))
       assert(l.contains("windowspecdefinition(__pid"),
         s"partition-less Window in corpus_pack_sequences: $l")
-    assert(s.contains("rangepartitioning"), s)
+    // the range exchange is inside the running-sum's localCheckpoint
+    // barrier (see DistributedRank) — the visible plan reads it as data
+    assert(s.contains("ExistingRDD"), s)
   }
 
   test("vocab coverage: top-k is a TakeOrdered and the vocab broadcasts back") {
