@@ -47,6 +47,30 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_nfc_clean(string) -> string`: Unicode NFC normalization + C0/DEL
+  * control strip + ASCII-whitespace collapse + trim
+  * ([[TextAnalysis.nfcClean]]) — the canonicalization pass that runs before
+  * hash-based dedup so composed and decomposed spellings of the same text
+  * share a fingerprint. Native so the cleanup sits inside whole-stage
+  * codegen ahead of `graft_fnv64`/`graft_minhash` in the same compiled
+  * stage (a Scala UDF here would box every document once per pipeline).
+  */
+case class NfcClean(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_clean"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextAnalysis.nfcCleanU(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextAnalysis.nfcCleanU($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcClean =
+    copy(child = newChild)
+}
+
 /** `graft_gtid_contains(a, b) -> boolean`: GTID interval-set containment
   * (is set `a` covered by set `b` — Debezium `GtidSet.isContainedWithin`
   * semantics, [[graft.cdc.offsets.BinlogOffsets.GtidSet]]). Native so the
@@ -455,6 +479,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_fnv64"),
       new ExpressionInfo(classOf[Fnv1a64].getName, "graft_fnv64"),
       unary("graft_fnv64")(Fnv1a64)),
+    (FunctionIdentifier("graft_nfc_clean"),
+      new ExpressionInfo(classOf[NfcClean].getName, "graft_nfc_clean"),
+      unary("graft_nfc_clean")(NfcClean)),
     (FunctionIdentifier("graft_wkb_geojson"),
       new ExpressionInfo(classOf[WkbGeoJson].getName, "graft_wkb_geojson"),
       unary("graft_wkb_geojson")(WkbGeoJson)),

@@ -470,4 +470,99 @@ object Curation {
           (acc, x) => acc + x.getField("term")).as("sum_prob"))
       .withColumn("avg_prob", col("sum_prob") / col("n_bigrams"))
   }
+
+  /** Leakage-safe train/holdout split: the assignment key is the
+    * document's CONTENT digest, not its id, so every member of an
+    * exact-duplicate cluster lands on the same side by construction — the
+    * split can never leak a training document's duplicate into the holdout
+    * set (the classic eval-contamination failure of id-keyed splits).
+    * bucket = fnv64(sha256-hex ++ seed-tag) mod nBuckets; `nBuckets` must
+    * be a power of two so the bucket is the hash's low bits (signed pmod
+    * == the oracle's unsigned mod) and holdout = bucket < holdoutBuckets.
+    *
+    * Shape at 100 TB: one narrow projection — digest, hash, bucket, label
+    * are all in-row, whole-stage-codegen'd; no shuffle at all. Re-seeding
+    * (a new seedTag) re-deals every bucket independently.
+    */
+  def holdoutSplit(
+      docs: DataFrame, seedTag: String,
+      nBuckets: Int = 128, holdoutBuckets: Int = 13): DataFrame = {
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two, got $nBuckets")
+    require(holdoutBuckets > 0 && holdoutBuckets < nBuckets)
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    docs.select(
+      col("doc_id"), col("source"),
+      pmod(call_function("graft_fnv64",
+        concat(sha2(col("text"), 256), lit(seedTag))), lit(nBuckets.toLong)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < holdoutBuckets, "holdout").otherwise("train"))
+  }
+
+  /** DSIR-style data selection via hashed-n-gram importance weights (Xie
+    * et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): featurize every document as counts of
+    * hashed word-bigrams, fit add-one-smoothed bag-of-ngrams distributions
+    * over a target slice p (source == targetSource) and the raw remainder
+    * q, then score each raw document by how much more target-like than
+    * raw-like its features are and keep the top k. DSIR ranks by
+    * `sum_b c_b * (log p_b - log q_b)`; this implementation keeps the
+    * per-bucket weight in the exact-division domain — `p_b - q_b` instead
+    * of the log ratio, same zero crossing — for the same reason as
+    * [[ngramLmScore]]: every term is then one IEEE divide/subtract/multiply
+    * and the per-document fold orders terms by bucket inside the row, so
+    * the DuckDB oracle reproduces the score bit-for-bit (log is the one op
+    * with no cross-engine bit guarantee).
+    *
+    * Shape at 100 TB: the bigram explode is narrow; per-document bucket
+    * counts are ONE map-side-combined hash aggregate; both corpus
+    * distributions are at most `dim` rows and broadcast back onto the
+    * features (the corpus never shuffles for them); the per-document score
+    * is a second hash aggregate folding inside the row; and selection is a
+    * TakeOrdered top-k, never a global sort. `dim` must be a power of two
+    * so the bucket (fnv64 mod dim) is the hash's low bits — identical
+    * under Spark's signed pmod and the oracle's unsigned arithmetic.
+    * Documents with fewer than two tokens have no features and are never
+    * selected, stated behavior.
+    */
+  def dsirSelect(docs: DataFrame, targetSource: String, dim: Int, k: Int): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    val isTarget = col("source") === lit(targetSource)
+    val grams = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("g"))
+      .select(col("doc_id"), col("source"),
+        pmod(call_function("graft_fnv64", col("g")), lit(dim.toLong)).as("bucket"))
+    val docFeat = grams
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // per-bucket target/raw gram counts: every bucket a raw document has
+    // appears here (they fold off the SAME gram rows), so the join below
+    // is inner — cp is 0, not absent, where the target never hashed in
+    val dists = grams.groupBy(col("bucket")).agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("cp"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("cq"))
+    val totals = grams.agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("np"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("nq"))
+    docFeat.where(!isTarget)
+      .join(broadcast(dists), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        (col("c") *
+          ((col("cp") + lit(1.0)) / (col("np") + lit(dim.toDouble)) -
+           (col("cq") + lit(1.0)) / (col("nq") + lit(dim.toDouble)))).as("term"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        aggregate(
+          sort_array(collect_list(struct(col("bucket"), col("term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -92,6 +92,17 @@ object CurationQueries extends QueryPack {
     "corpus_ngram_lm_score" -> ((s, dir) =>
       Curation.ngramLmScore(table(s, dir, "documents"))),
 
+    // DSIR importance resampling: hashed-bigram distributions fit on the
+    // src0 slice vs the rest, raw docs ranked by target-likeness
+    "corpus_dsir_select" -> ((s, dir) =>
+      Curation.dsirSelect(table(s, dir, "documents"),
+        targetSource = "src0", dim = 1024, k = 64)),
+
+    // content-digest-keyed train/holdout split: exact duplicates can never
+    // straddle the split (id-keyed splits leak them into the holdout)
+    "corpus_holdout_split" -> ((s, dir) =>
+      Curation.holdoutSplit(table(s, dir, "documents"), seedTag = "_s7")),
+
     "corpus_shuffle" -> ((s, dir) =>
       Curation.globalShuffle(table(s, dir, "documents"), seed = 7L, nShards = 16)),
 
@@ -330,6 +341,52 @@ object CurationQueries extends QueryPack {
       // the add-one bigram LM: counts and V from the corpus itself; the
       // per-doc sum replays Spark's position-ordered in-row fold via
       // list_reduce (same IEEE sequence => hash-exact doubles)
+      // digest-keyed split replay: DuckDB's sha256 emits the same
+      // lowercase hex as Spark's sha2(_, 256); 128 is a power of two, so
+      // unsigned % 128 == Spark's signed pmod
+      "corpus_holdout_split" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, source,
+           |         CAST(${ExtQueries.fnvUSql("(sha256(text) || '_s7')")} % 128
+           |              AS BIGINT) AS bucket
+           |  FROM documents)
+           |SELECT doc_id, source, bucket,
+           |       CASE WHEN bucket < 13 THEN 'holdout' ELSE 'train' END AS split
+           |FROM b""".stripMargin,
+
+      // DSIR replay: same gram -> fnv64 -> low-10-bits bucketing as the
+      // Spark plan (1024 is a power of two, so unsigned % == signed pmod),
+      // same add-one-smoothed (p_b - q_b) weights, and the same
+      // bucket-ordered IEEE fold per document
+      "corpus_dsir_select" ->
+        s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |              FROM documents),
+           |pos AS (SELECT doc_id, source, w, unnest(range(1, len(w))) AS pos
+           |        FROM toks WHERE len(w) >= 2),
+           |gr AS (SELECT doc_id, source, w[pos] || ' ' || w[pos + 1] AS g FROM pos),
+           |b AS (SELECT doc_id, source,
+           |             CAST(${ExtQueries.fnvUSql("g")} % 1024 AS BIGINT) AS bucket
+           |      FROM gr),
+           |feat AS (SELECT doc_id, source, bucket, count(*) AS c
+           |         FROM b GROUP BY 1, 2, 3),
+           |dist AS (SELECT bucket,
+           |                sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
+           |                sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cq
+           |         FROM b GROUP BY 1),
+           |tot AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS np,
+           |               sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS nq
+           |        FROM b),
+           |terms AS (SELECT f.doc_id, f.source, f.bucket,
+           |                 f.c * ((d.cp + 1.0) / (t.np + 1024.0)
+           |                        - (d.cq + 1.0) / (t.nq + 1024.0)) AS term
+           |          FROM feat f JOIN dist d USING (bucket) CROSS JOIN tot t
+           |          WHERE f.source <> 'src0')
+           |SELECT doc_id, source, count(*) AS n_feats,
+           |       list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY bucket)),
+           |                   (acc, z) -> acc + z) AS score
+           |FROM terms GROUP BY doc_id, source
+           |ORDER BY score DESC, doc_id LIMIT 64""".stripMargin,
+
       "corpus_ngram_lm_score" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
           |              FROM documents),

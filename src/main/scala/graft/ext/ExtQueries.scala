@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{call_function, col, concat, length, lit}
 import graft.QueryPack
 import graft.cdc.model.Changelog.table
 
@@ -140,6 +141,20 @@ object ExtQueries extends QueryPack {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(table(s, dir, "documents"))),
 
+    // Unicode canonicalization ahead of hash dedup: the corpus is ASCII by
+    // construction, so a deterministic probe suffix (decomposed accents,
+    // the Angstrom sign, controls, whitespace runs) rides along on every
+    // document — both engines build the identical constant, so the NFC +
+    // strip + collapse path is exercised end to end, not vacuously
+    "text_normalize" -> ((s, dir) => {
+      graft.cdc.types.GraftFunctions.register(s)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("graft_nfc_clean",
+            concat(col("text"), lit(NormProbeSuffix))).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")))
+    }),
+
     "text_winnow_fingerprint" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(table(s, dir, "documents"))),
 
@@ -273,6 +288,33 @@ object ExtQueries extends QueryPack {
     * [[TextAnalysis.fnv1a64]] on signed-boundary test vectors.
     */
   private[ext] val U64 = "18446744073709551616"
+
+  /** Probe suffix for text_normalize: tab, decomposed e+acute, a double
+    * space, a BEL control islanded in spaces, the Angstrom sign (U+212B,
+    * NFC-composes to U+00C5), decomposed o+diaeresis, then VT + CRLF +
+    * trailing space to exercise the trim. Kept as ONE constant the Spark
+    * literal and the rendered DuckDB expression both derive from.
+    */
+  private[ext] val NormProbeSuffix =
+    "\tcafe\u0301  \u0007 \u212Bngstro\u0308m\u000B\r\n "
+
+  /** Render a Scala string as a DuckDB expression holding the identical
+    * codepoints: printable-ASCII runs as quoted literals, everything else
+    * as chr(cp) — no reliance on either engine's escape syntax.
+    */
+  private[ext] def sqlStringExpr(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new StringBuilder
+    def flush(): Unit = if (run.nonEmpty) {
+      parts += s"'${run.toString.replace("'", "''")}'"; run.clear()
+    }
+    s.codePoints().forEach { cp =>
+      if (cp >= 0x20 && cp < 0x7f) run.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
 
   /** FNV-1a 64 over `col`'s ASCII bytes -> UBIGINT. */
   private[ext] def fnvUSql(col: String): String =
@@ -683,6 +725,20 @@ object ExtQueries extends QueryPack {
         |       len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[a-z]+')) AS re_tokens
         |FROM documents""".stripMargin,
+
+    // nfc_normalize is DuckDB's conformant NFC (utf8proc), the same
+    // normalization java.text.Normalizer implements; strip-then-collapse
+    // mirrors nfcClean's single pass (whitespace survives the control
+    // strip, so an islanded control merges its flanking spaces)
+    "text_normalize" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace(regexp_replace(
+         |             nfc_normalize(text || ${sqlStringExpr(NormProbeSuffix)}),
+         |             '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
+         |           '[ \\t\\n\\r\\x0B\\x0C]+', ' ', 'g')) AS clean
+         |  FROM documents)
+         |SELECT doc_id, clean, length(clean) AS n_chars_clean FROM c""".stripMargin,
 
     // every literal is ::DOUBLE: DuckDB otherwise parses 0.5/1.2 as
     // DECIMAL and computes a decimal chain whose final rounding differs

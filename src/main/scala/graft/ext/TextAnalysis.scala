@@ -167,6 +167,45 @@ object TextAnalysis {
   def fnv1a64(s: String): Long =
     if (s == null) 0L else fnv1a64Bytes(s.getBytes("UTF-8"))
 
+  /** Unicode NFC normalization + cleanup — the canonicalization pass a
+    * curation pipeline runs before any hash-based dedup, so that the
+    * composed ("é" U+00E9) and decomposed ("e"+U+0301) spellings of the
+    * same text land in the same dedup bucket. One pass over the
+    * NFC-normalized string: ASCII whitespace runs (space, \t, \n, \r, \f,
+    * \u000B) collapse to a single space, remaining C0/DEL control
+    * characters are stripped, and the result is trimmed. The policy is
+    * ASCII-whitespace-only by design (U+00A0 etc. are content, not
+    * separators) so the oracle's regex classes state the same contract.
+    */
+  def nfcClean(s: String): String = {
+    val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(n.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B') {
+        pendingSpace = true
+      } else if (c < ' ' || c == '\u007F') {
+        // non-whitespace control: stripped, never separates words
+      } else {
+        if (pendingSpace && started) sb.append(' ')
+        pendingSpace = false
+        started = true
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** UTF8String face of [[nfcClean]] — the codegen entry point. */
+  def nfcCleanU(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    if (s == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(nfcClean(s.toString))
+
   /** Uses the native codegen'd expression (graft_fnv64), not a UDF, so the
     * projection stays inside whole-stage codegen.
     */

@@ -87,6 +87,32 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles(q("text_token_count")) == 0)
   }
 
+  test("normalize and holdout split are shuffle-free in-row passes inside codegen") {
+    for (name <- Seq("text_normalize", "corpus_holdout_split")) {
+      val df = q(name)
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty, s"$name shuffles:\n$plan")
+      assert(!plan.toString.contains("ScalaUDF"), s"$name plans a Scala UDF")
+      // graft_nfc_clean / the digest hash must sit inside a codegen span
+      // (rendered as the "*(n)" prefix on the projection)
+      assert(plan.toString.linesIterator.exists(_.trim.startsWith("*(")), plan.toString)
+    }
+  }
+
+  test("dsir selection broadcasts both distribution tables; no cartesian; top-k is TakeOrdered") {
+    val df = q("corpus_dsir_select")
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin"), s) // dists join on bucket
+    assert(s.contains("TakeOrderedAndProject"), s) // k-limit never global-sorts
+  }
+
   test("brute-force similarity broadcasts the query side") {
     val s = planString(q("similarity_topk_bruteforce"))
     assert(s.contains("BroadcastNestedLoopJoin"), s)

@@ -17,6 +17,29 @@ class GraftExpressionsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(1) == TextAnalysis.fnv1a64(r.getString(0))))
   }
 
+  test("graft_nfc_clean: NFC composition, control strip, whitespace collapse, trim") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val vectors = Seq(
+      // decomposed e + U+0301 composes; Angstrom sign U+212B -> U+00C5
+      (1L, "cafe\u0301 \u212Bngstro\u0308m", "café Ångström"),
+      (2L, "café", "café"),                  // already composed: unchanged
+      (3L, "a \t\n\f b", "a b"),                 // ASCII whitespace run collapses
+      (4L, "a\u0007b", "ab"),                          // islanded control: no separator
+      (5L, "a \u0007 b", "a b"),                       // control between spaces: one space
+      (6L, "\t x \r\n", "x"),                          // trim both edges
+      (7L, "a b", "a b"),                    // U+00A0 is content, not whitespace
+      (8L, "", "")
+    ).toDF("id", "raw", "want")
+    val got = vectors.selectExpr("id", "want", "graft_nfc_clean(raw) AS got").collect()
+    got.foreach(r => assert(r.getString(2) == r.getString(1), s"vector ${r.getLong(0)}"))
+    // null in, null out; and SQL face agrees with the Scala implementation
+    assert(spark.sql("SELECT graft_nfc_clean(CAST(NULL AS STRING))").collect()(0).isNullAt(0))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("text", "graft_nfc_clean(text) AS c").collect()
+    docs.foreach(r => assert(r.getString(1) == TextAnalysis.nfcClean(r.getString(0))))
+  }
+
   test("graft_winnow matches the HOF formulation on ASCII and non-ASCII text") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -41,6 +41,51 @@ class CurationSpec extends SparkTestBase {
     assert(r(1).getString(3) == "no pii here")
   }
 
+  test("holdoutSplit: exact duplicates always land on the same side; reseed re-deals") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map { i =>
+      // every third doc duplicates text "dup<i/3>" so clusters span ids
+      val text = if (i % 3 == 0) s"dup ${i % 30}" else s"unique text $i"
+      (i, text, s"src${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val r = Curation.holdoutSplit(docs, seedTag = "_s7").collect()
+    assert(r.length == 200)
+    val byText = docs.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    r.groupBy(x => byText(x.getLong(0))).foreach { case (_, rows) =>
+      assert(rows.map(_.getString(3)).distinct.length == 1, "duplicate crossed the split")
+    }
+    val holdout = r.count(_.getString(3) == "holdout")
+    assert(holdout > 0 && holdout < 200) // both sides populated at 13/128
+    // a different seed tag deals a different split
+    val r2 = Curation.holdoutSplit(docs, seedTag = "_s8").collect()
+    val m1 = r.map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val m2 = r2.map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(m1 != m2)
+    intercept[IllegalArgumentException](Curation.holdoutSplit(docs, "_s7", nBuckets = 100))
+  }
+
+  test("dsirSelect ranks target-like raw docs first; target and 1-token docs never selected") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (100L, "alpha beta alpha beta", "tgt"), // target slice: grams ab, ba, ab
+      (1L, "alpha beta alpha", "raw"),        // shares both target grams -> positive score
+      (2L, "zz yy zz", "raw"),                // grams the target never saw -> negative score
+      (3L, "solo", "raw")                     // no bigrams: never scored
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.dsirSelect(docs, targetSource = "tgt", dim = 1024, k = 10).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // target + 1-token absent, order by score
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getLong(2) == 2 && byId(2L).getLong(2) == 2) // n_feats: distinct buckets
+    assert(byId(1L).getDouble(3) > 0 && byId(2L).getDouble(3) < 0)
+    // k cuts at the score order's top
+    val top1 = Curation.dsirSelect(docs, "tgt", dim = 1024, k = 1).collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(1L))
+    // dim must be a power of two (bucket = low bits contract)
+    intercept[IllegalArgumentException](Curation.dsirSelect(docs, "tgt", dim = 1000, k = 1))
+  }
+
   test("decontaminate counts distinct shared n-grams; short docs never flag") {
     val s = spark
     import s.implicits._
