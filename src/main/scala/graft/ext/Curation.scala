@@ -471,6 +471,42 @@ object Curation {
       .withColumn("avg_prob", col("sum_prob") / col("n_bigrams"))
   }
 
+  /** Token-budget mixture fill: the "30% code / 40% web" training-mix
+    * recipe stated in TOKENS — each source keeps its best documents
+    * (ranked by `score` desc, ties by doc_id) until the source's token
+    * budget is exhausted; a document whose inclusion would cross the
+    * budget is dropped along with everything ranked below it (strict
+    * prefix, so membership is monotone in the budget: raising a budget
+    * only ever ADDS documents).
+    *
+    * The per-source cumulative sum is NOT a per-source window (a handful
+    * of giant sources would serialize into single partitions at 100 TB).
+    * Instead: ONE global running sum ordered by (source, score desc,
+    * doc_id) — the scale-safe range-partition + partition-parallel prefix
+    * decomposition of [[graft.cdc.split.DistributedRank.withGlobalRunningSum]]
+    * — then each source's cumsum = global cumsum − the source's base
+    * offset, where the bases are a source-cardinality aggregate broadcast
+    * back (sources are contiguous in the global order, so the base is
+    * `min(g_cum − n_toks)` within the source). Budgets broadcast too; the
+    * corpus crosses the wire once, as (id, source, score, n_toks) scalars.
+    *
+    * @param budgets (source, budget_tokens) rows — the mix recipe
+    */
+  def tokenBudgetMix(docs: DataFrame, budgets: DataFrame, score: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"), score.as("score"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val ordered = Seq(col("source").asc, col("score").desc, col("doc_id").asc)
+    val summed = graft.cdc.split.DistributedRank
+      .withGlobalRunningSum(toks, "g_cum", col("n_toks"), ordered)
+    val bases = summed.groupBy(col("source"))
+      .agg(min(col("g_cum") - col("n_toks")).as("base"))
+    summed.join(broadcast(bases), Seq("source"))
+      .join(broadcast(budgets), Seq("source"))
+      .withColumn("cum_toks", col("g_cum") - col("base"))
+      .where(col("cum_toks") <= col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
+  }
+
   /** Leakage-safe train/holdout split: the assignment key is the
     * document's CONTENT digest, not its id, so every member of an
     * exact-duplicate cluster lands on the same side by construction — the

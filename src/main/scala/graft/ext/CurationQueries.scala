@@ -103,6 +103,18 @@ object CurationQueries extends QueryPack {
     "corpus_holdout_split" -> ((s, dir) =>
       Curation.holdoutSplit(table(s, dir, "documents"), seedTag = "_s7")),
 
+    // token-budget mixture fill: per-source budgets derived from the
+    // source name (deterministic fixture both engines build), quality
+    // proxy = character length; budgets sit below most sources' totals so
+    // the prefix cut is exercised, not vacuous
+    "corpus_token_budget_mix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val budgets = docs.select(col("source")).distinct()
+        .withColumn("budget_tokens",
+          lit(200L) + lit(61L) * expr("CAST(substring(source, 4) AS BIGINT)"))
+      Curation.tokenBudgetMix(docs, budgets, length(col("text")))
+    }),
+
     "corpus_shuffle" -> ((s, dir) =>
       Curation.globalShuffle(table(s, dir, "documents"), seed = 7L, nShards = 16)),
 
@@ -341,6 +353,26 @@ object CurationQueries extends QueryPack {
       // the add-one bigram LM: counts and V from the corpus itself; the
       // per-doc sum replays Spark's position-ordered in-row fold via
       // list_reduce (same IEEE sequence => hash-exact doubles)
+      // DuckDB states the budget fill as a plain per-source window; hash
+      // equality proves the distributed global-prefix-sum + broadcast-base
+      // decomposition exact (same pattern as corpus_shuffle's oracle)
+      "corpus_token_budget_mix" ->
+        """WITH t AS (SELECT doc_id, source, length(text) AS score,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          |           FROM documents),
+          |b AS (SELECT DISTINCT source,
+          |             200 + 61 * CAST(substr(source, 4) AS BIGINT) AS budget_tokens
+          |      FROM documents),
+          |c AS (SELECT doc_id, source, n_toks,
+          |             CAST(sum(n_toks) OVER (PARTITION BY source
+          |                               ORDER BY score DESC, doc_id
+          |                               ROWS BETWEEN UNBOUNDED PRECEDING
+          |                                        AND CURRENT ROW) AS BIGINT) AS cum_toks
+          |      FROM t)
+          |SELECT c.doc_id, c.source, c.n_toks, c.cum_toks
+          |FROM c JOIN b USING (source)
+          |WHERE cum_toks <= budget_tokens""".stripMargin,
+
       // digest-keyed split replay: DuckDB's sha256 emits the same
       // lowercase hex as Spark's sha2(_, 256); 128 is a power of two, so
       // unsigned % 128 == Spark's signed pmod

@@ -238,6 +238,21 @@ object StressMain {
     }
     println(s"STRESS-OUT bm25=$bm lmScored=$lm dupSpanRows=$spans tempKept=$tmx")
 
+    // ---- canonicalize -> select -> split over the stress docs --------
+    val nz = time(s"nfcClean ${nDocs / 1000}k docs") {
+      docs.select(call_function("graft_nfc_clean", col("text")).as("t"))
+        .queryExecution.toRdd.count()
+    }
+    val ds = time(s"dsirSelect ${nDocs / 1000}k docs, dim 64k, k 10k") {
+      graft.ext.Curation.dsirSelect(docsSrc, targetSource = "s0",
+        dim = 1 << 16, k = 10000).count()
+    }
+    val hs = time(s"holdoutSplit ${nDocs / 1000}k docs") {
+      graft.ext.Curation.holdoutSplit(docs, "_s7")
+        .queryExecution.toRdd.count()
+    }
+    println(s"STRESS-OUT nfcRows=$nz dsirSelected=$ds splitRows=$hs")
+
     spark.stop()
   }
 }

@@ -171,6 +171,22 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("ExistingRDD"), s)
   }
 
+  test("token-budget mix: per-source cumsum has no per-source window; bases/budgets broadcast") {
+    val df = q("corpus_token_budget_mix")
+    df.collect() // finalize AQE
+    val s = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // every window is the __pid partition-parallel prefix sum — never
+    // partitioned by source (giant sources would serialize)
+    for (l <- s.linesIterator if l.contains("windowspecdefinition"))
+      assert(l.contains("windowspecdefinition(__pid"),
+        s"per-source Window in corpus_token_budget_mix: $l")
+    assert(s.contains("BroadcastHashJoin"), s) // bases + budgets come back broadcast
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("vocab coverage: top-k is a TakeOrdered and the vocab broadcasts back") {
     val s = planString(q("corpus_vocab_coverage"))
     assert(s.contains("TakeOrderedAndProject"), s)

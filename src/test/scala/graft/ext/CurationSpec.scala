@@ -41,6 +41,47 @@ class CurationSpec extends SparkTestBase {
     assert(r(1).getString(3) == "no pii here")
   }
 
+  test("tokenBudgetMix: strict prefix per source, budget monotonicity, window equality") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "web"),   // 4 toks, score(len)=7
+      (2L, "a b c d e f", "web"),   // 6 toks, score 11 -> ranked first
+      (3L, "a b", "web"),   // 2 toks, score 3
+      (4L, "x y z", "code"),  // 3 toks, score 5
+      (5L, "x", "code"),  // 1 tok, score 1
+      (6L, "q r s t u v w x y z a", "tiny")  // 11 toks > tiny's budget
+    ).toDF("doc_id", "text", "source")
+    val budgets = Seq(("web", 10L), ("code", 100L), ("tiny", 5L))
+      .toDF("source", "budget_tokens")
+    val r = Curation.tokenBudgetMix(docs, budgets, length(col("text")))
+      .orderBy("source", "cum_toks").collect()
+      .map(x => (x.getString(1), x.getLong(0), x.getLong(3)))
+    // web: doc2 (cum 6), then doc1 (cum 10 == budget, kept); doc3 would hit 12 -> cut
+    // code: both fit; tiny: first doc already over budget -> empty source
+    assert(r.toSeq == Seq(("code", 4L, 3L), ("code", 5L, 4L), ("web", 2L, 6L), ("web", 1L, 10L)))
+    // monotone in the budget: raising web's budget only adds docs
+    val r2 = Curation.tokenBudgetMix(docs,
+      Seq(("web", 12L), ("code", 100L), ("tiny", 5L)).toDF("source", "budget_tokens"),
+      length(col("text"))).collect().map(_.getLong(0)).toSet
+    assert(r.map(_._2).toSet.subsetOf(r2))
+    // distributed decomposition == a plain per-source window on wider data
+    val wide = (0L until 500L).map { i =>
+      (i, (0 to (i % 7).toInt).map(j => s"w$j").mkString(" "), s"s${i % 5}")
+    }.toDF("doc_id", "text", "source")
+    val wb = (0 until 5).map(i => (s"s$i", 40L + 20L * i)).toDF("source", "budget_tokens")
+    val dist = Curation.tokenBudgetMix(wide, wb, length(col("text")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(length(col("text")).desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = wide
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .join(wb, Seq("source")).where(col("cum_toks") <= col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
+    assert(dist.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+  }
+
   test("holdoutSplit: exact duplicates always land on the same side; reseed re-deals") {
     val s = spark
     import s.implicits._
