@@ -575,15 +575,22 @@ object Curation {
     val docFeat = grams
       .groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    // per-bucket target/raw gram counts: every bucket a raw document has
-    // appears here (they fold off the SAME gram rows), so the join below
-    // is inner — cp is 0, not absent, where the target never hashed in
-    val dists = grams.groupBy(col("bucket")).agg(
-      sum(when(isTarget, 1L).otherwise(0L)).as("cp"),
-      sum(when(isTarget, 0L).otherwise(1L)).as("cq"))
-    val totals = grams.agg(
-      sum(when(isTarget, 1L).otherwise(0L)).as("np"),
-      sum(when(isTarget, 0L).otherwise(1L)).as("nq"))
+    // per-bucket target/raw gram counts fold off docFeat, and the fitted
+    // distribution — at most `dim` rows, the MODEL, not the data — is
+    // pinned once (localCheckpoint): the broadcast join and the totals
+    // fold both read the materialized table, so the corpus is exploded
+    // exactly twice (scoring features + fit) instead of once per
+    // aggregate branch (AQE does not canonicalize the branches for
+    // exchange reuse: the scoring side's source filter pushes into its
+    // scan). Every bucket a raw document has appears in dists (same
+    // underlying rows), so the join below is inner — cp is 0, not
+    // absent, where the target never hashed in
+    val dists = docFeat.groupBy(col("bucket")).agg(
+      sum(when(isTarget, col("c")).otherwise(0L)).as("cp"),
+      sum(when(isTarget, 0L).otherwise(col("c"))).as("cq"))
+      .localCheckpoint()
+    val totals = dists.agg(
+      sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
     docFeat.where(!isTarget)
       .join(broadcast(dists), Seq("bucket"))
       .crossJoin(broadcast(totals))

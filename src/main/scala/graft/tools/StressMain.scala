@@ -251,7 +251,13 @@ object StressMain {
       graft.ext.Curation.holdoutSplit(docs, "_s7")
         .queryExecution.toRdd.count()
     }
-    println(s"STRESS-OUT nfcRows=$nz dsirSelected=$ds splitRows=$hs")
+    val budgets = spark.range(32).select(
+      concat(lit("s"), col("id")).as("source"),
+      (lit(50000L) + col("id") * 3000L).as("budget_tokens"))
+    val tb = time(s"tokenBudgetMix ${nDocs / 1000}k docs, 32 sources") {
+      graft.ext.Curation.tokenBudgetMix(docsSrc, budgets, length(col("text"))).count()
+    }
+    println(s"STRESS-OUT nfcRows=$nz dsirSelected=$ds splitRows=$hs budgetKept=$tb")
 
     spark.stop()
   }
