@@ -164,6 +164,11 @@ object ExtQueries extends QueryPack {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frames(Multimodal.asBinary(table(s, dir, "documents")), frameSize = 256)),
 
+    // frame-level exact dedup: 64-byte windows so exact-duplicate docs
+    // collapse frame-by-frame while unique docs keep singleton groups
+    "multimodal_frame_dedup" -> ((s, dir) =>
+      Multimodal.frameDedup(Multimodal.asBinary(table(s, dir, "documents")), frameSize = 64)),
+
     // REAL image decode: documents rendered to PNG bytes (ImageIO encode),
     // decoded back through the batched ImageIO reader path; the oracle
     // recomputes the pixel statistics analytically from the text bytes
@@ -406,6 +411,27 @@ object ExtQueries extends QueryPack {
          |SELECT doc_id, frame_idx, length(frame) AS frame_len,
          |       ${fnvSignedSql("frame", "fv")} AS feature
          |FROM f""".stripMargin,
+
+    // same frame derivation at 64 bytes, grouped by the digest pair;
+    // DuckDB's struct min is the same lexicographic (doc_id, frame_idx)
+    // order as Spark's min(struct)
+    "multimodal_frame_dedup" ->
+      s"""WITH d AS (SELECT doc_id, length(text) AS nbytes, text
+         |           FROM documents WHERE length(text) > 0),
+         |f0 AS (SELECT doc_id, unnest(range(0, (nbytes + 63) // 64)) AS frame_idx, text
+         |       FROM d),
+         |f AS (SELECT doc_id, frame_idx,
+         |        substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64) AS frame
+         |      FROM f0),
+         |h AS (SELECT doc_id, frame_idx, length(frame) AS frame_len,
+         |             ${fnvSignedSql("frame", "fv")} AS feature
+         |      FROM f)
+         |SELECT feature, frame_len, count(*) AS dup_cnt,
+         |       (min(struct_pack(doc_id := doc_id,
+         |                        frame_idx := frame_idx))).doc_id AS keep_doc,
+         |       (min(struct_pack(doc_id := doc_id,
+         |                        frame_idx := frame_idx))).frame_idx AS keep_idx
+         |FROM h GROUP BY feature, frame_len""".stripMargin,
 
     // pixel layout of the PNG fixture is analytic (one grayscale pixel per
     // ASCII byte, 16 per row, zero padding): width/height/px_sum follow from
@@ -729,14 +755,17 @@ object ExtQueries extends QueryPack {
     // nfc_normalize is DuckDB's conformant NFC (utf8proc), the same
     // normalization java.text.Normalizer implements; strip-then-collapse
     // mirrors nfcClean's single pass (whitespace survives the control
-    // strip, so an islanded control merges its flanking spaces)
+    // strip, so an islanded control merges its flanking spaces), and NFC
+    // runs LAST exactly as in nfcClean — stripping a control can join a
+    // combining mark to a new base, so normalizing first would leave
+    // decomposed residue
     "text_normalize" ->
       s"""WITH c AS (
          |  SELECT doc_id,
-         |         trim(regexp_replace(regexp_replace(
-         |             nfc_normalize(text || ${sqlStringExpr(NormProbeSuffix)}),
+         |         nfc_normalize(trim(regexp_replace(regexp_replace(
+         |             text || ${sqlStringExpr(NormProbeSuffix)},
          |             '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'),
-         |           '[ \\t\\n\\r\\x0B\\x0C]+', ' ', 'g')) AS clean
+         |           '[ \\t\\n\\r\\x0B\\x0C]+', ' ', 'g'))) AS clean
          |  FROM documents)
          |SELECT doc_id, clean, length(clean) AS n_chars_clean FROM c""".stripMargin,
 

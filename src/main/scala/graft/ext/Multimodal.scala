@@ -147,4 +147,22 @@ object Multimodal {
         call_function("graft_fnv64", col("frame")).as("feature")
       )
   }
+
+  /** Frame-level exact dedup across documents — the multimodal analogue of
+    * `dedup_exact_hash`: identical payload windows (re-encoded thumbnails,
+    * repeated intro/outro frames, boilerplate headers) collapse to one
+    * keeper per digest group. The dedup key is [[frames]]'s (feature,
+    * frame_len) digest pair, so only 12-byte scalars cross the one
+    * shuffle — frame bytes never leave their scan. Keeper = the
+    * lexicographically first (doc_id, frame_idx), a deterministic
+    * min(struct) with map-side partial aggregation.
+    */
+  def frameDedup(binDocs: DataFrame, frameSize: Int): DataFrame =
+    frames(binDocs, frameSize)
+      .groupBy(col("feature"), col("frame_len"))
+      .agg(
+        count(lit(1)).as("dup_cnt"),
+        min(struct(col("doc_id"), col("frame_idx"))).as("keep"))
+      .select(col("feature"), col("frame_len"), col("dup_cnt"),
+        col("keep.doc_id").as("keep_doc"), col("keep.frame_idx").as("keep_idx"))
 }

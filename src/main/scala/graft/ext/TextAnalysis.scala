@@ -170,21 +170,25 @@ object TextAnalysis {
   /** Unicode NFC normalization + cleanup — the canonicalization pass a
     * curation pipeline runs before any hash-based dedup, so that the
     * composed ("é" U+00E9) and decomposed ("e"+U+0301) spellings of the
-    * same text land in the same dedup bucket. One pass over the
-    * NFC-normalized string: ASCII whitespace runs (space, \t, \n, \r, \f,
-    * \u000B) collapse to a single space, remaining C0/DEL control
-    * characters are stripped, and the result is trimmed. The policy is
+    * same text land in the same dedup bucket. One pass over the raw
+    * string: ASCII whitespace runs (space, \t, \n, \r, \f, \u000B)
+    * collapse to a single space, remaining C0/DEL control characters are
+    * stripped, the result is trimmed, and NFC runs LAST — stripping a
+    * control can join a combining mark to a new base character (e.g.
+    * "e" + BEL + U+0301), so normalizing first would leave decomposed
+    * residue and break idempotence (caught by the ExtOpsSpec property
+    * laws). NFC neither creates nor destroys ASCII controls/whitespace,
+    * so classifying before normalization is sound. The policy is
     * ASCII-whitespace-only by design (U+00A0 etc. are content, not
     * separators) so the oracle's regex classes state the same contract.
     */
   def nfcClean(s: String): String = {
-    val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-    val sb = new java.lang.StringBuilder(n.length)
+    val sb = new java.lang.StringBuilder(s.length)
     var pendingSpace = false
     var started = false
     var i = 0
-    while (i < n.length) {
-      val c = n.charAt(i)
+    while (i < s.length) {
+      val c = s.charAt(i)
       if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B') {
         pendingSpace = true
       } else if (c < ' ' || c == '\u007F') {
@@ -197,7 +201,7 @@ object TextAnalysis {
       }
       i += 1
     }
-    sb.toString
+    java.text.Normalizer.normalize(sb, java.text.Normalizer.Form.NFC)
   }
 
   /** UTF8String face of [[nfcClean]] — the codegen entry point. */

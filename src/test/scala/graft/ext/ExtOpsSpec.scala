@@ -440,6 +440,47 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("frameDedup collapses shared aligned windows to the first (doc, idx) keeper") {
+    val docs = Seq(
+      (5L, "A" * 64 + "tail5", "en", "s", 69L),  // frame0 == doc 7's frame0
+      (7L, "A" * 64 + "tail7", "en", "s", 69L),
+      (9L, "unique short", "en", "s", 12L),
+      (11L, "", "en", "s", 0L)                   // empty: contributes nothing
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.frameDedup(Multimodal.asBinary(docs), frameSize = 64).collect()
+    val byKeeper = r.map(x =>
+      (x.getLong(3), x.getInt(4)) -> (x.getLong(2), x.getInt(1))).toMap
+    // the shared 64-byte prefix frame dedups to doc 5 frame 0 with count 2
+    assert(byKeeper((5L, 0)) == (2L, 64))
+    // every other frame is its own singleton keeper
+    assert(byKeeper((5L, 1)) == (1L, 5) && byKeeper((7L, 1)) == (1L, 5))
+    assert(byKeeper((9L, 0)) == (1L, 12))
+    // doc 7's frame 0 lost the keeper race; the empty doc contributes nothing
+    assert(!byKeeper.contains((7L, 0)) && !r.exists(_.getLong(3) == 11L))
+    // total frames conserved: sum of dup_cnt == frame count
+    assert(r.map(_.getLong(2)).sum ==
+      Multimodal.frames(Multimodal.asBinary(docs), 64).count())
+  }
+
+  test("nfcClean laws: idempotent, control-free, single-spaced, trimmed") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val anyChar = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      1 -> Gen.oneOf('\u0000', '\u0007', '\u001B', '\u007F'),
+      1 -> Gen.oneOf('\u0301', '\u0308', 'é', 'Å', ' '))
+    val strGen = Gen.listOf(anyChar).map(_.mkString)
+    val p = Prop.forAll(strGen) { s =>
+      val c = TextAnalysis.nfcClean(s)
+      TextAnalysis.nfcClean(c) == c &&                      // idempotent
+      !c.exists(ch => ch < ' ' || ch == '\u007F') &&        // no controls survive
+      !c.contains("  ") && c == c.trim &&                   // collapsed + trimmed
+      c == java.text.Normalizer.normalize(c, java.text.Normalizer.Form.NFC)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("fused shingle expressions equal the composed shingle-array formulation") {
     graft.cdc.types.GraftFunctions.register(spark)
     val docs = table(spark, sfDir, "documents")
