@@ -38,6 +38,20 @@ object ExtQueries extends QueryPack {
     "dedup_span_detect" -> ((s, dir) =>
       Dedup.dupSpans(table(s, dir, "documents"), n = 8)),
 
+    // paragraph-level NEAR dedup: every 8th doc gets a planted
+    // boilerplate segment whose LAST word varies by doc_id % 3, so
+    // byte-identical spans (within a variant) AND near-identical spans
+    // (across variants, 9/10 words shared) both exercise the band join
+    "dedup_segment_near" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val planted = org.apache.spark.sql.functions.when(
+        col("doc_id") % 8 === 0,
+        concat(lit(NearBoiler + " v"), col("doc_id") % 3, lit(" "), col("text")))
+        .otherwise(col("text"))
+      Dedup.segmentNearDup(docs.select(col("doc_id"), planted.as("text")),
+        span = 10, numHashes = 32, rowsPerBand = 4)
+    }),
+
     // pairs -> clusters: the transitive closure that actually dedups a
     // corpus (A~B~C collapses to one keeper even when A~C never paired)
     "dedup_cluster_assign" -> ((s, dir) => {
@@ -294,6 +308,11 @@ object ExtQueries extends QueryPack {
     */
   private[ext] val U64 = "18446744073709551616"
 
+  /** 9-word boilerplate stem for dedup_segment_near's planted paragraph —
+    * the 10th word varies per doc, making the span a NEAR (not exact) dup.
+    */
+  private[ext] val NearBoiler = "terms of service apply to all content on this"
+
   /** Probe suffix for text_normalize: tab, decomposed e+acute, a double
     * space, a BEL control islanded in spaces, the Angstrom sign (U+212B,
     * NFC-composes to U+00C5), decomposed o+diaeresis, then VT + CRLF +
@@ -460,6 +479,44 @@ object ExtQueries extends QueryPack {
          |FROM bands x JOIN bands y
          |  ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
          |GROUP BY 1, 2""".stripMargin,
+
+    // segment near-dup: the same minhash chain as dedup_minhash_lsh, run
+    // over span-10 segments as synthetic units doc_id*2^20+idx; the
+    // synthetic order equals the lexicographic (doc, idx) order, so the
+    // doc_a < doc_b band join decodes to identical 4-tuples
+    "dedup_segment_near" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 8 = 0
+         |              THEN '$NearBoiler v' || CAST(doc_id % 3 AS VARCHAR)
+         |                   || ' ' || text
+         |              ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+         |e AS (SELECT doc_id, ws, unnest(range(0, (len(ws) + 9) // 10)) AS idx
+         |      FROM t),
+         |segsrc AS (SELECT doc_id * 1048576 + idx AS doc_id,
+         |                  list_slice(ws, idx * 10 + 1, idx * 10 + 10) AS ws
+         |           FROM e),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        range(0, greatest(len(ws) - 3, 0) + 1),
+         |        i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')))) AS shingle
+         |       FROM segsrc),
+         |h AS (SELECT doc_id, ${fnvUSql("shingle")} AS hu FROM sh),
+         |fam AS (SELECT doc_id, t.i AS i, hu, CAST(t.i AS UBIGINT) AS iu
+         |        FROM h CROSS JOIN range(32) t(i)),
+         |mins AS (SELECT doc_id, i, min(${toSignedSql("zf")}) AS m
+         |         FROM ${mixChainSql("fam", "doc_id, i")} GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS band_id, list(m ORDER BY i) AS sig
+         |          FROM mins GROUP BY doc_id, i // 4)
+         |SELECT x.doc_id // 1048576 AS doc_a,
+         |       CAST(x.doc_id % 1048576 AS INTEGER) AS idx_a,
+         |       y.doc_id // 1048576 AS doc_b,
+         |       CAST(y.doc_id % 1048576 AS INTEGER) AS idx_b,
+         |       count(*) AS n_bands
+         |FROM bands x JOIN bands y
+         |  ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // same LSH candidate pairs, then connected components as a recursive
     // CTE: labels flood along undirected edges, min per node = the

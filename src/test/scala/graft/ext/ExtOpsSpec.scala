@@ -462,6 +462,29 @@ class ExtOpsSpec extends SparkTestBase {
       Multimodal.frames(Multimodal.asBinary(docs), 64).count())
   }
 
+  test("segmentNearDup pairs near-identical paragraphs; exact segments agree on all bands") {
+    val boiler = "terms of service apply to all content on this"
+    val docs = Seq(
+      (1L, boiler + " v1 alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, boiler + " v2 one two three four five six seven eight nine ten"),
+      (3L, boiler + " v1 other trailing words here make doc three distinct too"),
+      (4L, "completely different words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.segmentNearDup(docs, span = 10, numHashes = 32, rowsPerBand = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)) -> r.getLong(4)).toMap
+    // byte-identical planted segments (docs 1/3, idx 0) agree on ALL 8 bands
+    assert(pairs((1L, 0, 3L, 0)) == 8L)
+    // near variants (9/10 words shared) pair on SOME but not all bands
+    val near = pairs.get((1L, 0, 2L, 0))
+    assert(near.isDefined && near.get >= 1L && near.get < 8L,
+      s"near-dup segment pair missing or exact: $near")
+    // the unrelated doc never pairs
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._3 == 4L))
+    // tails are all distinct -> only idx-0 segments ever pair
+    assert(pairs.keys.forall(k => k._2 == 0 && k._4 == 0))
+  }
+
   test("nfcClean laws: idempotent, control-free, single-spaced, trimmed") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val anyChar = Gen.frequency(
