@@ -71,6 +71,28 @@ case class NfcClean(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_clz64(bigint) -> int`: count of leading zero bits in the 64-bit
+  * two's-complement pattern (`Long.numberOfLeadingZeros`) — the HLL rank
+  * primitive for [[graft.ext.Curation.hllRegisters]]. One hardware
+  * instruction inside whole-stage codegen; the portable SQL alternative
+  * (`length(bin(x))`) allocates a string per row.
+  */
+case class Clz64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_clz64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.numberOfLeadingZeros(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Long.numberOfLeadingZeros($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Clz64 =
+    copy(child = newChild)
+}
+
 /** `graft_gtid_contains(a, b) -> boolean`: GTID interval-set containment
   * (is set `a` covered by set `b` — Debezium `GtidSet.isContainedWithin`
   * semantics, [[graft.cdc.offsets.BinlogOffsets.GtidSet]]). Native so the
@@ -482,6 +504,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_nfc_clean"),
       new ExpressionInfo(classOf[NfcClean].getName, "graft_nfc_clean"),
       unary("graft_nfc_clean")(NfcClean)),
+    (FunctionIdentifier("graft_clz64"),
+      new ExpressionInfo(classOf[Clz64].getName, "graft_clz64"),
+      unary("graft_clz64")(Clz64)),
     (FunctionIdentifier("graft_wkb_geojson"),
       new ExpressionInfo(classOf[WkbGeoJson].getName, "graft_wkb_geojson"),
       unary("graft_wkb_geojson")(WkbGeoJson)),

@@ -608,4 +608,316 @@ object Curation {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** HyperLogLog register table for distinct-content counting per source:
+    * bucket = top `p` bits of mix64(fnv64(text)), rho = leading-zero rank
+    * of the remaining 64−p bits (+1), register = max rho per (source,
+    * bucket). The splitmix64 finalizer matters: raw FNV-1a's high bits are
+    * measurably non-uniform on short similar strings (a 2000-doc fixture
+    * landed in 24 of 256 buckets and estimated 25), and HLL's guarantees
+    * assume uniform bits.
+    * This IS the mergeable sketch — registers from disjoint corpus shards
+    * combine by plain `max`, which is exactly what the groupBy computes, so
+    * the operator scales to 100 TB with ONE shuffle of (source, bucket,
+    * rho) scalars (map-side combined down to ≤2^p rows per source per
+    * partition) while the texts never leave their scan.
+    *
+    * Everything is integer bit arithmetic ([[graft.cdc.types.Clz64]] is one
+    * hardware instruction inside whole-stage codegen), so the DuckDB oracle
+    * replays it hash-exact — no engine-dependent float in sight.
+    */
+  def hllRegisters(docs: DataFrame, p: Int): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7,16], got $p")
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    val mask = (1L << (64 - p)) - 1
+    val h = call_function("graft_mix64",
+      call_function("graft_fnv64", col("text")), lit(0L))
+    docs.where(col("text").isNotNull)
+      .select(col("source"),
+        shiftrightunsigned(h, 64 - p).as("bucket"),
+        h.bitwiseAND(lit(mask)).as("masked"))
+      .withColumn("rho",
+        when(col("masked") === 0L, lit(65 - p))
+          .otherwise(call_function("graft_clz64", col("masked")) + lit(1 - p)))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("reg"), count(lit(1)).as("n_items"))
+  }
+
+  /** Per-source approximate-distinct sketch (Flajolet et al. 2007 HLL):
+    * folds [[hllRegisters]] into the harmonic estimate while keeping every
+    * ORACLE-COMPARABLE column in the exact domain. The register sum is
+    * carried scaled by 2^64 as DECIMAL (term = 2^(64−reg), zero registers
+    * contribute 2^64 each — all exact powers of two), exported as a digit
+    * string, and the raw estimate is ONE IEEE divide of two
+    * correctly-rounded doubles (the spliced constant α·m²·2^64 — exact in
+    * double because m and 2^64 only shift the exponent — over the sum
+    * parsed back from its digit string, a correctly-rounded conversion in
+    * both engines). The small-range linear-counting branch needs ln — the
+    * one op with no cross-engine bit guarantee (see [[dsirSelect]]) — so
+    * `estimate` is the API's headline column while the driver oracle
+    * compares everything else plus the deterministic `lc_applies` branch
+    * bit.
+    */
+  def distinctSketch(docs: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // the m >= 128 constant
+    val cNum = alpha * m * m * java.lang.Math.scalb(1.0, 64)
+    val two64 = expr("CAST('18446744073709551616' AS DECIMAL(20,0))")
+    hllRegisters(docs, p)
+      .groupBy(col("source")).agg(
+        sum(col("n_items")).as("n_docs"),
+        count(lit(1)).as("present_buckets"),
+        // 2^(64-reg) built as (1 << 63-reg) * 2 entirely in the exact
+        // integer/decimal domain: reg >= 1 keeps the shift in-range, and a
+        // double->decimal cast here would round through Double.toString
+        // (Spark's Cast goes via BigDecimal.valueOf) and corrupt low digits
+        sum(expr("CAST(shiftleft(1L, 63 - reg) AS DECIMAL(19,0)) * 2"))
+          .as("sum_present"))
+      .withColumn("zero_buckets", lit(m) - col("present_buckets"))
+      .withColumn("sum_scaled",
+        (col("sum_present") + col("zero_buckets").cast("decimal(6,0)") * two64)
+          .cast("decimal(38,0)").cast("string"))
+      .withColumn("est_raw", lit(cNum) / col("sum_scaled").cast("double"))
+      .withColumn("lc_applies",
+        col("zero_buckets") > 0 && col("est_raw") <= lit(2.5 * m))
+      .withColumn("estimate", when(col("lc_applies"),
+        lit(m.toDouble) * log(lit(m.toDouble) / col("zero_buckets")))
+        .otherwise(col("est_raw")))
+  }
+
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining",
+    * ICLR 2023): visit languages by ascending epoch-capped size and give
+    * each `min(cap, remaining / languages_left)` — small languages keep
+    * their full `epochCap` epochs, the surplus flows to larger ones, and no
+    * language is over-sampled past its cap. All-integer (floor division),
+    * so the fold replays exactly as the oracle's recursive CTE.
+    */
+  def unimaxBudgets(naturalTokens: Seq[(String, Long)], totalBudget: Long,
+      epochCap: Long): Seq[(String, Long)] = {
+    require(totalBudget >= 0 && epochCap >= 1)
+    val caps = naturalTokens.map { case (l, t) => (l, t * epochCap) }
+      .sortBy { case (l, c) => (c, l) }
+    var remaining = totalBudget
+    val n = caps.size
+    caps.zipWithIndex.map { case ((l, cap), i) =>
+      val alloc = math.min(cap, remaining / (n - i))
+      remaining -= alloc
+      (l, alloc)
+    }
+  }
+
+  /** Language-balanced training mix: [[unimaxBudgets]] decides each
+    * language's token budget, then the scale-proven prefix fill of
+    * [[tokenBudgetMix]] keeps each language's best documents up to it.
+    *
+    * The per-language totals ARE collected to the driver — bounded by the
+    * language inventory (dozens), the same justified driver-probe shape as
+    * the chunk planner, never document-sized. The corpus itself flows only
+    * through tokenBudgetMix's single global prefix-sum shuffle.
+    */
+  def unimaxMix(docs: DataFrame, totalBudget: Long, epochCap: Long,
+      score: Column): DataFrame =
+    unimaxFill(docs, _ => totalBudget, epochCap, score)
+
+  /** [[unimaxMix]] with the budget stated as a FRACTION of the corpus's
+    * total tokens (`num/den`, floor) — the form a fixture can pin across
+    * scale factors, since language proportions are stable while absolute
+    * token counts are not.
+    */
+  def unimaxMixFraction(docs: DataFrame, budgetNum: Long, budgetDen: Long,
+      epochCap: Long, score: Column): DataFrame =
+    unimaxFill(docs, tot => tot.map(_._2).sum * budgetNum / budgetDen,
+      epochCap, score)
+
+  private def unimaxFill(docs: DataFrame,
+      budgetOf: Seq[(String, Long)] => Long, epochCap: Long,
+      score: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = docs.where(col("text").isNotNull)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val budgets = unimaxBudgets(totals, budgetOf(totals), epochCap)
+      .toDF("source", "budget_tokens")
+    tokenBudgetMix(
+      docs.drop("source").withColumn("source", col("lang")), budgets, score)
+      .withColumnRenamed("source", "lang")
+      .join(broadcast(budgets.withColumnRenamed("source", "lang")), Seq("lang"))
+  }
+
+  /** Train a linear quality probe IN the engine: hashed-bigram features
+    * (the [[dsirSelect]] featurization), label 1.0 for the target slice /
+    * 0.0 for the rest, squared-loss full-batch gradient descent —
+    * `w -= lr * Σ_d (pred_d − y_d)·x_d / N` per step. Squared loss, not
+    * logistic, deliberately: every op is +‑×‑÷ (no exp/log), so the whole
+    * training run replays bit-exact in the DuckDB oracle. This is the
+    * fastText-style quality-filter fit (train on "looks like the target
+    * corpus") that pipelines usually ship out to a separate job.
+    *
+    * Shape at 100 TB: featurization is ONE corpus pass pinned by
+    * localCheckpoint; each step is two scalar-row aggregates (per-doc
+    * prediction, per-bucket gradient); the weight vector (≤ dim rows) is
+    * the MODEL — it lives on the driver and broadcasts back per step,
+    * exactly the [[Bpe]] merge-table / chunk-planner driver-probe shape,
+    * never data-sized.
+    *
+    * This parallel form sums gradient terms in shuffle order (IEEE
+    * non-associativity ⇒ run-dependent low bits, like [[Similarity]]'s
+    * `kmeansRefine`); [[linearProbeFitExact]] is the order-deterministic
+    * twin the oracle verifies, and the spec pins the two together.
+    */
+  def linearProbeFit(docs: DataFrame, targetSource: String, dim: Int,
+      iters: Int, lr: Double): DataFrame =
+    linearProbeCore(docs, targetSource, dim, iters, lr, exact = false)
+
+  /** Order-deterministic [[linearProbeFit]]: per-doc prediction folds
+    * terms by bucket, the per-bucket gradient folds by doc_id — every
+    * double op in a defined sequence, so DuckDB replays the fit
+    * hash-exact (the `kmeansRefineExact` pattern).
+    */
+  def linearProbeFitExact(docs: DataFrame, targetSource: String, dim: Int,
+      iters: Int, lr: Double): DataFrame =
+    linearProbeCore(docs, targetSource, dim, iters, lr, exact = true)
+
+  private def linearProbeCore(docs: DataFrame, targetSource: String,
+      dim: Int, iters: Int, lr: Double, exact: Boolean): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    require(iters >= 1 && lr > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.cdc.types.GraftFunctions.register(spark)
+    val feats = docs.select(col("doc_id"),
+        when(col("source") === lit(targetSource), lit(1.0)).otherwise(lit(0.0)).as("y"),
+        split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("y"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("g"))
+      .select(col("doc_id"), col("y"),
+        pmod(call_function("graft_fnv64", col("g")), lit(dim.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nDocs = feats.select(col("doc_id")).distinct().count()
+    def orderedFold(key: Column, term: Column) =
+      aggregate(sort_array(collect_list(struct(key, term))), lit(0.0),
+        (acc, x) => acc + x.getField("term"))
+    val w = Array.fill(dim)(0.0)
+    for (_ <- 0 until iters) {
+      val wDf = w.toIndexedSeq.zipWithIndex
+        .map { case (wv, b) => (b.toLong, wv) }.toDF("bucket", "wv")
+      val errs = feats.join(broadcast(wDf), Seq("bucket"))
+        .select(col("doc_id"), col("y"), col("bucket"),
+          (col("wv") * col("c")).as("term"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg((if (exact) orderedFold(col("bucket"), col("term"))
+              else sum(col("term"))).as("pred"))
+        .select(col("doc_id"), (col("pred") - col("y")).as("err"))
+      val grads = feats.join(errs, Seq("doc_id"))
+        .select(col("bucket"), col("doc_id"), (col("err") * col("c")).as("term"))
+        .groupBy(col("bucket"))
+        .agg((if (exact) orderedFold(col("doc_id"), col("term"))
+              else sum(col("term"))).as("g"))
+        .collect()
+      grads.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) = w(b) - lr * r.getDouble(1) / nDocs
+      }
+    }
+    w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }
+      .toDF("bucket", "weight")
+  }
+
+  /** C4-style blocklist gate (Raffel et al. 2020 dropped any page whose
+    * text hit the "bad words" list): per-document hit count against a
+    * case-insensitive word blocklist, plus the first offending token for
+    * auditability. Entirely in-row — the blocklist rides into the plan as
+    * a literal set (realistic lists are hundreds of words; a corpus-sized
+    * list would instead broadcast-join exploded tokens) so the pass is one
+    * narrow projection at any corpus size, no shuffle.
+    */
+  def blocklistGate(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist gates nothing")
+    val bl = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    docs.where(col("text").isNotNull)
+      .withColumn("__bl", bl)
+      .withColumn("__hits",
+        expr("filter(split(text, ' '), w -> array_contains(__bl, lower(w)))"))
+      .select(col("doc_id"), col("source"),
+        size(col("__hits")).as("n_hits"),
+        // guarded: ANSI mode makes a bare element_at on an empty array throw
+        when(size(col("__hits")) > 0, lower(element_at(col("__hits"), 1)))
+          .as("first_hit"),
+        (size(col("__hits")) === 0).as("kept"))
+  }
+
+  /** Padding-efficient inference batching: documents bucket by the
+    * power-of-two length class (smallest 2^b >= n_toks — one `clz64`
+    * instruction), and each bucket tiles into batches of
+    * `min(maxBatchDocs, maxBatchTokens / 2^b)` documents (floor, min 1 so
+    * over-long documents degrade to singleton batches instead of
+    * vanishing), so every batch pads to its bucket size and stays inside
+    * the token budget. The classic dynamic-batching shape serving and
+    * eval pipelines run.
+    *
+    * The per-bucket rank is NOT a per-bucket window (one dominant length
+    * class would serialize into a single partition): ONE global
+    * range-partitioned row number ordered by (bucket, n_toks, doc_id) —
+    * [[graft.cdc.split.DistributedRank.withGlobalRowNumber]] — then each
+    * bucket's rank = global row number − the bucket's broadcast base, the
+    * same decomposition as [[tokenBudgetMix]].
+    */
+  def lengthBatches(docs: DataFrame, maxBatchTokens: Long,
+      maxBatchDocs: Long): DataFrame = {
+    require(maxBatchTokens >= 1 && maxBatchDocs >= 1)
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    val toks = docs.where(col("text").isNotNull).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("bucket",
+        when(col("n_toks") <= 1L, lit(0))
+          .otherwise(lit(64) - call_function("graft_clz64", col("n_toks") - 1)))
+    val ranked = graft.cdc.split.DistributedRank.withGlobalRowNumber(
+      toks, "g_rn", Seq(col("bucket").asc, col("n_toks").asc, col("doc_id").asc))
+    val bases = ranked.groupBy(col("bucket")).agg(min(col("g_rn")).as("base"))
+    ranked.join(broadcast(bases), Seq("bucket"))
+      .withColumn("padded_len", expr("shiftleft(1L, bucket)"))
+      .withColumn("batch_docs",
+        greatest(lit(1L), least(lit(maxBatchDocs),
+          expr(s"${maxBatchTokens}L div padded_len"))))
+      // bucket_rank is 0-based so batch_idx is a plain floor division
+      .select(col("doc_id"), col("n_toks"), col("bucket"), col("padded_len"),
+        (col("g_rn") - col("base")).as("bucket_rank"),
+        expr("(g_rn - base) div batch_docs").as("batch_idx"),
+        col("batch_docs"))
+  }
+
+  /** RAG-style sliding-window chunking: width-word chunks every `stride`
+    * words, the final window clamped to end exactly at the document's last
+    * word (so coverage is total, no sub-width tail duplicating the
+    * previous chunk's suffix). Emits per-chunk token counts and fnv64
+    * fingerprints, NOT the chunk text — at 100 TB the chunk table is the
+    * index you join back to the corpus by (doc_id, chunk_idx), not a copy
+    * of it. The explode is narrow and shuffle-free; fingerprints compute
+    * inside whole-stage codegen.
+    */
+  def ragChunks(docs: DataFrame, width: Int = 64, stride: Int = 48): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    docs.where(col("text").isNotNull)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN size(ws) <= $width THEN 1 " +
+          s"ELSE 1 + (size(ws) - $width + $stride - 1) div $stride END"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, n_chunks - 1),
+           |  i -> concat_ws(' ', slice(ws,
+           |         greatest(0, least(i * $stride, size(ws) - $width)) + 1,
+           |         $width)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        size(split(col("col"), " ")).as("n_toks"),
+        call_function("graft_fnv64", col("col")).as("fingerprint"))
+  }
 }

@@ -118,6 +118,58 @@ object CurationQueries extends QueryPack {
     "corpus_shuffle" -> ((s, dir) =>
       Curation.globalShuffle(table(s, dir, "documents"), seed = 7L, nShards = 16)),
 
+    // HLL distinct-content sketch, both estimate branches in one result:
+    // per-source groups are sparse (linear-counting branch) while the
+    // whole-corpus group at p=7 exceeds 2.5m (raw harmonic branch at the
+    // driver's sf0.01+). `estimate` itself stays API-side (ln has no
+    // cross-engine bit guarantee); everything oracled is exact-domain
+    "corpus_distinct_sketch" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cols = Seq("source", "n_docs", "present_buckets", "zero_buckets",
+        "sum_scaled", "est_raw", "lc_applies").map(col)
+      Curation.distinctSketch(docs, p = 8).select(cols: _*)
+        .unionAll(Curation.distinctSketch(
+          docs.withColumn("source", lit("__all__")), p = 7).select(cols: _*))
+    }),
+
+    // UniMax language-balanced mix: epoch cap 1, budget = 80% of the
+    // corpus tokens (derived IN the query so the fixture scales with sf) —
+    // small languages hit their natural-size cap, the surplus flows up,
+    // and the largest language absorbs the remainder
+    "corpus_unimax_mix" -> ((s, dir) =>
+      Curation.unimaxMixFraction(table(s, dir, "documents"),
+        budgetNum = 4L, budgetDen = 5L, epochCap = 1L,
+        score = length(col("text")))),
+
+    // sliding-window RAG chunk index: 12-word windows every 8 words, the
+    // last window clamped to the document end; fingerprints, not text
+    "corpus_rag_chunks" -> ((s, dir) =>
+      Curation.ragChunks(table(s, dir, "documents"), width = 12, stride = 8)),
+
+    // C4 bad-words gate: every 11th doc gets a mixed-case planted hit so
+    // both the kept and dropped branches (and case folding) are exercised
+    "corpus_blocklist_filter" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val aug = when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" BadWord end"))).otherwise(col("text"))
+      Curation.blocklistGate(
+        docs.select(col("doc_id"), col("source"), aug.as("text")),
+        Seq("badword", "verboten"))
+    }),
+
+    // padding-efficient batching: 256-token batches of at most 8 docs —
+    // mid-size buckets cap by tokens, small buckets by doc count
+    "corpus_length_batches" -> ((s, dir) =>
+      Curation.lengthBatches(table(s, dir, "documents"),
+        maxBatchTokens = 256L, maxBatchDocs = 8L)),
+
+    // in-engine quality-probe training: 2 squared-loss GD steps on
+    // hashed-bigram features, target slice = src0 (the order-exact fit;
+    // the shuffle-sum production fit is pinned to it in CurationSpec)
+    "corpus_train_quality_probe" -> ((s, dir) =>
+      Curation.linearProbeFitExact(table(s, dir, "documents"),
+        targetSource = "src0", dim = 256, iters = 2, lr = 0.5)),
+
     // the composed corpus -> training-batches flow in ONE declarative
     // plan: quality gate + exact-dedup keeper, then the survivors packed
     // into 2048-token sequences — all-integer, hash-oracled end to end
@@ -130,6 +182,48 @@ object CurationQueries extends QueryPack {
   /** 10 words exactly — one aligned `span = 10` segment when prefixed. */
   private[ext] val Boilerplate =
     "terms of service apply to all content on this site"
+
+  /** One branch of the corpus_distinct_sketch oracle: the HLL register
+    * derivation and exact-domain estimate columns for grouping expression
+    * `srcExpr` at precision `p`. The spliced constant is α·m²·2^64 — exact
+    * in double (m and 2^64 only shift α's exponent) and round-tripped
+    * through Scala's shortest-repr `toString`, which DuckDB parses back to
+    * the identical bits.
+    */
+  private def hllSketchSql(srcExpr: String, p: Int): String = {
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val cNum = alpha * m * m * java.lang.Math.scalb(1.0, 64)
+    val modLit = (1L << (64 - p)).toString
+    s"""SELECT source, n_docs, present_buckets, zero_buckets,
+       |       CAST(total AS VARCHAR) AS sum_scaled,
+       |       $cNum / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS est_raw,
+       |       (zero_buckets > 0 AND
+       |        $cNum / CAST(CAST(total AS VARCHAR) AS DOUBLE) <= ${2.5 * m})
+       |         AS lc_applies
+       |FROM (
+       |  SELECT source, CAST(sum(n_items) AS BIGINT) AS n_docs,
+       |         count(*) AS present_buckets,
+       |         $m - count(*) AS zero_buckets,
+       |         CAST(sum(CAST(2 ** (64 - reg) AS DECIMAL(20,0)))
+       |              + CAST($m - count(*) AS DECIMAL(6,0))
+       |                * '18446744073709551616'::DECIMAL(20,0)
+       |              AS DECIMAL(38,0)) AS total
+       |  FROM (
+       |    SELECT source, hu >> ${64 - p} AS bucket,
+       |           max(CASE WHEN hu % $modLit::UBIGINT = 0::UBIGINT
+       |                    THEN ${65 - p}
+       |                    ELSE ${65 - p} - length(bin(hu % $modLit::UBIGINT))
+       |               END) AS reg,
+       |           count(*) AS n_items
+       |    FROM (SELECT source, zf AS hu FROM ${ExtQueries.mixChainSql(
+                    s"""(SELECT $srcExpr AS source,
+                       |  ${ExtQueries.fnvUSql("text")} AS hu, 0::UBIGINT AS iu
+                       |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
+                    "source")})
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1)""".stripMargin
+  }
 
   def oracles: Map[String, String] = {
     // the trigram scorer + profile-order argmax, exactly as the
@@ -372,6 +466,166 @@ object CurationQueries extends QueryPack {
           |SELECT c.doc_id, c.source, c.n_toks, c.cum_toks
           |FROM c JOIN b USING (source)
           |WHERE cum_toks <= budget_tokens""".stripMargin,
+
+      // HLL replay: same fnv64 -> top-p bucket / leading-zero rank, the
+      // register sum carried scaled by 2^64 in DECIMAL (exact powers of
+      // two), the raw estimate ONE divide of two correctly-rounded doubles;
+      // the ln-based corrected estimate is deliberately NOT in the oracled
+      // columns (no cross-engine bit guarantee for ln)
+      "corpus_distinct_sketch" ->
+        s"""${hllSketchSql("source", 8)}
+           |UNION ALL
+           |${hllSketchSql("'__all__'", 7)}""".stripMargin,
+
+      // UniMax replay: the ascending-cap fair-share fold as a recursive
+      // CTE (all-integer, floor division == Scala's), then the same
+      // per-language window fill as corpus_token_budget_mix's oracle
+      "corpus_unimax_mix" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT doc_id, lang, length(text) AS score,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |tot AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS nat
+          |        FROM t GROUP BY 1),
+          |caps AS (SELECT lang, nat * 1 AS cap,
+          |                CAST(row_number() OVER (ORDER BY nat * 1, lang)
+          |                     AS BIGINT) AS rn,
+          |                CAST(count(*) OVER () AS BIGINT) AS n
+          |         FROM tot),
+          |rec AS (
+          |  SELECT CAST(0 AS BIGINT) AS rn,
+          |         (SELECT CAST(sum(n_toks) AS BIGINT) * 4 // 5 FROM t)
+          |           AS remaining,
+          |         CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS alloc
+          |  UNION ALL
+          |  SELECT c.rn,
+          |         r.remaining - least(c.cap, r.remaining // (c.n - c.rn + 1)),
+          |         c.lang,
+          |         least(c.cap, r.remaining // (c.n - c.rn + 1))
+          |  FROM rec r JOIN caps c ON c.rn = r.rn + 1),
+          |b AS (SELECT lang, alloc AS budget_tokens FROM rec WHERE rn > 0),
+          |f AS (SELECT doc_id, lang, n_toks,
+          |             CAST(sum(n_toks) OVER (PARTITION BY lang
+          |                  ORDER BY score DESC, doc_id
+          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |               AS BIGINT) AS cum_toks
+          |      FROM t)
+          |SELECT f.doc_id, f.lang, f.n_toks, f.cum_toks, b.budget_tokens
+          |FROM f JOIN b USING (lang) WHERE cum_toks <= budget_tokens""".stripMargin,
+
+      // probe-training replay: both GD steps unrolled as CTE stages. Step
+      // 1 starts from w=0 so pred==0.0 exactly and err==0.0-y; every
+      // double op is +-*/ (squared loss, no exp/log), predictions fold by
+      // bucket and gradients by doc_id — the same defined IEEE sequences
+      // the exact Spark fit runs, so weights hash-match bit-for-bit
+      "corpus_train_quality_probe" ->
+        s"""WITH toks AS (SELECT doc_id,
+           |                     CASE WHEN source = 'src0' THEN 1.0::DOUBLE
+           |                          ELSE 0.0::DOUBLE END AS y,
+           |                     string_split(text, ' ') AS w
+           |              FROM documents),
+           |pos AS (SELECT doc_id, y, w, unnest(range(1, len(w))) AS pos
+           |        FROM toks WHERE len(w) >= 2),
+           |gr AS (SELECT doc_id, y, w[pos] || ' ' || w[pos + 1] AS g FROM pos),
+           |b AS (SELECT doc_id, y,
+           |             CAST(${ExtQueries.fnvUSql("g")} % 256 AS BIGINT) AS bucket
+           |      FROM gr),
+           |feat AS (SELECT doc_id, y, bucket, count(*) AS c FROM b GROUP BY 1, 2, 3),
+           |n AS (SELECT count(DISTINCT doc_id) AS n FROM feat),
+           |e1 AS (SELECT doc_id, 0.0::DOUBLE - y AS err
+           |       FROM (SELECT DISTINCT doc_id, y FROM feat)),
+           |g1 AS (SELECT f.bucket,
+           |              list_reduce(list_prepend(0.0::DOUBLE,
+           |                            list(e1.err * f.c ORDER BY f.doc_id)),
+           |                          (acc, z) -> acc + z) AS g
+           |       FROM feat f JOIN e1 USING (doc_id) GROUP BY f.bucket),
+           |w1 AS (SELECT r.i AS bucket,
+           |              coalesce(0.0::DOUBLE - 0.5::DOUBLE * g1.g / n.n,
+           |                       0.0::DOUBLE) AS wv
+           |       FROM range(256) r(i) LEFT JOIN g1 ON g1.bucket = r.i
+           |       CROSS JOIN n),
+           |p2 AS (SELECT f.doc_id, f.y,
+           |              list_reduce(list_prepend(0.0::DOUBLE,
+           |                            list(w1.wv * f.c ORDER BY f.bucket)),
+           |                          (acc, z) -> acc + z) AS pred
+           |       FROM feat f JOIN w1 USING (bucket) GROUP BY f.doc_id, f.y),
+           |e2 AS (SELECT doc_id, pred - y AS err FROM p2),
+           |g2 AS (SELECT f.bucket,
+           |              list_reduce(list_prepend(0.0::DOUBLE,
+           |                            list(e2.err * f.c ORDER BY f.doc_id)),
+           |                          (acc, z) -> acc + z) AS g
+           |       FROM feat f JOIN e2 USING (doc_id) GROUP BY f.bucket)
+           |SELECT r.i AS bucket,
+           |       w1.wv - coalesce(0.5::DOUBLE * g2.g / n.n, 0.0::DOUBLE) AS weight
+           |FROM range(256) r(i)
+           |JOIN w1 ON w1.bucket = r.i
+           |LEFT JOIN g2 ON g2.bucket = r.i
+           |CROSS JOIN n""".stripMargin,
+
+      // blocklist replay: same planted fixture, same lower() fold; hits[1]
+      // on an empty list is NULL in DuckDB, matching the guarded first_hit
+      "corpus_blocklist_filter" ->
+        """WITH a AS (SELECT doc_id, source,
+          |                  CASE WHEN doc_id % 11 = 0
+          |                       THEN text || ' BadWord end' ELSE text END AS text
+          |           FROM documents),
+          |h AS (SELECT doc_id, source,
+          |             list_filter(string_split(text, ' '),
+          |                         w -> list_contains(['badword', 'verboten'],
+          |                                            lower(w))) AS hits
+          |      FROM a)
+          |SELECT doc_id, source, CAST(len(hits) AS INTEGER) AS n_hits,
+          |       lower(hits[1]) AS first_hit, len(hits) = 0 AS kept
+          |FROM h""".stripMargin,
+
+      // length-batch replay: DuckDB states the rank as a plain per-bucket
+      // window — hash equality proves the global-row-number + broadcast
+      // base decomposition exact (the corpus_token_budget_mix pattern);
+      // bucket = bit_length(n-1) == 64 - clz64(n-1)
+      "corpus_length_batches" ->
+        """WITH t AS (SELECT doc_id,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          |           FROM documents WHERE text IS NOT NULL),
+          |b AS (SELECT doc_id, n_toks,
+          |             CASE WHEN n_toks <= 1 THEN 0
+          |                  ELSE CAST(length(bin((n_toks - 1)::UBIGINT)) AS INTEGER)
+          |             END AS bucket
+          |      FROM t),
+          |r AS (SELECT doc_id, n_toks, bucket,
+          |             row_number() OVER (PARTITION BY bucket
+          |                                ORDER BY n_toks, doc_id) - 1 AS bucket_rank
+          |      FROM b),
+          |c AS (SELECT *, (1::BIGINT << bucket) AS padded_len,
+          |             greatest(1, least(8, 256 // (1::BIGINT << bucket)))
+          |               AS batch_docs
+          |      FROM r)
+          |SELECT doc_id, n_toks, bucket, padded_len, bucket_rank,
+          |       bucket_rank // batch_docs AS batch_idx, batch_docs
+          |FROM c""".stripMargin,
+
+      // sliding-window chunk replay: DuckDB list_slice takes an END index
+      // where Spark slice takes a LENGTH — start+12 here IS Spark's
+      // (start+1, 12); the clamp keeps the last window inside the doc
+      "corpus_rag_chunks" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |           FROM documents WHERE text IS NOT NULL),
+           |n AS (SELECT doc_id, ws, len(ws) AS l,
+           |             CASE WHEN len(ws) <= 12 THEN 1
+           |                  ELSE 1 + (len(ws) - 12 + 7) // 8 END AS nc
+           |      FROM t),
+           |e AS (SELECT doc_id, ws, l, unnest(range(0, nc)) AS idx FROM n),
+           |c AS (SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+           |             array_to_string(list_slice(ws,
+           |               greatest(0, least(idx * 8, l - 12)) + 1,
+           |               greatest(0, least(idx * 8, l - 12)) + 12), ' ') AS chunk,
+           |             CAST(least(12, l) AS INTEGER) AS n_toks
+           |      FROM e),
+           |h AS (SELECT doc_id, chunk_idx, n_toks,
+           |             ${ExtQueries.fnvUSql("chunk")} AS hu
+           |      FROM c)
+           |SELECT doc_id, chunk_idx, n_toks,
+           |       ${ExtQueries.toSignedSql("hu")} AS fingerprint
+           |FROM h""".stripMargin,
 
       // digest-keyed split replay: DuckDB's sha256 emits the same
       // lowercase hex as Spark's sha2(_, 256); 128 is a power of two, so

@@ -82,6 +82,12 @@ object ExtQueries extends QueryPack {
       Similarity.ivfTopK(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
         nQueries = 10, k = 5)),
 
+    // recall@5 of that IVF configuration vs the exhaustive ground truth,
+    // computed in-engine (the index-tuning loop's objective)
+    "similarity_recall_eval" -> ((s, dir) =>
+      Similarity.recallEval(table(s, dir, "embeddings"), nCells = 8,
+        nProbe = 3, nQueries = 10, k = 5)),
+
     // Lloyd-refined centroids through the same probe/re-rank path. The fit
     // is the ORDER-DETERMINISTIC kmeansRefineExact (vec_id-ordered folds),
     // so the whole pipeline — fit included — carries a bit-exact DuckDB
@@ -247,6 +253,42 @@ object ExtQueries extends QueryPack {
       (4L, 1, "nosuchterm")
     ).toDF("qid", "pos", "term")
   }
+
+  /** The IVF search replay — seed pick via mix64 rank, cell assignment,
+    * probe gating, candidate scoring — as a reusable CTE chain ending at
+    * `r` (qid, nid, cell, sim, rank). Shared by the top-k oracle and the
+    * recall-eval oracle. Expects `e` (normedEmbSql) in scope.
+    */
+  private lazy val ivfChainSql =
+    s"""mx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,
+       |          ${Similarity.IvfSeedSalt}::UBIGINT AS iu FROM e),
+       |mxs AS (SELECT vec_id, ${toSignedSql("zf")} AS mix
+       |        FROM ${mixChainSql("mx0", "vec_id")}),
+       |seeds AS (SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm
+       |          FROM mxs JOIN e ON mxs.vec_id = e.vec_id
+       |          ORDER BY mxs.mix, e.vec_id LIMIT 8),
+       |cs AS (SELECT e.vec_id, e.embedding, e.nrm, s.cell,
+       |         ${dotSql("e.embedding", "s.cv")} / (e.nrm * s.cnrm) AS csim
+       |       FROM e CROSS JOIN seeds s),
+       |assign AS (SELECT vec_id, cell FROM (
+       |             SELECT vec_id, cell,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY csim DESC, cell) AS rn
+       |             FROM cs) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnorm, cell FROM (
+       |             SELECT vec_id, embedding, nrm, cell,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY csim DESC, cell) AS rn
+       |             FROM cs WHERE vec_id < 10) WHERE rn <= 3),
+       |cand AS (SELECT p.qid, n.vec_id AS nid, p.cell,
+       |           ${dotSql("p.qv", "n.embedding")} / (p.qnorm * n.nrm) AS sim
+       |         FROM probes p
+       |         JOIN assign a ON p.cell = a.cell
+       |         JOIN e n ON a.vec_id = n.vec_id
+       |         WHERE p.qid <> n.vec_id),
+       |r AS (SELECT qid, nid, cell, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |      FROM cand)""".stripMargin
 
   private val normedEmbSql =
     """WITH e AS (
@@ -653,36 +695,31 @@ object ExtQueries extends QueryPack {
 
     "similarity_topk_ivf" ->
       s"""$normedEmbSql,
-         |mx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,
-         |          ${Similarity.IvfSeedSalt}::UBIGINT AS iu FROM e),
-         |mxs AS (SELECT vec_id, ${toSignedSql("zf")} AS mix
-         |        FROM ${mixChainSql("mx0", "vec_id")}),
-         |seeds AS (SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm
-         |          FROM mxs JOIN e ON mxs.vec_id = e.vec_id
-         |          ORDER BY mxs.mix, e.vec_id LIMIT 8),
-         |cs AS (SELECT e.vec_id, e.embedding, e.nrm, s.cell,
-         |         ${dotSql("e.embedding", "s.cv")} / (e.nrm * s.cnrm) AS csim
-         |       FROM e CROSS JOIN seeds s),
-         |assign AS (SELECT vec_id, cell FROM (
-         |             SELECT vec_id, cell,
-         |               row_number() OVER (PARTITION BY vec_id
-         |                                  ORDER BY csim DESC, cell) AS rn
-         |             FROM cs) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnorm, cell FROM (
-         |             SELECT vec_id, embedding, nrm, cell,
-         |               row_number() OVER (PARTITION BY vec_id
-         |                                  ORDER BY csim DESC, cell) AS rn
-         |             FROM cs WHERE vec_id < 10) WHERE rn <= 3),
-         |cand AS (SELECT p.qid, n.vec_id AS nid, p.cell,
-         |           ${dotSql("p.qv", "n.embedding")} / (p.qnorm * n.nrm) AS sim
-         |         FROM probes p
-         |         JOIN assign a ON p.cell = a.cell
-         |         JOIN e n ON a.vec_id = n.vec_id
-         |         WHERE p.qid <> n.vec_id),
-         |r AS (SELECT qid, nid, cell, sim,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-         |      FROM cand)
+         |$ivfChainSql
          |SELECT qid, nid, cell, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    // recall@5 of the IVF search against the exhaustive ground truth:
+    // both chains above composed, intersected per query
+    "similarity_recall_eval" ->
+      s"""$normedEmbSql,
+         |$ivfChainSql,
+         |ivf AS (SELECT qid, nid FROM r WHERE rank <= 5),
+         |bfp AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS sim
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+         |bfr AS (SELECT qid, nid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+         |            AS rank
+         |        FROM bfp),
+         |bf AS (SELECT qid, nid FROM bfr WHERE rank <= 5),
+         |hits AS (SELECT bf.qid, count(*) AS n_hits
+         |         FROM bf JOIN ivf ON bf.qid = ivf.qid AND bf.nid = ivf.nid
+         |         GROUP BY 1),
+         |qs AS (SELECT DISTINCT qid FROM bf)
+         |SELECT qs.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       5 AS k, coalesce(h.n_hits, 0) / 5.0 AS recall
+         |FROM qs LEFT JOIN hits h ON qs.qid = h.qid""".stripMargin,
 
     // same seed/assignment replication as dedup_semantic (8 cells), with
     // the pair join on BOTH the given label and the assigned cell

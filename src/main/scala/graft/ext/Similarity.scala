@@ -657,4 +657,26 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("bucket"), col("rank"), col("sim"))
   }
+
+  /** In-engine ANN quality evaluation: recall@k of the IVF index against
+    * the exhaustive ground truth, per query — the metric an index-tuning
+    * loop (nCells/nProbe sweeps) actually optimizes, computed without
+    * leaving the engine. Composes the two existing scale-shaped pipelines;
+    * the intersection join and per-query counts carry only (qid, nid)
+    * scalars, so the eval costs no more than the searches themselves.
+    * `nProbe == nCells` degenerates to exhaustive search and must yield
+    * recall 1.0 exactly (asserted in ExtOpsSpec).
+    */
+  def recallEval(emb: DataFrame, nCells: Int, nProbe: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    val bf = bruteForceTopK(emb, nQueries, k).select("qid", "nid")
+    val ap = ivfTopK(emb, nCells, nProbe, nQueries, k).select("qid", "nid")
+    val hits = bf.join(ap, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    bf.select("qid").distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(k).as("k"),
+        (coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
 }

@@ -376,4 +376,178 @@ class CurationSpec extends SparkTestBase {
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(r.toSeq == Seq((0L, 4L, 4L, 0L), (1L, 3L, 2L, 1L), (2L, 2L, 1L, 1L)))
   }
+
+  test("hllRegisters merge law: max-merge of shard sketches == whole-corpus sketch") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 400).map(i => (i.toLong, s"doc body number $i", "s0"))
+      .toDF("doc_id", "text", "source")
+    val whole = Curation.hllRegisters(docs, p = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val half = (n: Int) => Curation
+      .hllRegisters(docs.where(col("doc_id") % 2 === n), p = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val (a, b) = (half(0), half(1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+    assert(merged == whole)
+  }
+
+  test("distinctSketch: accuracy within HLL error bars, branches, estimate consistency") {
+    val s = spark
+    import s.implicits._
+    // 2000 distinct texts duplicated 3x each -> distinct count is 2000
+    val docs = (0 until 6000)
+      .map(i => (i.toLong, s"unique content line ${i % 2000}", "s0"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.distinctSketch(docs, p = 8).collect().head
+    val est = r.getAs[Double]("estimate")
+    assert(r.getAs[Long]("n_docs") == 6000L)
+    // sigma ~ 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.26, s"estimate $est vs 2000")
+    // 2000 >> 2.5*256: raw branch, and then estimate == est_raw exactly
+    assert(!r.getAs[Boolean]("lc_applies"))
+    assert(est == r.getAs[Double]("est_raw"))
+    // sparse corpus -> linear-counting branch, est below raw
+    val sparse = (0 until 40).map(i => (i.toLong, s"rare $i", "s0"))
+      .toDF("doc_id", "text", "source")
+    val r2 = Curation.distinctSketch(sparse, p = 8).collect().head
+    assert(r2.getAs[Boolean]("lc_applies"))
+    val est2 = r2.getAs[Double]("estimate")
+    assert(math.abs(est2 - 40.0) / 40.0 < 0.25, s"lc estimate $est2 vs 40")
+    // register sum is exact: replay it from the registers themselves
+    val regs = Curation.hllRegisters(sparse, p = 8)
+      .collect().map(_.getInt(2))
+    val exact = regs.map(x => BigInt(2).pow(64 - x)).sum +
+      BigInt(256 - regs.length) * BigInt(2).pow(64)
+    assert(BigInt(r2.getAs[String]("sum_scaled")) == exact)
+    intercept[IllegalArgumentException](Curation.distinctSketch(docs, p = 3))
+  }
+
+  test("unimaxBudgets: caps bind ascending, surplus flows up, degenerate cases") {
+    // caps (epoch 2): a=20, b=60, c=200; budget 120
+    // visit a (fair 40 -> capped 20), b (fair (120-20)/2=50 -> capped... 60>50
+    // -> 50), c (remaining 50 -> 50)
+    val got = Curation.unimaxBudgets(
+      Seq("c" -> 100L, "a" -> 10L, "b" -> 30L), totalBudget = 120L, epochCap = 2L)
+    assert(got == Seq("a" -> 20L, "b" -> 50L, "c" -> 50L))
+    // budget exceeding all caps: every language gets exactly its cap
+    val all = Curation.unimaxBudgets(
+      Seq("a" -> 10L, "b" -> 30L), totalBudget = 1000L, epochCap = 3L)
+    assert(all == Seq("a" -> 30L, "b" -> 90L))
+    // cap tie broken by language name, fair share floor-divides
+    val tie = Curation.unimaxBudgets(
+      Seq("y" -> 5L, "x" -> 5L), totalBudget = 7L, epochCap = 1L)
+    assert(tie == Seq("x" -> 3L, "y" -> 4L))
+  }
+
+  test("unimaxMix fills each language to its UniMax budget by score order") {
+    val s = spark
+    import s.implicits._
+    // lang L: 3 docs of 4 tokens; lang M: 3 docs of 10 tokens; total 42
+    val docs = (0 until 3).map(i =>
+        (i.toLong, "a b c d", "L", s"src$i")) ++
+      (3 until 6).map(i => (i.toLong, "a b c d e f g h i j", "M", s"src$i"))
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    // budget 42*4/5 = 33; caps (epoch 1): L=12, M=30. Visit L: fair 16 ->
+    // capped 12; M: remaining 21 -> 21. Fill: L keeps all 3 docs (12 <= 12);
+    // M keeps 2 docs (20 <= 21, third would hit 30)
+    val r = Curation.unimaxMixFraction(df, 4L, 5L, 1L, length(col("text")))
+      .select("lang", "doc_id", "cum_toks", "budget_tokens")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(r.count(_._1 == "L") == 3 && r.count(_._1 == "M") == 2)
+    assert(r.filter(_._1 == "L").forall(_._4 == 12L))
+    assert(r.filter(_._1 == "M").forall(_._4 == 21L))
+  }
+
+  test("linearProbeFit: parallel == exact within fp noise; probe separates target") {
+    val s = spark
+    import s.implicits._
+    val docs = ((0 until 30).map(i =>
+        (i.toLong, s"high quality signal phrase document $i content", "tgt")) ++
+      (30 until 60).map(i =>
+        (i.toLong, s"noise${i} filler junk text${i % 7} assorted words here", "raw")))
+      .toDF("doc_id", "text", "source")
+    val exact = Curation.linearProbeFitExact(docs, "tgt", dim = 64, iters = 2, lr = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val par = Curation.linearProbeFit(docs, "tgt", dim = 64, iters = 2, lr = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == par.keySet && exact.size == 64)
+    assert(exact.forall { case (b, w) => math.abs(w - par(b)) < 1e-9 })
+    // driver replay of the scoring pass: the probe must rank target docs up
+    def score(text: String): Double =
+      text.split(" ").sliding(2).map(_.mkString(" "))
+        .map(g => Math.floorMod(TextAnalysis.fnv1a64Bytes(g.getBytes("UTF-8")), 64L))
+        .toSeq.groupBy(identity).map { case (b, gs) => exact(b) * gs.size }.sum
+    val tgtMean = (0 until 30).map(i =>
+      score(s"high quality signal phrase document $i content")).sum / 30
+    val rawMean = (30 until 60).map(i =>
+      score(s"noise${i} filler junk text${i % 7} assorted words here")).sum / 30
+    assert(tgtMean > rawMean + 0.1, s"no separation: $tgtMean vs $rawMean")
+    intercept[IllegalArgumentException](
+      Curation.linearProbeFit(docs, "tgt", dim = 63, iters = 2, lr = 0.5))
+  }
+
+  test("blocklistGate: case-insensitive hits, first-hit order, clean docs kept") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "clean words only here", "s"),
+      (1L, "the BADWORD appears once", "s"),
+      (2L, "Verboten then badword twice verboten", "s")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.blocklistGate(docs, Seq("badword", "Verboten"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(2), Option(x.getString(3)), x.getBoolean(4))).toMap
+    assert(r(0L) == ((0, None, true)))
+    assert(r(1L) == ((1, Some("badword"), false)))
+    assert(r(2L) == ((3, Some("verboten"), false)))
+    intercept[IllegalArgumentException](Curation.blocklistGate(docs, Nil))
+  }
+
+  test("lengthBatches: pow2 buckets, token/doc caps, singleton fallback") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // lengths 1,2,3,5,8,9,100 -> buckets 0,1,2,3,3,4,7
+    val docs = Seq(1, 2, 3, 5, 8, 9, 100).zipWithIndex
+      .map { case (n, i) => (i.toLong, words(n)) }.toDF("doc_id", "text")
+    val r = Curation.lengthBatches(docs, maxBatchTokens = 16L, maxBatchDocs = 4L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    // (bucket, padded_len, bucket_rank, batch_idx, batch_docs)
+    assert(r(0L) == ((0, 1L, 0L, 0L, 4L)))  // doc cap binds: 16/1 > 4
+    assert(r(1L) == ((1, 2L, 0L, 0L, 4L)))
+    assert(r(2L) == ((2, 4L, 0L, 0L, 4L)))  // token cap 16/4=4 == doc cap
+    // bucket 3 (len 5 and 8): capacity min(4, 16/8) = 2 -> same batch
+    assert(r(3L) == ((3, 8L, 0L, 0L, 2L)))
+    assert(r(4L) == ((3, 8L, 1L, 0L, 2L)))
+    // bucket 4: capacity min(4, 16/16) = 1
+    assert(r(5L) == ((4, 16L, 0L, 0L, 1L)))
+    // padded 128 > 16 tokens: singleton fallback, not dropped
+    assert(r(6L) == ((7, 128L, 0L, 0L, 1L)))
+    // batch token budget holds everywhere (except the singleton fallback)
+    assert(r.values.filter(_._2 <= 16L).forall(v => v._2 * v._5 <= 16L))
+  }
+
+  test("ragChunks: stride tiling, clamped final window, short-doc edge") {
+    val s = spark
+    import s.implicits._
+    val w20 = (0 until 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, w20), (1L, "tiny doc only")).toDF("doc_id", "text")
+    val r = Curation.ragChunks(docs, width = 8, stride = 4)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getLong(3)))
+    // 20 words, width 8 stride 4 -> chunks start at 0, 4, 8, 12 (12 == 20-8)
+    assert(r.count(_._1 == 0L) == 4)
+    assert(r.filter(_._1 == 0L).forall(_._3 == 8))
+    // short doc: one chunk of its full length
+    assert(r.filter(_._1 == 1L).toSeq.map(x => (x._2, x._3)) == Seq((0, 3)))
+    // the clamped last window fingerprints the LAST 8 words exactly
+    val lastFp = TextAnalysis.fnv1a64Bytes(
+      (12 until 20).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+    assert(r.find(x => x._1 == 0L && x._2 == 3).get._4 == lastFp)
+    // stride > width rejected
+    intercept[IllegalArgumentException](Curation.ragChunks(docs, 4, 8))
+  }
 }

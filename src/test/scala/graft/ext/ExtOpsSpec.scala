@@ -543,6 +543,26 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out > 1)
   }
 
+  test("recallEval: bounds, agreement with a hand intersection, exhaustive probe == 1.0") {
+    val emb = table(spark, sfDir, "embeddings")
+    val r = Similarity.recallEval(emb, nCells = 8, nProbe = 3, nQueries = 10, k = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(3))).toMap
+    assert(r.size == 10)
+    assert(r.values.forall { case (h, rec) =>
+      h >= 0 && h <= 5 && rec == h / 5.0 })
+    // hand intersection of the two underlying pipelines
+    val bf = Similarity.bruteForceTopK(emb, 10, 5).select("qid", "nid")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 8, 3, 10, 5).select("qid", "nid")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val byQ = bf.intersect(ivf).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(r.forall { case (q, (h, _)) => byQ.getOrElse(q, 0L) == h })
+    // probing every cell is exhaustive search: recall exactly 1.0
+    val full = Similarity.recallEval(emb, nCells = 8, nProbe = 8, nQueries = 5, k = 5)
+      .collect().map(_.getDouble(3))
+    assert(full.length == 5 && full.forall(_ == 1.0))
+  }
+
   test("IVF top-k achieves high recall vs brute force and sims match exactly") {
     val emb = table(spark, sfDir, "embeddings")
     val ivf = Similarity.ivfTopK(emb, nCells = 8, nProbe = 3, nQueries = 5, k = 5)
