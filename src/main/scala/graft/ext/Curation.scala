@@ -116,6 +116,71 @@ object Curation {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Bloom-filter decontamination — the scale path for [[decontaminate]]
+    * when the benchmark's exact n-gram set outgrows a broadcast: the
+    * benchmark compiles into `kHashes` bit positions per gram
+    * (pmod(mix64(fnv64(g), i), mBits), power-of-two `mBits` so the signed
+    * pmod matches the oracle's unsigned arithmetic); a corpus gram FLAGS
+    * iff all k of its positions are set. Pure integer bit logic — false
+    * positives are DETERMINISTIC (the same hash algebra runs in the DuckDB
+    * oracle), so the operator also reports the exact-join hit count and
+    * the per-doc false-positive surplus (`bloom_hits − exact_hits`), the
+    * number an FP-rate tuner actually reads.
+    *
+    * Shape at 100 TB: the bit table is at most min(mBits, k·|bench grams|)
+    * scalar rows and broadcasts; the corpus side is a narrow gram explode,
+    * the broadcast membership join, and one per-doc count agg — the
+    * corpus never shuffles gram text (the exact-hit leg reuses
+    * [[decontaminate]]'s digest join).
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 5, mBits: Int = 4096, kHashes: Int = 2): DataFrame = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two, got $mBits")
+    require(kHashes >= 1 && n >= 1)
+    graft.cdc.types.GraftFunctions.register(corpus.sparkSession)
+    def gramRows(df: DataFrame): DataFrame = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""case when size(ws) >= $n
+           |     then array_distinct(transform(sequence(0, size(ws) - $n),
+           |                                   i -> concat_ws(' ', slice(ws, i + 1, $n))))
+           |     else slice(ws, 1, 0) end""".stripMargin)).as("g"))
+    // distinct positions per gram, with the gram's own position count
+    // carried along: a gram whose k hashes collide needs only its DISTINCT
+    // positions set (k-of-k on raw hashes would silently never flag it)
+    def positions(grams: DataFrame): DataFrame = grams
+      .withColumn("h", call_function("graft_fnv64", col("g")))
+      .withColumn("ps", expr(
+        s"""array_distinct(transform(sequence(0, ${kHashes - 1}),
+           |  i -> pmod(graft_mix64(h, CAST(i AS BIGINT)), ${mBits}L)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("g"), size(col("ps")).as("n_pos"),
+        explode(col("ps")).as("pos"))
+    val bits = positions(gramRows(benchmark)).select("pos").distinct()
+    val benchSha = gramRows(benchmark)
+      .select(sha2(col("g"), 256).as("gsha")).distinct()
+    val corpusGrams = gramRows(corpus)
+    val bloomFlagged = positions(corpusGrams)
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("doc_id"), col("g"), col("n_pos"))
+      .agg(count(lit(1)).as("set_k"))
+      .where(col("set_k") === col("n_pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("bloom_hits"))
+    val exact = corpusGrams
+      .select(col("doc_id"), sha2(col("g"), 256).as("gsha"))
+      .join(broadcast(benchSha), Seq("gsha"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("exact_hits"))
+    val counts = corpusGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    counts.join(bloomFlagged, Seq("doc_id"), "left_outer")
+      .join(exact, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"))
+      .withColumn("fp_surplus", col("bloom_hits") - col("exact_hits"))
+  }
+
   /** Segment-level exact dedup with global keep-first semantics — the
     * C4-style pass that removes boilerplate lines repeated across a web
     * corpus (cookie banners, license footers) while keeping each segment's

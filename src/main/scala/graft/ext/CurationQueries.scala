@@ -163,6 +163,17 @@ object CurationQueries extends QueryPack {
       Curation.lengthBatches(table(s, dir, "documents"),
         maxBatchTokens = 256L, maxBatchDocs = 8L)),
 
+    // Bloom-filter decontamination: same benchmark split as
+    // corpus_decontaminate; 4096 bits / 2 hashes is deliberately loaded
+    // (~34% fill) so deterministic false positives appear and fp_surplus
+    // is a real, nonzero tuning signal
+    "corpus_bloom_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Curation.bloomDecontaminate(
+        docs.where(col("doc_id") % 29 =!= 0),
+        docs.where(col("doc_id") % 29 === 0))
+    }),
+
     // in-engine quality-probe training: 2 squared-loss GD steps on
     // hashed-bigram features, target slice = src0 (the order-exact fit;
     // the shuffle-sum production fit is pinned to it in CurationSpec)
@@ -512,6 +523,45 @@ object CurationQueries extends QueryPack {
           |      FROM t)
           |SELECT f.doc_id, f.lang, f.n_toks, f.cum_toks, b.budget_tokens
           |FROM f JOIN b USING (lang) WHERE cum_toks <= budget_tokens""".stripMargin,
+
+      // Bloom replay: identical hash algebra (fnv64 -> mix64 per hash
+      // index -> low-12-bit position, 4096 a power of two so unsigned %
+      // == Spark's signed pmod) — false positives REPRODUCE, which is the
+      // point: fp_surplus is engine-portable
+      "corpus_bloom_decontaminate" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id,
+           |         unnest(list_transform(generate_series(1, len(ws) - 4),
+           |                               i -> array_to_string(ws[i:i+4], ' '))) AS g
+           |  FROM t WHERE len(ws) >= 5),
+           |h AS (SELECT doc_id, g, ${ExtQueries.fnvUSql("g")} AS hu FROM grams),
+           |fam AS (SELECT doc_id, g, hu, t2.i::UBIGINT AS iu
+           |        FROM h CROSS JOIN range(2) t2(i)),
+           |pos AS (SELECT DISTINCT doc_id, g, CAST(zf % 4096 AS BIGINT) AS pos
+           |        FROM ${ExtQueries.mixChainSql("fam", "doc_id, g")}),
+           |bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 29 = 0),
+           |cpos AS (SELECT * FROM pos WHERE doc_id % 29 <> 0),
+           |npos AS (SELECT doc_id, g, count(*) AS n_pos FROM cpos GROUP BY 1, 2),
+           |mt AS (SELECT c.doc_id, c.g, count(*) AS set_k
+           |       FROM cpos c JOIN bits b ON c.pos = b.pos GROUP BY 1, 2),
+           |bloom AS (SELECT m.doc_id, count(*) AS bloom_hits
+           |          FROM mt m JOIN npos np
+           |            ON m.doc_id = np.doc_id AND m.g = np.g
+           |          WHERE m.set_k = np.n_pos GROUP BY 1),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+           |ex AS (SELECT doc_id, count(*) AS exact_hits
+           |       FROM grams JOIN bench USING (g)
+           |       WHERE doc_id % 29 <> 0 GROUP BY 1),
+           |cnt AS (SELECT doc_id, count(*) AS n_grams FROM grams
+           |        WHERE doc_id % 29 <> 0 GROUP BY 1)
+           |SELECT cnt.doc_id, cnt.n_grams,
+           |       coalesce(bloom.bloom_hits, 0) AS bloom_hits,
+           |       coalesce(ex.exact_hits, 0) AS exact_hits,
+           |       coalesce(bloom.bloom_hits, 0) - coalesce(ex.exact_hits, 0)
+           |         AS fp_surplus
+           |FROM cnt LEFT JOIN bloom ON cnt.doc_id = bloom.doc_id
+           |LEFT JOIN ex ON cnt.doc_id = ex.doc_id""".stripMargin,
 
       // probe-training replay: both GD steps unrolled as CTE stages. Step
       // 1 starts from w=0 so pred==0.0 exactly and err==0.0-y; every

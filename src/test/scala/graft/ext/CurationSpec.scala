@@ -461,6 +461,32 @@ class CurationSpec extends SparkTestBase {
     assert(r.filter(_._1 == "M").forall(_._4 == 21L))
   }
 
+  test("bloomDecontaminate: no false negatives, FP surplus vanishes when sized right") {
+    val s = spark
+    import s.implicits._
+    val docs = table(spark, sfDir, "documents").select("doc_id", "text")
+    val bench = docs.where(col("doc_id") % 29 === 0)
+    val corpus = docs.where(col("doc_id") % 29 =!= 0)
+    val loaded = Curation.bloomDecontaminate(corpus, bench,
+        n = 5, mBits = 4096, kHashes = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the Bloom guarantee: every exact hit flags (no false negatives)
+    assert(loaded.forall { case (_, bl, ex, fp) => bl >= ex && fp == bl - ex })
+    // a filter sized 256x larger makes every false positive vanish here
+    val sized = Curation.bloomDecontaminate(corpus, bench,
+        n = 5, mBits = 1 << 20, kHashes = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sized.forall { case (bl, ex, fp) => bl == ex && fp == 0L })
+    // per-doc exact hits must agree with the exact-join operator
+    val exact = Curation.decontaminate(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = Curation.bloomDecontaminate(corpus, bench, 5, 4096, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(exact.forall { case (d, n) => byDoc(d) == n })
+    intercept[IllegalArgumentException](
+      Curation.bloomDecontaminate(corpus, bench, 5, mBits = 1000, 2))
+  }
+
   test("linearProbeFit: parallel == exact within fp noise; probe separates target") {
     val s = spark
     import s.implicits._
