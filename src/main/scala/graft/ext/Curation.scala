@@ -723,14 +723,23 @@ object Curation {
     * compares everything else plus the deterministic `lc_applies` branch
     * bit.
     */
-  def distinctSketch(docs: DataFrame, p: Int = 8): DataFrame = {
+  def distinctSketch(docs: DataFrame, p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(docs, p), Seq("source"), p)
+      .withColumnRenamed("n_items", "n_docs")
+
+  /** Fold a register table — (group cols, bucket, reg, n_items) — into the
+    * per-group HLL estimate columns. Shared by [[distinctSketch]] and
+    * [[windowedUserSketch]]; see distinctSketch for the exact-domain
+    * reasoning behind each column.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
     val m = 1L << p
     val alpha = 0.7213 / (1.0 + 1.079 / m) // the m >= 128 constant
     val cNum = alpha * m * m * java.lang.Math.scalb(1.0, 64)
     val two64 = expr("CAST('18446744073709551616' AS DECIMAL(20,0))")
-    hllRegisters(docs, p)
-      .groupBy(col("source")).agg(
-        sum(col("n_items")).as("n_docs"),
+    regs
+      .groupBy(groupCols.map(col): _*).agg(
+        sum(col("n_items")).as("n_items"),
         count(lit(1)).as("present_buckets"),
         // 2^(64-reg) built as (1 << 63-reg) * 2 entirely in the exact
         // integer/decimal domain: reg >= 1 keeps the shift in-range, and a
@@ -748,6 +757,146 @@ object Curation {
       .withColumn("estimate", when(col("lc_applies"),
         lit(m.toDouble) * log(lit(m.toDouble) / col("zero_buckets")))
         .otherwise(col("est_raw")))
+  }
+
+  /** Distinct-user cardinality per (event_type, event-time hour) — the
+    * stream-analytics face of the HLL sketch over the changelog's events:
+    * unique users per hour per event class without ever materializing the
+    * user set. Integer keys skip the fnv pass — mix64(user_id) alone is the
+    * uniformizer — and the hour is pure integer division on the normalized
+    * epoch-nano clock (no date functions, so the DuckDB replay is exact).
+    * The REGISTER layer is the streaming surface: [[windowedUserRegisters]]
+    * is a single stateful aggregation (the groupBy IS the state store —
+    * StreamingSketchSpec proves stream == batch), and the estimate is a
+    * stateless presentation fold the sink applies (cascading both
+    * aggregations in one streaming query would trip Spark's
+    * multi-stateful-operator correctness check, rightly).
+    */
+  def windowedUserSketch(events: DataFrame, p: Int = 8): DataFrame =
+    hllEstimate(windowedUserRegisters(events, p),
+      Seq("event_type", "hour_bucket"), p)
+
+  /** The mergeable register state behind [[windowedUserSketch]] — runs
+    * unchanged as a Structured Streaming aggregation.
+    */
+  def windowedUserRegisters(events: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7,16], got $p")
+    graft.cdc.types.GraftFunctions.register(events.sparkSession)
+    val mask = (1L << (64 - p)) - 1
+    val h = call_function("graft_mix64", col("user_id"), lit(0L))
+    events.where(col("user_id").isNotNull)
+      .select(col("event_type"),
+        expr("ts div 3600000000000").as("hour_bucket"),
+        shiftrightunsigned(h, 64 - p).as("bucket"),
+        h.bitwiseAND(lit(mask)).as("masked"))
+      .withColumn("rho",
+        when(col("masked") === 0L, lit(65 - p))
+          .otherwise(call_function("graft_clz64", col("masked")) + lit(1 - p)))
+      .groupBy(col("event_type"), col("hour_bucket"), col("bucket"))
+      .agg(max(col("rho")).as("reg"), count(lit(1)).as("n_items"))
+  }
+
+  /** All word `n`-gram occurrences of the corpus, one row per occurrence
+    * (column `g`) — the count-min item stream. Unlike the decontamination
+    * gram pass this does NOT per-doc-deduplicate: CMS counts frequencies,
+    * so every occurrence must reach the counters.
+    */
+  def shingleOccurrences(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1)
+    docs.where(col("text").isNotNull)
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(
+        s"""case when size(ws) >= $n
+           |     then transform(sequence(0, size(ws) - $n),
+           |                    i -> concat_ws(' ', slice(ws, i + 1, $n)))
+           |     else slice(ws, 1, 0) end""".stripMargin)).as("g"))
+  }
+
+  /** Count-min sketch counters (Cormode & Muthukrishnan 2005) over an item
+    * stream (column `g`): `d` hash rows × `w = 2^wBits` cells, cell value =
+    * number of occurrences hashing there. Row hashes are
+    * mix64(fnv64(g), row) — the same deterministic family as the minhash
+    * and Bloom operators, so the whole table replays bit-exact in the
+    * oracle. The sketch is MERGEABLE (cell-wise sum) and the groupBy IS the
+    * streaming state: the identical plan runs as a single stateful
+    * Structured Streaming aggregation (StreamingSketchSpec proves stream ==
+    * batch counters).
+    *
+    * Shape at 100 TB: one shuffle of (row, pos) pairs with map-side
+    * combine, so each input partition emits at most d·w partial cells no
+    * matter how many items it holds; the finished sketch is ≤ d·w rows —
+    * broadcastable state that answers frequency queries without touching
+    * the corpus again.
+    */
+  def cmsCounters(items: DataFrame, wBits: Int = 12, d: Int = 4): DataFrame = {
+    require(wBits >= 1 && wBits <= 30, s"wBits must be in [1,30], got $wBits")
+    require(d >= 1 && d <= 16, s"d must be in [1,16], got $d")
+    graft.cdc.types.GraftFunctions.register(items.sparkSession)
+    val w = 1L << wBits
+    items
+      .withColumn("h", call_function("graft_fnv64", col("g")))
+      .select(explode(expr(
+        s"""transform(sequence(0, ${d - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS i,
+           |              pmod(graft_mix64(h, CAST(i AS BIGINT)), ${w}L) AS pos))"""
+          .stripMargin)).as("cell"))
+      .select(col("cell.i").as("i"), col("cell.pos").as("pos"))
+      .groupBy(col("i"), col("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point frequency estimates for a dictionary of `terms` (column `g`)
+    * from a finished [[cmsCounters]] sketch: est(g) = min over the d rows
+    * of the cell g hashes to — an upper bound on the true count (≥ exact,
+    * never below), within εN with probability 1−δ for w = e/ε, d = ln(1/δ).
+    * The counters broadcast (≤ d·w rows), so the estimate is row-local to
+    * the dictionary — the corpus is NOT scanned. Terms absent from every
+    * counted cell estimate as the cell values they collide into, exactly
+    * like a real CMS; a term hashing to an untouched cell estimates 0 via
+    * the left join.
+    */
+  def cmsEstimate(counters: DataFrame, terms: DataFrame,
+      wBits: Int = 12, d: Int = 4): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(terms.sparkSession)
+    val w = 1L << wBits
+    terms.select(col("g")).distinct()
+      .withColumn("h", call_function("graft_fnv64", col("g")))
+      .select(col("g"), explode(expr(
+        s"""transform(sequence(0, ${d - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS i,
+           |              pmod(graft_mix64(h, CAST(i AS BIGINT)), ${w}L) AS pos))"""
+          .stripMargin)).as("cell"))
+      .select(col("g"), col("cell.i").as("i"), col("cell.pos").as("pos"))
+      .join(broadcast(counters), Seq("i", "pos"), "left_outer")
+      .groupBy(col("g"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Heavy-hitter n-grams with CMS-overestimate accounting: every n-gram
+    * whose SKETCH estimate reaches `minCount`, alongside its exact count —
+    * so `cms_over = cms_est − exact_cnt` surfaces the sketch's collision
+    * error as a first-class tuning signal (the Bloom fp_surplus pattern).
+    * CMS guarantees est ≥ exact, so NO true heavy hitter is missed; rows
+    * with exact_cnt < minCount are the sketch's false admissions, which
+    * reproduce bit-exact in the oracle because the hash algebra is
+    * deterministic. The default w = 2^12 against the corpus's gram
+    * vocabulary is deliberately loaded so those collisions actually appear.
+    *
+    * Shape at 100 TB: the sketch pass is the bounded-state scan above; the
+    * exact leg is ONE vocabulary-scale digest agg (the dedup_exact shape)
+    * that production would restrict to the CMS-admitted shortlist — here it
+    * covers the vocabulary so the oracle can prove the estimate column for
+    * every candidate, admitted or not.
+    */
+  def cmsHeavyHitters(docs: DataFrame, n: Int = 3, minCount: Long = 5L,
+      wBits: Int = 12, d: Int = 4): DataFrame = {
+    val grams = shingleOccurrences(docs, n)
+    val exact = grams.groupBy(col("g")).agg(count(lit(1)).as("exact_cnt"))
+    cmsEstimate(cmsCounters(grams, wBits, d), exact.select(col("g")), wBits, d)
+      .join(exact, Seq("g"))
+      .where(col("cms_est") >= minCount)
+      .select(col("g"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("cms_over"))
   }
 
   /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More

@@ -163,6 +163,25 @@ object CurationQueries extends QueryPack {
       Curation.lengthBatches(table(s, dir, "documents"),
         maxBatchTokens = 256L, maxBatchDocs = 8L)),
 
+    // stream-analytics face of the HLL sketch: distinct users per
+    // (event_type, event-time hour) over the changelog's events table —
+    // same plan runs under Structured Streaming (StreamingSketchSpec)
+    "events_distinct_users" -> ((s, dir) => {
+      val cols = Seq("event_type", "hour_bucket", "n_items",
+        "present_buckets", "zero_buckets", "sum_scaled", "est_raw",
+        "lc_applies").map(col)
+      Curation.windowedUserSketch(table(s, dir, "events"), p = 8).select(cols: _*)
+    }),
+
+    // count-min heavy hitters over word trigrams: 2^14 cells/row against
+    // ~1.6 occurrences/cell is deliberately loaded so collision
+    // overestimates appear (admitted set ≈ 2× the true heavy hitters) —
+    // and reproduce in the oracle (deterministic hash algebra); exact
+    // counts ride along so cms_over is measurable per admission
+    "text_cms_heavy_hitters" -> ((s, dir) =>
+      Curation.cmsHeavyHitters(table(s, dir, "documents"),
+        n = 3, minCount = 5L, wBits = 14, d = 4)),
+
     // Bloom-filter decontamination: same benchmark split as
     // corpus_decontaminate; 4096 bits / 2 hashes is deliberately loaded
     // (~34% fill) so deterministic false positives appear and fp_surplus
@@ -193,6 +212,15 @@ object CurationQueries extends QueryPack {
   /** 10 words exactly — one aligned `span = 10` segment when prefixed. */
   private[ext] val Boilerplate =
     "terms of service apply to all content on this site"
+
+  /** α·m²·2^64 for p = 8 — the [[hllSketchSql]] constant, shared with the
+    * events_distinct_users oracle (same shortest-repr round-trip contract).
+    */
+  private val Hll8Const: Double = {
+    val m = 256L
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * java.lang.Math.scalb(1.0, 64)
+  }
 
   /** One branch of the corpus_distinct_sketch oracle: the HLL register
     * derivation and exact-domain estimate columns for grouping expression
@@ -523,6 +551,70 @@ object CurationQueries extends QueryPack {
           |      FROM t)
           |SELECT f.doc_id, f.lang, f.n_toks, f.cum_toks, b.budget_tokens
           |FROM f JOIN b USING (lang) WHERE cum_toks <= budget_tokens""".stripMargin,
+
+      // windowed-HLL replay: integer user keys go straight through the
+      // mix64 chain (no fnv), the hour is pure integer division on the
+      // epoch clock, and the estimate columns reuse the exact-domain
+      // contract of corpus_distinct_sketch at p = 8
+      "events_distinct_users" ->
+        s"""WITH m0 AS (SELECT event_type,
+           |                   CAST(epoch_us(ts) AS BIGINT) // 3600000000
+           |                     AS hour_bucket,
+           |                   user_id::UBIGINT AS hu, 0::UBIGINT AS iu
+           |            FROM events WHERE user_id IS NOT NULL),
+           |mx AS (SELECT event_type, hour_bucket, zf
+           |       FROM ${ExtQueries.mixChainSql("m0", "event_type, hour_bucket")}),
+           |regs AS (SELECT event_type, hour_bucket, zf >> 56 AS bucket,
+           |                max(CASE WHEN zf % 72057594037927936::UBIGINT
+           |                              = 0::UBIGINT THEN 57
+           |                         ELSE 57 - length(bin(
+           |                                zf % 72057594037927936::UBIGINT))
+           |                    END) AS reg,
+           |                count(*) AS n_items
+           |         FROM mx GROUP BY 1, 2, 3),
+           |est AS (SELECT event_type, hour_bucket,
+           |               CAST(sum(n_items) AS BIGINT) AS n_items,
+           |               count(*) AS present_buckets,
+           |               256 - count(*) AS zero_buckets,
+           |               CAST(sum(CAST(2 ** (64 - reg) AS DECIMAL(20,0)))
+           |                    + CAST(256 - count(*) AS DECIMAL(6,0))
+           |                      * '18446744073709551616'::DECIMAL(20,0)
+           |                    AS DECIMAL(38,0)) AS total
+           |        FROM regs GROUP BY 1, 2)
+           |SELECT event_type, hour_bucket, n_items, present_buckets,
+           |       zero_buckets, CAST(total AS VARCHAR) AS sum_scaled,
+           |       $Hll8Const / CAST(CAST(total AS VARCHAR) AS DOUBLE)
+           |         AS est_raw,
+           |       (zero_buckets > 0 AND
+           |        $Hll8Const / CAST(CAST(total AS VARCHAR) AS DOUBLE) <= 640.0)
+           |         AS lc_applies
+           |FROM est""".stripMargin,
+
+      // CMS replay: every trigram OCCURRENCE fans out to 4 (row, pos)
+      // cells via the fnv64 -> mix64(h, row) chain (16384 a power of two
+      // so unsigned % == Spark's signed pmod); counters count occurrences,
+      // estimates take min over each distinct gram's cells — collisions
+      // and their overestimates reproduce bit-exact
+      "text_cms_heavy_hitters" ->
+        s"""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents
+           |           WHERE text IS NOT NULL),
+           |gr AS (
+           |  SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+           |                               i -> array_to_string(ws[i:i+2], ' '))) AS g
+           |  FROM t WHERE len(ws) >= 3),
+           |h AS (SELECT g, ${ExtQueries.fnvUSql("g")} AS hu FROM gr),
+           |fam AS (SELECT g, hu, t2.i::UBIGINT AS iu
+           |        FROM h CROSS JOIN range(4) t2(i)),
+           |cells AS (SELECT g, CAST(iu AS BIGINT) AS i,
+           |                 CAST(zf % 16384 AS BIGINT) AS pos
+           |          FROM ${ExtQueries.mixChainSql("fam", "g, iu")}),
+           |counters AS (SELECT i, pos, count(*) AS cnt FROM cells GROUP BY 1, 2),
+           |est AS (SELECT c.g, min(k.cnt) AS cms_est
+           |        FROM (SELECT DISTINCT g, i, pos FROM cells) c
+           |        JOIN counters k USING (i, pos) GROUP BY 1),
+           |exact AS (SELECT g, count(*) AS exact_cnt FROM gr GROUP BY 1)
+           |SELECT g, exact_cnt, cms_est, cms_est - exact_cnt AS cms_over
+           |FROM est JOIN exact USING (g) WHERE cms_est >= 5""".stripMargin,
 
       // Bloom replay: identical hash algebra (fnv64 -> mix64 per hash
       // index -> low-12-bit position, 4096 a power of two so unsigned %

@@ -487,6 +487,58 @@ class CurationSpec extends SparkTestBase {
       Curation.bloomDecontaminate(corpus, bench, 5, mBits = 1000, 2))
   }
 
+  test("cmsHeavyHitters: est >= exact always, overestimates vanish when sized right") {
+    val s = spark
+    import s.implicits._
+    val docs = table(spark, sfDir, "documents").select("doc_id", "text")
+    val grams = Curation.shingleOccurrences(docs, n = 3)
+    val exact = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the CMS guarantee at the loaded size: est >= exact for EVERY gram,
+    // so every true heavy hitter is admitted (no false negatives)
+    val est = Curation.cmsEstimate(
+        Curation.cmsCounters(grams, wBits = 12, d = 4),
+        grams.select("g"), wBits = 12, d = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    assert(exact.forall { case (g, n) => est(g) >= n })
+    val hh = Curation.cmsHeavyHitters(docs, n = 3, minCount = 5L,
+        wBits = 12, d = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val trueHh = exact.filter(_._2 >= 5L).keySet
+    assert(trueHh.subsetOf(hh.map(_._1).toSet))
+    assert(hh.forall { case (g, ex, e, over) =>
+      ex == exact(g) && e == est(g) && over == e - ex && e >= 5L })
+    // a sketch sized past the vocabulary kills every collision: the
+    // admitted set IS the exact heavy-hitter set and cms_over == 0
+    val sized = Curation.cmsHeavyHitters(docs, n = 3, minCount = 5L,
+        wBits = 20, d = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(sized.map(_._1).toSet == trueHh)
+    assert(sized.forall { case (g, ex, over) => ex == exact(g) && over == 0L })
+    // a term absent from the corpus estimates 0 through untouched cells
+    val unseen = Curation.cmsEstimate(
+        Curation.cmsCounters(grams, wBits = 20, d = 4),
+        Seq("graft cms probe").toDF("g"), wBits = 20, d = 4)
+      .collect()
+    assert(unseen.length == 1 && unseen(0).getLong(1) == 0L)
+    intercept[IllegalArgumentException](
+      Curation.cmsCounters(grams, wBits = 0, d = 4))
+  }
+
+  test("cmsCounters merge law: cell-wise sum of shard sketches == whole-corpus sketch") {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Curation.cmsCounters(Curation.shingleOccurrences(df, 3), 12, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(docs)
+    val shardA = cells(docs.where(col("doc_id") % 2 === 0))
+    val shardB = cells(docs.where(col("doc_id") % 2 =!= 0))
+    val merged = (shardA.keySet ++ shardB.keySet).map(k =>
+      k -> (shardA.getOrElse(k, 0L) + shardB.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("linearProbeFit: parallel == exact within fp noise; probe separates target") {
     val s = spark
     import s.implicits._
