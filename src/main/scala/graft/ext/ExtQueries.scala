@@ -38,6 +38,15 @@ object ExtQueries extends QueryPack {
     "dedup_span_detect" -> ((s, dir) =>
       Dedup.dupSpans(table(s, dir, "documents"), n = 8)),
 
+    // CDC-maintained dedup view: a deterministic documents changelog —
+    // every 13th doc INSERTS as one of 17 planted-dup texts, every
+    // doc_id%7==3 doc is UPDATED into one of 11 shared buckets (a digest
+    // GROUP MOVE), every doc_id%7==4 doc is DELETED (doc 39 is a group
+    // keeper, so its delete promotes the next member) — folded to the live
+    // corpus and exact-dedup-grouped in one declarative plan
+    "dedup_cdc_view" -> ((s, dir) =>
+      Dedup.cdcDedupedCorpus(docsChangelog(s, dir))),
+
     // paragraph-level NEAR dedup: every 8th doc gets a planted
     // boilerplate segment whose LAST word varies by doc_id % 3, so
     // byte-identical spans (within a variant) AND near-identical spans
@@ -348,6 +357,30 @@ object ExtQueries extends QueryPack {
     * Verified bit-exact against [[graft.ext.Hashing.mix64]] and
     * [[TextAnalysis.fnv1a64]] on signed-boundary test vectors.
     */
+  /** The dedup_cdc_view changelog fixture — derived from documents with
+    * the SAME arithmetic on both engines. Deletes carry text '' (not
+    * NULL) so the fold's winner algebra never touches engine null
+    * semantics; the delete winner's text is discarded anyway.
+    */
+  private[ext] def docsChangelog(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    val d0 = table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        concat(lit("planted dup "), (col("doc_id") % 17).cast("string")))
+        .otherwise(col("text")).as("t0"))
+    val ins = d0.select((col("doc_id") * 10).as("offset"), col("doc_id"),
+      lit("c").as("op"), col("t0").as("text"))
+    val upd = d0.where(col("doc_id") % 7 === 3)
+      .select((col("doc_id") * 10 + 5000000L).as("offset"), col("doc_id"),
+        lit("u").as("op"),
+        concat(lit("shared dup bucket "), (col("doc_id") % 11).cast("string"))
+          .as("text"))
+    val del = d0.where(col("doc_id") % 7 === 4)
+      .select((col("doc_id") * 10 + 5000000L).as("offset"), col("doc_id"),
+        lit("d").as("op"), lit("").as("text"))
+    ins.unionAll(upd).unionAll(del)
+  }
+
   private[ext] val U64 = "18446744073709551616"
 
   /** 9-word boilerplate stem for dedup_segment_near's planted paragraph —
@@ -831,6 +864,35 @@ object ExtQueries extends QueryPack {
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
         |       count(*) AS dup_cnt
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    // CDC-dedup replay: the same derived changelog, folded with arg_max
+    // (offsets unique per doc so ties are impossible), grouped on raw text
+    // — grouping key choice (text here, sha256 on the Spark side) cannot
+    // change the groups, only the shuffle width
+    "dedup_cdc_view" ->
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0
+        |              THEN 'planted dup ' || (doc_id % 17)
+        |              ELSE text END AS t0
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id * 10 AS o, doc_id, 'c' AS op, t0 AS text FROM d0
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 5000000, doc_id, 'u',
+        |         'shared dup bucket ' || (doc_id % 11)
+        |  FROM d0 WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 5000000, doc_id, 'd', '' FROM d0
+        |  WHERE doc_id % 7 = 4),
+        |st AS (SELECT doc_id, arg_max(op, o) AS op, arg_max(text, o) AS text
+        |       FROM frames GROUP BY 1),
+        |live AS (SELECT doc_id, text FROM st WHERE op <> 'd'),
+        |grp AS (SELECT text, min(doc_id) AS keeper_id, count(*) AS group_size
+        |        FROM live GROUP BY 1)
+        |SELECT l.doc_id, g.keeper_id, g.group_size,
+        |       l.doc_id = g.keeper_id AS is_keeper
+        |FROM live l JOIN grp g USING (text)""".stripMargin,
 
     "text_bigram_freq" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

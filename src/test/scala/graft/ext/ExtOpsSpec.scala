@@ -597,4 +597,51 @@ class ExtOpsSpec extends SparkTestBase {
       assert(total == nbytes)
     }
   }
+
+  test("cdcDedupedCorpus: keeper promotion on delete, group move on update") {
+    // hand changelog: docs 1,2,3 share text A (keeper 1); doc 4 is B.
+    // Then doc 1 (the keeper) is DELETED -> keeper promotes to 2; doc 3 is
+    // UPDATED to text B -> moves groups, where doc 3 < 4 takes the keep.
+    val frames = Seq(
+      (10L, 1L, "c", "A"), (20L, 2L, "c", "A"), (30L, 3L, "c", "A"),
+      (40L, 4L, "c", "B"),
+      (50L, 1L, "d", ""), (60L, 3L, "u", "B")
+    ).toDF("offset", "doc_id", "op", "text")
+    val got = Dedup.cdcDedupedCorpus(frames)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      2L -> (2L, 1L, true),          // promoted keeper of what's left of A
+      3L -> (3L, 2L, true),          // moved into B and took its keep
+      4L -> (3L, 2L, false)))
+  }
+
+  test("cdcDedupedCorpus decomposes: fold state over any batch split, then dedup") {
+    // the streaming claim: maintaining last-writer doc state per
+    // micro-batch (the upsert-sink semantics) then running the dedup view
+    // over the final state equals the one-shot batch operator
+    val log = ExtQueries.docsChangelog(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val state = scala.collection.mutable.Map[Long, (Long, String, String)]()
+    log.grouped(math.max(1, log.length / 5)).foreach { batch =>
+      batch.foreach { case (o, id, op, text) =>
+        if (state.get(id).forall(_._1 < o)) state(id) = (o, op, text)
+      }
+    }
+    val folded = state.iterator
+      .collect { case (id, (_, op, text)) if op != "d" => (id, op, text) }
+      .toSeq.toDF("doc_id", "op", "text")
+      .withColumn("offset", col("doc_id")) // any offset: one frame per doc
+    val got = Dedup.cdcDedupedCorpus(folded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val want = Dedup.cdcDedupedCorpus(ExtQueries.docsChangelog(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == want)
+    // keeper promotion really fired: 'planted dup 5' = {39, 260, 481},
+    // keeper 39 is deleted (39 % 7 == 4) -> 260 takes over a group of 2
+    assert(want.contains((260L, 260L, 2L, true)))
+    assert(want.contains((481L, 260L, 2L, false)))
+    assert(!want.exists(_._1 == 39L))
+  }
 }

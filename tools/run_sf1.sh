@@ -38,6 +38,7 @@ tail -3 /tmp/sf1_verify.log
 
 echo "=== 3. correctness gate + oracle wall at sf1 (single DuckDB pass) ==="
 python3 tools/check.py $SF /root/repo/target/verify_sf1 \
+  --oracle-timeout 1500 \
   --json /root/repo/CORRECTNESS_SF1.json > /tmp/sf1_check.log 2>&1
 tail -5 /tmp/sf1_check.log
 
