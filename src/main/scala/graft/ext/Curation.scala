@@ -796,6 +796,49 @@ object Curation {
       .agg(max(col("rho")).as("reg"), count(lit(1)).as("n_items"))
   }
 
+  /** Exact per-source token-length quantiles — the corpus-profiling pass
+    * that sizes packing/batching budgets: for each source and each target
+    * fraction q_num/q_den, the EXACT order statistic of the whitespace
+    * token count (rank = ceil(q·n), 1-based, doc_id tie-break). Fractions
+    * stay integers end-to-end, so the rank arithmetic replays exactly.
+    *
+    * Window-free at any group shape: ONE global [[DistributedRank]] over
+    * the total order (source, n_toks, doc_id) — source leads, so each
+    * source's rows form a contiguous rank block and the per-source rank is
+    * just grn − first_grn + 1. A `row_number over (partition by source)`
+    * would serialize each source through one task (fatal when one source
+    * is 80% of a 100 TB corpus); the global-rank form keeps every
+    * partition range-balanced regardless of group skew. Targets are
+    * |sources|·|qs| scalar rows, broadcast to one equi-join — no window,
+    * no cartesian.
+    */
+  def lengthQuantiles(docs: DataFrame,
+      qs: Seq[(Int, Int)] = Seq((1, 4), (2, 4), (3, 4), (9, 10))): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 1 && n <= d },
+      s"quantile fractions must satisfy 1 <= q_num <= q_den, got $qs")
+    val toks = docs.where(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val ranked = graft.cdc.split.DistributedRank.withGlobalRowNumber(
+      toks, "grn", Seq(col("source"), col("n_toks"), col("doc_id")))
+    val qArr = array(qs.map { case (n, d) =>
+      struct(lit(n).as("q_num"), lit(d).as("q_den")) }: _*)
+    // `src` not `source`: targets derives FROM ranked, so reusing the name
+    // would be an ambiguous self-join reference after the equi-join
+    val targets = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("grn")).as("first_grn"))
+      .select(col("source").as("src"), col("n_docs"), col("first_grn"),
+        explode(qArr).as("q"))
+      .select(col("src"), col("n_docs"),
+        col("q.q_num").as("q_num"), col("q.q_den").as("q_den"),
+        (col("first_grn") +
+          expr("(q.q_num * n_docs + q.q_den - 1) div q.q_den") - 1)
+          .as("target_grn"))
+    ranked.join(broadcast(targets), col("grn") === col("target_grn"))
+      .select(col("src").as("source"), col("q_num"), col("q_den"),
+        col("n_docs"), col("n_toks"))
+  }
+
   /** All word `n`-gram occurrences of the corpus, one row per occurrence
     * (column `g`) — the count-min item stream. Unlike the decontamination
     * gram pass this does NOT per-doc-deduplicate: CMS counts frequencies,

@@ -173,6 +173,12 @@ object CurationQueries extends QueryPack {
       Curation.windowedUserSketch(table(s, dir, "events"), p = 8).select(cols: _*)
     }),
 
+    // exact per-source token-length quantiles (p25/p50/p75/p90) via ONE
+    // global distributed rank — window-free, group-skew-immune; integer
+    // rank arithmetic so the order statistics replay exactly
+    "corpus_length_quantiles" -> ((s, dir) =>
+      Curation.lengthQuantiles(table(s, dir, "documents"))),
+
     // count-min heavy hitters over word trigrams: 2^14 cells/row against
     // ~1.6 occurrences/cell is deliberately loaded so collision
     // overestimates appear (admitted set ≈ 2× the true heavy hitters) —
@@ -589,6 +595,25 @@ object CurationQueries extends QueryPack {
            |        $Hll8Const / CAST(CAST(total AS VARCHAR) AS DOUBLE) <= 640.0)
            |         AS lc_applies
            |FROM est""".stripMargin,
+
+      // quantile replay: a plain per-source window is DuckDB's natural
+      // form; hash equality proves the global-rank decomposition picks
+      // the identical order statistics (rank = ceil(q·n), doc_id ties)
+      "corpus_length_quantiles" ->
+        """WITH t AS (SELECT source, doc_id,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT)
+          |                    AS n_toks
+          |           FROM documents WHERE text IS NOT NULL),
+          |r AS (SELECT source, n_toks,
+          |             row_number() OVER (PARTITION BY source
+          |                                ORDER BY n_toks, doc_id) AS lrn,
+          |             count(*) OVER (PARTITION BY source) AS n_docs
+          |      FROM t),
+          |q AS (SELECT * FROM (VALUES (1, 4), (2, 4), (3, 4), (9, 10))
+          |      AS q(q_num, q_den))
+          |SELECT r.source, q.q_num, q.q_den, r.n_docs, r.n_toks
+          |FROM r JOIN q
+          |  ON r.lrn = (q.q_num * r.n_docs + q.q_den - 1) // q.q_den""".stripMargin,
 
       // CMS replay: every trigram OCCURRENCE fans out to 4 (row, pos)
       // cells via the fnv64 -> mix64(h, row) chain (16384 a power of two

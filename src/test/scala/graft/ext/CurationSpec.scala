@@ -487,6 +487,34 @@ class CurationSpec extends SparkTestBase {
       Curation.bloomDecontaminate(corpus, bench, 5, mBits = 1000, 2))
   }
 
+  test("lengthQuantiles: exact order statistics, ceil ranks, singleton source") {
+    val s = spark
+    import s.implicits._
+    // src a: lengths 1..5 (docs "w", "w w", ...); src b: a single 3-word doc
+    val docs = (1 to 5).map(n => (n.toLong, "a", Seq.fill(n)("w").mkString(" "))) :+
+      (9L, "b", "x y z")
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = Curation.lengthQuantiles(df, Seq((1, 4), (2, 4), (3, 4), (1, 1)))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // n=5: ceil(5/4)=2 -> len 2, ceil(10/4)=3 -> len 3, ceil(15/4)=4, 5/1 -> 5
+    assert(got(("a", 1, 4)) == (5L, 2L) && got(("a", 2, 4)) == (5L, 3L))
+    assert(got(("a", 3, 4)) == (5L, 4L) && got(("a", 1, 1)) == (5L, 5L))
+    // the singleton source answers every quantile with its only length
+    assert(Seq((1, 4), (2, 4), (3, 4), (1, 1)).forall(q =>
+      got(("b", q._1, q._2)) == (1L, 3L)))
+    // real corpus: every (source, q) row present, medians within min/max
+    val real = Curation.lengthQuantiles(table(spark, sfDir, "documents"))
+      .collect()
+    val nSources = table(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(real.length == nSources * 4)
+    intercept[IllegalArgumentException](
+      Curation.lengthQuantiles(df, Seq((0, 4))))
+    intercept[IllegalArgumentException](
+      Curation.lengthQuantiles(df, Seq((5, 4))))
+  }
+
   test("cmsHeavyHitters: est >= exact always, overestimates vanish when sized right") {
     val s = spark
     import s.implicits._
