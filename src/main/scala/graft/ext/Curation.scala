@@ -759,6 +759,27 @@ object Curation {
         .otherwise(col("est_raw")))
   }
 
+  /** HLL set algebra over STORED register tables: the distinct-content
+    * cardinality of any grouping of sources, answered from the per-source
+    * [[hllRegisters]] alone — the corpus is never re-scanned. Union is
+    * register-wise max (HLL's lossless merge: max-merged registers are
+    * IDENTICAL to the registers of the concatenated input, not an
+    * approximation of them), so the estimate from merged sketches equals
+    * the direct sketch of the union bit-for-bit — which is exactly what
+    * the oracle proves by computing the DuckDB side directly on the
+    * regrouped corpus. `groupCol` maps each source to its group label.
+    *
+    * This is the warehouse pattern that matters at 100 TB: keep one tiny
+    * register table per ingest shard (p=8 ⇒ ≤256 rows each), answer
+    * "distinct content across ANY subset" forever after from scalars.
+    */
+  def sketchUnion(regs: DataFrame, groupCol: Column, p: Int = 8): DataFrame =
+    hllEstimate(
+      regs.groupBy(groupCol.as("source"), col("bucket"))
+        .agg(max(col("reg")).as("reg"), sum(col("n_items")).as("n_items")),
+      Seq("source"), p)
+      .withColumnRenamed("n_items", "n_docs")
+
   /** Distinct-user cardinality per (event_type, event-time hour) — the
     * stream-analytics face of the HLL sketch over the changelog's events:
     * unique users per hour per event class without ever materializing the

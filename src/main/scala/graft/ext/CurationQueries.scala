@@ -132,6 +132,21 @@ object CurationQueries extends QueryPack {
           docs.withColumn("source", lit("__all__")), p = 7).select(cols: _*))
     }),
 
+    // HLL set algebra from STORED register tables: group the 20 per-source
+    // sketches into even/odd families by register-wise max-merge — the
+    // corpus is not re-scanned; the oracle computes the union sketch
+    // DIRECTLY on the regrouped corpus, so hash equality proves the merge
+    // is lossless (merged registers == union's own registers)
+    "corpus_sketch_union" -> ((s, dir) => {
+      val cols = Seq("source", "n_docs", "present_buckets", "zero_buckets",
+        "sum_scaled", "est_raw", "lc_applies").map(col)
+      Curation.sketchUnion(
+        Curation.hllRegisters(table(s, dir, "documents"), p = 8),
+        concat(lit("union"),
+          pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(2L))),
+        p = 8).select(cols: _*)
+    }),
+
     // UniMax language-balanced mix: epoch cap 1, budget = 80% of the
     // corpus tokens (derived IN the query so the fixture scales with sf) —
     // small languages hit their natural-size cap, the surplus flows up,
@@ -521,6 +536,13 @@ object CurationQueries extends QueryPack {
         s"""${hllSketchSql("source", 8)}
            |UNION ALL
            |${hllSketchSql("'__all__'", 7)}""".stripMargin,
+
+      // sketch-union replay: DuckDB sketches the REGROUPED corpus
+      // directly; the Spark side answers from stored per-source register
+      // tables via max-merge — hash equality IS the lossless-merge proof
+      "corpus_sketch_union" ->
+        hllSketchSql(
+          "'union' || (CAST(substring(source, 4) AS BIGINT) % 2)", 8),
 
       // UniMax replay: the ascending-cap fair-share fold as a recursive
       // CTE (all-integer, floor division == Scala's), then the same

@@ -377,6 +377,31 @@ class CurationSpec extends SparkTestBase {
     assert(r.toSeq == Seq((0L, 4L, 4L, 0L), (1L, 3L, 2L, 1L), (2L, 2L, 1L, 1L)))
   }
 
+  test("sketchUnion from stored registers == direct sketch of the regrouped corpus") {
+    val docs = table(spark, sfDir, "documents")
+    def key(r: org.apache.spark.sql.Row) = r.getString(0)
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getDouble(5), r.getBoolean(6))
+    val cols = Seq("source", "n_docs", "present_buckets", "zero_buckets",
+      "sum_scaled", "est_raw", "lc_applies").map(col)
+    val fromRegs = Curation.sketchUnion(
+        Curation.hllRegisters(docs, p = 8),
+        concat(lit("union"),
+          pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(2L))),
+        p = 8).select(cols: _*)
+      .collect().map(r => key(r) -> row(r)).toMap
+    val direct = Curation.distinctSketch(
+        docs.withColumn("source", concat(lit("union"),
+          pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(2L)))),
+        p = 8).select(cols: _*)
+      .collect().map(r => key(r) -> row(r)).toMap
+    assert(fromRegs == direct)
+    assert(fromRegs.keySet == Set("union0", "union1"))
+    // n_docs is conserved by the merge: register n_items sum to the total
+    assert(fromRegs.values.map(_._1).sum == docs.where(col("text").isNotNull).count())
+  }
+
   test("hllRegisters merge law: max-merge of shard sketches == whole-corpus sketch") {
     val s = spark
     import s.implicits._
