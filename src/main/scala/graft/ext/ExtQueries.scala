@@ -84,6 +84,14 @@ object ExtQueries extends QueryPack {
     "similarity_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), nQueries = 10, k = 5)),
 
+    // signed (±1) JL projection 64 -> 16 dims: the matrix regenerates
+    // cell-by-cell from mix64(j*4096+i, seed) inside codegen — nothing to
+    // store or broadcast; sign flips + the order-pinned fold are exact, so
+    // every projected coordinate hash-matches the DuckDB replay
+    "similarity_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(table(s, dir, "embeddings"),
+        outDim = 16, seed = 7L)),
+
     "similarity_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(table(s, dir, "embeddings"), nPlanes = 8, nQueries = 10, k = 5)),
 
@@ -785,6 +793,26 @@ object ExtQueries extends QueryPack {
     "similarity_kmeans_ivf" -> SimilarityOracles.kmeansIvf,
     "similarity_pq_search" -> SimilarityOracles.pqSearch,
     "similarity_ivfpq_search" -> SimilarityOracles.ivfPqSearch,
+
+    // projection replay: the sign matrix is materialized once as 16x64
+    // rows via the mix chain (sign bit = zf >= 2^63), gathered into
+    // per-row sign lists, and the same order-pinned fold runs per vector
+    "similarity_random_projection" ->
+      s"""WITH sm0 AS (
+         |  SELECT jj.j, ii.i, (jj.j * 4096 + ii.i)::UBIGINT AS hu,
+         |         7::UBIGINT AS iu
+         |  FROM range(16) jj(j) CROSS JOIN range(64) ii(i)),
+         |sgn AS (SELECT j, i,
+         |          CASE WHEN zf >= 9223372036854775808::UBIGINT
+         |               THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS s
+         |        FROM ${mixChainSql("sm0", "j, i")}),
+         |sl AS (SELECT j, list(s ORDER BY i) AS sg FROM sgn GROUP BY j)
+         |SELECT e.vec_id, sl.j,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, len(e.embedding) + 1),
+         |      i -> sl.sg[i] * e.embedding[i]::DOUBLE)),
+         |    (acc, z) -> acc + z) AS value
+         |FROM embeddings e CROSS JOIN sl""".stripMargin,
 
     "similarity_topk_bruteforce" ->
       s"""$normedEmbSql,

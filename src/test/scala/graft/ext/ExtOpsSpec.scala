@@ -598,6 +598,35 @@ class ExtOpsSpec extends SparkTestBase {
     }
   }
 
+  test("randomProjection: exact signs on basis vectors, JL norm tracking, seed keying") {
+    val s = spark
+    import s.implicits._
+    // basis vector e_k: proj_j = s(j,k) exactly — pin against driver mix64
+    val basis = Seq((0L, Array.fill(64)(0f).updated(3, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(basis, outDim = 8, seed = 7L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    (0 until 8).foreach { j =>
+      val want = if (Hashing.mix64(j.toLong * 4096 + 3, 7L) < 0) -1.0 else 1.0
+      assert(got(j.toLong) == want)
+    }
+    // real embeddings: one row per (vec, out dim); mean squared coordinate
+    // tracks the input norm (JL expectation), deterministic per seed
+    val emb = table(spark, sfDir, "embeddings")
+    val proj = Similarity.randomProjection(emb, outDim = 16, seed = 7L)
+    val n = emb.count()
+    assert(proj.count() == n * 16)
+    val ratio = proj.groupBy(col("vec_id"))
+      .agg(sum(col("value") * col("value")).as("p2"))
+      .join(emb.select(col("vec_id"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("v2")), Seq("vec_id"))
+      .select(avg(col("p2") / (lit(16.0) * col("v2")))).head.getDouble(0)
+    assert(ratio > 0.5 && ratio < 2.0, s"JL norm ratio off: $ratio")
+    // a different seed keys a different projection
+    val alt = Similarity.randomProjection(basis, outDim = 8, seed = 8L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(alt != got)
+  }
+
   test("cdcDedupedCorpus: keeper promotion on delete, group move on update") {
     // hand changelog: docs 1,2,3 share text A (keeper 1); doc 4 is B.
     // Then doc 1 (the keeper) is DELETED -> keeper promotes to 2; doc 3 is
