@@ -45,7 +45,15 @@ object Bench {
           -1.0
       }
     }
+    // subset controls for scale runs: SPARK_GRAFT_SKIP drops named queries
+    // (e.g. the generator's output-quadratic pair queries at sf10),
+    // SPARK_GRAFT_ONLY keeps just the named ones; both comma-separated
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => !skip.contains(n) && only.forall(_.contains(n)) }
     val pass1 = sorted.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val results = sorted.map { case (n, f) =>
       val t2 = timeOnce(n, f)
