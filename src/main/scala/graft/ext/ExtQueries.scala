@@ -99,6 +99,13 @@ object ExtQueries extends QueryPack {
       Similarity.ivfTopK(table(s, dir, "embeddings"), nCells = 8, nProbe = 3,
         nQueries = 10, k = 5)),
 
+    // the IVF index MAINTAINED from the embeddings table's own row-image
+    // changelog: re-embeds move postings, deletes retract them, new docs
+    // insert — only affected postings emitted (same-cell updates suppress)
+    "similarity_cdc_index" -> ((s, dir) =>
+      Similarity.cdcIndexDeltas(
+        embSnapshot(s, dir), embChangelog(s, dir), nCells = 16)),
+
     // recall@5 of that IVF configuration vs the exhaustive ground truth,
     // computed in-engine (the index-tuning loop's objective)
     "similarity_recall_eval" -> ((s, dir) =>
@@ -387,6 +394,38 @@ object ExtQueries extends QueryPack {
       .select((col("doc_id") * 10 + 5000000L).as("offset"), col("doc_id"),
         lit("d").as("op"), lit("").as("text"))
     ins.unionAll(upd).unionAll(del)
+  }
+
+  /** similarity_cdc_index's snapshot: the embeddings table widened to
+    * DOUBLE vectors — the corpus the index was built over.
+    */
+  private[ext] def embSnapshot(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings").select(col("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+
+  /** similarity_cdc_index's post-snapshot log — derived from embeddings
+    * with the SAME arithmetic on both engines (the docsChangelog pattern):
+    * vec_id%7==3 re-embeds (op `u`, vector reversed — "the document was
+    * edited and re-encoded"; reversal keeps the norm but moves the
+    * direction), vec_id%7==4 deletes (vd ignored by the fold), vec_id%31==0
+    * appends a brand-new document (id offset 1e9 keeps new ids disjoint
+    * from any bench SF's id range) whose vector is the reversed original.
+    */
+  private[ext] def embChangelog(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.reverse
+    val e = embSnapshot(s, dir)
+    val upd = e.where(col("vec_id") % 7 === 3)
+      .select((col("vec_id") * 10 + 5000000L).as("offset"), col("vec_id"),
+        lit("u").as("op"), reverse(col("vd")).as("vd"))
+    val del = e.where(col("vec_id") % 7 === 4)
+      .select((col("vec_id") * 10 + 5000000L).as("offset"), col("vec_id"),
+        lit("d").as("op"), col("vd"))
+    val neu = e.where(col("vec_id") % 31 === 0)
+      .select((col("vec_id") * 10 + 6000000L).as("offset"),
+        (col("vec_id") + 1000000000L).as("vec_id"),
+        lit("c").as("op"), reverse(col("vd")).as("vd"))
+    upd.unionAll(del).unionAll(neu)
   }
 
   private[ext] val U64 = "18446744073709551616"
@@ -738,6 +777,68 @@ object ExtQueries extends QueryPack {
       s"""$normedEmbSql,
          |$ivfChainSql
          |SELECT qid, nid, cell, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    // CDC-maintained index replay: the derived embeddings changelog (re-
+    // embeds reverse the vector, deletes drop it, %31 appends new docs),
+    // arg_max fold, then BOTH assignments with the 16 frozen seed
+    // centroids and the same sequential folds — the delta CASE replicates
+    // insert/move/delete with same-cell updates suppressed
+    "similarity_cdc_index" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd
+         |  FROM embeddings),
+         |frames AS (
+         |  SELECT vec_id * 10 + 5000000 AS o, vec_id, 'u' AS op,
+         |         list_reverse(vd) AS vd
+         |  FROM e WHERE vec_id % 7 = 3
+         |  UNION ALL
+         |  SELECT vec_id * 10 + 5000000, vec_id, 'd', vd
+         |  FROM e WHERE vec_id % 7 = 4
+         |  UNION ALL
+         |  SELECT vec_id * 10 + 6000000, vec_id + 1000000000, 'c',
+         |         list_reverse(vd)
+         |  FROM e WHERE vec_id % 31 = 0),
+         |st AS (SELECT vec_id, arg_max(op, o) AS op, arg_max(vd, o) AS vd
+         |       FROM frames GROUP BY 1),
+         |live AS (
+         |  SELECT coalesce(s.vec_id, e.vec_id) AS vec_id,
+         |         coalesce(s.vd, e.vd) AS vd
+         |  FROM e FULL JOIN st s ON e.vec_id = s.vec_id
+         |  WHERE s.op IS NULL OR s.op <> 'd'),
+         |cmx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,
+         |           ${Similarity.IvfSeedSalt}::UBIGINT AS iu FROM e),
+         |cmxs AS (SELECT vec_id, ${toSignedSql("zf")} AS mix
+         |         FROM ${mixChainSql("cmx0", "vec_id")}),
+         |seeds AS MATERIALIZED (
+         |  SELECT e.vec_id AS cell, e.vd AS cv,
+         |         sqrt(${dotSql("e.vd", "e.vd")}) AS cnrm
+         |  FROM cmxs JOIN e ON cmxs.vec_id = e.vec_id
+         |  ORDER BY cmxs.mix, e.vec_id LIMIT 16),
+         |bcs AS (SELECT e.vec_id, s.cell,
+         |          ${dotSql("e.vd", "s.cv")}
+         |            / (sqrt(${dotSql("e.vd", "e.vd")}) * s.cnrm) AS csim
+         |        FROM e CROSS JOIN seeds s),
+         |bef AS (SELECT vec_id, cell AS cell_before FROM (
+         |          SELECT vec_id, cell, row_number() OVER (
+         |            PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |          FROM bcs) WHERE rn = 1),
+         |acs AS (SELECT l.vec_id, s.cell,
+         |          ${dotSql("l.vd", "s.cv")}
+         |            / (sqrt(${dotSql("l.vd", "l.vd")}) * s.cnrm) AS csim
+         |        FROM live l CROSS JOIN seeds s),
+         |aft AS (SELECT vec_id, cell AS cell_after FROM (
+         |          SELECT vec_id, cell, row_number() OVER (
+         |            PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |          FROM acs) WHERE rn = 1),
+         |d AS (SELECT coalesce(b.vec_id, a.vec_id) AS vec_id,
+         |        b.cell_before, a.cell_after,
+         |        CASE WHEN b.cell_before IS NULL THEN 'insert'
+         |             WHEN a.cell_after IS NULL THEN 'delete'
+         |             WHEN a.cell_after <> b.cell_before THEN 'move'
+         |        END AS change
+         |      FROM bef b FULL JOIN aft a ON b.vec_id = a.vec_id)
+         |SELECT vec_id, cell_before, cell_after, change
+         |FROM d WHERE change IS NOT NULL""".stripMargin,
 
     // recall@5 of the IVF search against the exhaustive ground truth:
     // both chains above composed, intersected per query

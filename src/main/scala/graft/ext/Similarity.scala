@@ -319,6 +319,59 @@ object Similarity {
       .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"),
         first(col("vd")).as("vd"), first(col("nrm")).as("nrm"))
 
+  /** CDC-maintained IVF index: posting-list deltas under the embeddings
+    * table's OWN row-image changelog — the engine's two halves fused the
+    * way a production vector store runs them. The index is built once over
+    * the snapshot (seed centroids frozen at build time — cell geometry must
+    * NOT drift as rows churn, or every maintenance step re-shuffles the
+    * whole index), then the log phase maintains it: a re-embedded document
+    * (op `u` carrying the new vector) MOVES between cells, a delete
+    * retracts its posting, a brand-new document inserts one. Emits only the
+    * AFFECTED postings — `(vec_id, cell_before, cell_after, change)` with
+    * change in insert/move/delete; an update whose new vector lands in the
+    * same cell is a maintenance no-op and is suppressed, which is the whole
+    * point of incremental index upkeep.
+    *
+    * Inputs: `snapshot` = (vec_id, vd) at index build; `log` = (offset,
+    * vec_id, op, vd) row-image frames after the snapshot watermark (op
+    * `c`/`u`/`d`; `d` frames' vd is ignored). Last writer per vec_id wins
+    * by offset — the same fold the row-image sinks run.
+    *
+    * Shape at 100 TB: vectors cross exactly TWO map-side-combinable
+    * shuffles (the LWW fold and the full-outer snapshot⊕log merge — the
+    * unavoidable CDC joins, both keyed vec_id); both cell assignments are a
+    * broadcast nested loop over nCells centroid rows collapsed by a
+    * map-side argmax that ships only (vec_id, cell) scalars, and the delta
+    * join carries scalars too. The corpus never shuffles for the index
+    * itself.
+    */
+  def cdcIndexDeltas(snapshot: DataFrame, log: DataFrame, nCells: Int): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(snapshot.sparkSession)
+    val base = snapshot.select(col("vec_id"), col("vd"))
+      .withColumn("nrm", norm(col("vd")))
+    val cents = seedCentroids(base, nCells)
+    def assign(df: DataFrame): DataFrame =
+      cellSimilaritiesWith(df, cents)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
+    val folded = log.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("op"), col("vd")), col("offset")).as("w"))
+    val live = snapshot.select(col("vec_id"), col("vd"))
+      .join(folded, Seq("vec_id"), "full_outer")
+      .where(col("w").isNull || col("w.op") =!= lit("d"))
+      .select(col("vec_id"), coalesce(col("w.vd"), col("vd")).as("vd"))
+      .withColumn("nrm", norm(col("vd")))
+    val before = assign(base).select(col("vec_id"), col("cell").as("cell_before"))
+    val after = assign(live).select(col("vec_id"), col("cell").as("cell_after"))
+    before.join(after, Seq("vec_id"), "full_outer")
+      .withColumn("change",
+        when(col("cell_before").isNull, lit("insert"))
+          .when(col("cell_after").isNull, lit("delete"))
+          .when(col("cell_after") =!= col("cell_before"), lit("move")))
+      .where(col("change").isNotNull)
+      .select(col("vec_id"), col("cell_before"), col("cell_after"), col("change"))
+  }
+
   /** Salt deriving the deterministic PQ seed sample. */
   private[ext] val PqSeedSalt = 4099L
 

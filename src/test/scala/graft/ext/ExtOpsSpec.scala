@@ -627,6 +627,55 @@ class ExtOpsSpec extends SparkTestBase {
     assert(alt != got)
   }
 
+  test("cdcIndexDeltas: insert/move/delete deltas; same-cell updates suppressed") {
+    // orthogonal snapshot with nCells = corpus size: every vector is a
+    // centroid and assigns to itself, so expected cells are hand-readable
+    val snap = Seq(
+      (1L, Array(1.0, 0, 0, 0)), (2L, Array(0.0, 1, 0, 0)),
+      (3L, Array(0.0, 0, 1, 0)), (4L, Array(0.0, 0, 0, 1))
+    ).toDF("vec_id", "vd")
+    val log = Seq(
+      (10L, 1L, "u", Array(0.0, 1, 0, 0)),   // re-embedded ...
+      (20L, 1L, "d", Array(0.0, 0, 0, 0)),   // ... then deleted: LWW wins
+      (10L, 2L, "d", Array(0.0, 0, 0, 0)),
+      (10L, 3L, "u", Array(1.0, 0, 0, 0.1)), // now nearest e1 -> moves 3->1
+      (10L, 4L, "u", Array(0.0, 0, 0, 2)),   // same direction -> no-op
+      (10L, 9L, "c", Array(0.0, 1, 0, 0.1))  // new doc, nearest e2
+    ).toDF("offset", "vec_id", "op", "vd")
+    val got = Similarity.cdcIndexDeltas(snap, log, nCells = 4)
+      .collect().map { r =>
+        r.getLong(0) -> (
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getString(3))
+      }.toMap
+    assert(got == Map(
+      1L -> (Some(1L), None, "delete"),
+      2L -> (Some(2L), None, "delete"),
+      3L -> (Some(3L), Some(1L), "move"),
+      9L -> (None, Some(2L), "insert")))
+  }
+
+  test("cdcIndexDeltas: empty log is a fixpoint; deltas hit exactly the affected ids") {
+    val snap = ExtQueries.embSnapshot(spark, sfDir)
+    val log = ExtQueries.embChangelog(spark, sfDir)
+    assert(Similarity.cdcIndexDeltas(snap, log.where(lit(false)), 16).count() == 0)
+    val deltas = Similarity.cdcIndexDeltas(snap, log, nCells = 16)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val ids = snap.select("vec_id").as[Long].collect()
+    deltas.foreach {
+      case (id, "delete") => assert(id % 7 == 4)
+      case (id, "move")   => assert(id % 7 == 3)
+      case (id, "insert") => assert(id >= 1000000000L && (id - 1000000000L) % 31 == 0)
+      case other          => fail(s"unexpected delta $other")
+    }
+    // every delete and insert fires; moves are bounded by the re-embeds
+    assert(deltas.count(_._2 == "delete") == ids.count(_ % 7 == 4))
+    assert(deltas.count(_._2 == "insert") == ids.count(_ % 31 == 0))
+    assert(deltas.count(_._2 == "move") <= ids.count(_ % 7 == 3))
+    assert(deltas.count(_._2 == "move") > 0)
+  }
+
   test("cdcDedupedCorpus: keeper promotion on delete, group move on update") {
     // hand changelog: docs 1,2,3 share text A (keeper 1); doc 4 is B.
     // Then doc 1 (the keeper) is DELETED -> keeper promotes to 2; doc 3 is
