@@ -676,6 +676,32 @@ class ExtOpsSpec extends SparkTestBase {
     assert(deltas.count(_._2 == "move") > 0)
   }
 
+  test("cdcIndexDeltas decomposes: fold log state over any batch split, then diff") {
+    // the streaming claim: maintaining last-writer vector state per
+    // micro-batch (the upsert-sink semantics), then diffing the final
+    // state against the snapshot index, equals the one-shot batch operator
+    val snap = ExtQueries.embSnapshot(spark, sfDir)
+    val log = ExtQueries.embChangelog(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getSeq[Double](3).toArray)).sortBy(_._1)
+    val state = scala.collection.mutable.Map[Long, (Long, String, Array[Double])]()
+    log.grouped(math.max(1, log.length / 4)).foreach { batch =>
+      batch.foreach { case (o, id, op, vd) =>
+        if (state.get(id).forall(_._1 < o)) state(id) = (o, op, vd)
+      }
+    }
+    val folded = state.iterator
+      .map { case (id, (o, op, vd)) => (o, id, op, vd) }.toSeq
+      .toDF("offset", "vec_id", "op", "vd")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getString(3))).toSet
+    assert(canon(Similarity.cdcIndexDeltas(snap, folded, 16)) ==
+      canon(Similarity.cdcIndexDeltas(snap, ExtQueries.embChangelog(spark, sfDir), 16)))
+  }
+
   test("cdcDedupedCorpus: keeper promotion on delete, group move on update") {
     // hand changelog: docs 1,2,3 share text A (keeper 1); doc 4 is B.
     // Then doc 1 (the keeper) is DELETED -> keeper promotes to 2; doc 3 is
