@@ -1198,4 +1198,88 @@ object Curation {
         size(split(col("col"), " ")).as("n_toks"),
         call_function("graft_fnv64", col("col")).as("fingerprint"))
   }
+
+  /** T5-style span corruption: cut each document's word stream into
+    * `spanLen`-word spans, mask span `i` of document `d` iff
+    * `pmod(mix64(d * 2^20 + i, seed), maskEveryK) == 0`, and emit the
+    * (input, target) training pair — masked spans replaced by
+    * `<extra_id_j>` sentinels numbered in document order, the target the
+    * sentinel-prefixed concatenation of the masked text (Raffel et al.,
+    * "Exploring the Limits of Transfer Learning", §3.1.4).
+    *
+    * The whole rewrite is ONE in-row fold over the span array — no
+    * explode, no window, no shuffle: at 100 TB this is a map-only stage
+    * whose output partitioning is the input's. The mask decision is the
+    * same splitmix64 family every sampling gate here uses, so the oracle
+    * replays it bit-for-bit.
+    */
+  def spanCorruption(docs: DataFrame, spanLen: Int = 8, maskEveryK: Int = 5,
+      seed: Long = 11L): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
+    require(maskEveryK >= 1, s"maskEveryK must be positive, got $maskEveryK")
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    docs.where(col("text").isNotNull)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("spans", expr(
+        s"""transform(sequence(0, (size(ws) + $spanLen - 1) div $spanLen - 1),
+           |          i -> concat_ws(' ', slice(ws, i * $spanLen + 1, $spanLen)))"""
+          .stripMargin))
+      .withColumn("folded", expr(
+        s"""aggregate(
+           |  sequence(0, size(spans) - 1),
+           |  named_struct('j', 0L,
+           |               'inp', cast(array() as array<string>),
+           |               'tgt', cast(array() as array<string>)),
+           |  (acc, i) -> if(
+           |    pmod(graft_mix64(doc_id * ${Dedup.MaxSegsPerDoc}L + i, ${seed}L),
+           |         ${maskEveryK}L) = 0L,
+           |    named_struct('j', acc.j + 1L,
+           |      'inp', array_append(acc.inp, concat('<extra_id_', acc.j, '>')),
+           |      'tgt', array_append(acc.tgt,
+           |               concat('<extra_id_', acc.j, '> ', spans[i]))),
+           |    named_struct('j', acc.j,
+           |      'inp', array_append(acc.inp, spans[i]),
+           |      'tgt', acc.tgt)),
+           |  acc -> named_struct('input_text', array_join(acc.inp, ' '),
+           |                      'target_text', array_join(acc.tgt, ' '),
+           |                      'n_masked', acc.j))""".stripMargin))
+      .select(col("doc_id"),
+        col("folded.input_text").as("input_text"),
+        col("folded.target_text").as("target_text"),
+        col("folded.n_masked").as("n_masked"),
+        size(col("spans")).cast("long").as("n_spans"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022): a deterministic
+    * coin `pmod(mix64(doc_id, seed), 2)` selects half the corpus; for
+    * selected documents two word positions `lo <= hi` are drawn from
+    * independent mix64 streams and the document is re-emitted in PSM order
+    * — `<fim_prefix> P <fim_suffix> S <fim_middle> M` — so the model
+    * learns infilling while the untouched half preserves ordinary
+    * left-to-right training. Pure per-row projection: no explode, no
+    * shuffle, three splitmix draws and two array slices per document.
+    */
+  def fimTransform(docs: DataFrame, seed: Long = 23L): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    docs.where(col("text").isNotNull)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("fim_applied", expr(
+        s"pmod(graft_mix64(doc_id, ${seed}L), 2L) = 0L"))
+      .withColumn("p1", expr(
+        s"pmod(graft_mix64(doc_id, ${seed + 1}L), size(ws) + 1L)"))
+      .withColumn("p2", expr(
+        s"pmod(graft_mix64(doc_id, ${seed + 2}L), size(ws) + 1L)"))
+      .withColumn("lo", least(col("p1"), col("p2")))
+      .withColumn("hi", greatest(col("p1"), col("p2")))
+      .select(col("doc_id"), col("fim_applied"),
+        when(col("fim_applied"), concat(
+          lit("<fim_prefix> "),
+          expr("array_join(slice(ws, 1, cast(lo as int)), ' ')"),
+          lit(" <fim_suffix> "),
+          expr("array_join(slice(ws, cast(hi as int) + 1, size(ws) - cast(hi as int)), ' ')"),
+          lit(" <fim_middle> "),
+          expr("array_join(slice(ws, cast(lo as int) + 1, cast(hi - lo as int)), ' ')")))
+          .otherwise(col("text")).as("out_text"),
+        col("lo"), col("hi"))
+  }
 }

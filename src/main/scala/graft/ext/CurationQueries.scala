@@ -161,6 +161,20 @@ object CurationQueries extends QueryPack {
     "corpus_rag_chunks" -> ((s, dir) =>
       Curation.ragChunks(table(s, dir, "documents"), width = 12, stride = 8)),
 
+    // T5 span corruption: 8-word spans, splitmix-gated 1-in-5 masking,
+    // sentinel-renumbered (input, target) pairs — one in-row fold, no
+    // shuffle; the oracle replays the same mix64 gate per (doc, span) and
+    // rebuilds both strings with ordered string_aggs over an explicit
+    // sentinel-numbering window
+    "corpus_span_corruption" -> ((s, dir) =>
+      Curation.spanCorruption(table(s, dir, "documents"), spanLen = 8,
+        maskEveryK = 5, seed = 11L)),
+
+    // fill-in-the-middle: mix64-gated half of the corpus re-emitted in
+    // PSM sentinel order with independently drawn split points
+    "corpus_fim_transform" -> ((s, dir) =>
+      Curation.fimTransform(table(s, dir, "documents"), seed = 23L)),
+
     // C4 bad-words gate: every 11th doc gets a mixed-case planted hit so
     // both the kept and dropped branches (and case folding) are exercised
     "corpus_blocklist_filter" -> ((s, dir) => {
@@ -815,6 +829,81 @@ object CurationQueries extends QueryPack {
            |SELECT doc_id, chunk_idx, n_toks,
            |       ${ExtQueries.toSignedSql("hu")} AS fingerprint
            |FROM h""".stripMargin,
+
+      // span-corruption replay: the mask gate is pmod(mix64(doc*2^20+i,
+      // 11), 5) through the shared mix chain; sentinel numbers come from a
+      // doc-partitioned preceding-masked count (empty frame -> 0, matching
+      // the fold's j = 0 start) and both output strings are ordered
+      // string_aggs
+      "corpus_span_corruption" -> {
+        val signedZf = ExtQueries.toSignedSql("zf")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |           FROM documents WHERE text IS NOT NULL),
+           |e AS (SELECT doc_id, ws, unnest(range(0, (len(ws) + 7) // 8)) AS i
+           |      FROM t),
+           |sp AS (SELECT doc_id, i,
+           |              array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')
+           |                AS piece,
+           |              CAST(doc_id * 1048576 + i AS UBIGINT) AS hu,
+           |              11::UBIGINT AS iu
+           |       FROM e),
+           |mx AS (SELECT * FROM ${ExtQueries.mixChainSql("sp", "doc_id, i, piece")}),
+           |f AS (SELECT doc_id, i, piece,
+           |             ((($signedZf % 5) + 5) % 5) = 0 AS masked
+           |      FROM mx),
+           |g AS (SELECT doc_id, i, piece, masked,
+           |             count(*) FILTER (WHERE masked) OVER (
+           |               PARTITION BY doc_id ORDER BY i
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS j
+           |      FROM f),
+           |p AS (SELECT doc_id, i, masked,
+           |             CASE WHEN masked THEN '<extra_id_' || j || '>'
+           |                  ELSE piece END AS inp,
+           |             CASE WHEN masked
+           |                  THEN '<extra_id_' || j || '> ' || piece END AS tgt
+           |      FROM g)
+           |SELECT doc_id,
+           |       string_agg(inp, ' ' ORDER BY i) AS input_text,
+           |       coalesce(string_agg(tgt, ' ' ORDER BY i) FILTER (WHERE masked),
+           |                '') AS target_text,
+           |       CAST(count(*) FILTER (WHERE masked) AS BIGINT) AS n_masked,
+           |       CAST(count(*) AS BIGINT) AS n_spans
+           |FROM p GROUP BY doc_id""".stripMargin
+      },
+
+      // FIM replay: three independent mix64 draws (coin, p1, p2) through
+      // the shared chain; DuckDB list_slice's inclusive END index maps to
+      // Spark slice's (start, length) as [1,lo] / [hi+1,len] / [lo+1,hi]
+      "corpus_fim_transform" -> {
+        val signedZf = ExtQueries.toSignedSql("zf")
+        s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+           |           FROM documents WHERE text IS NOT NULL),
+           |g0 AS (SELECT doc_id, CAST(doc_id AS UBIGINT) AS hu,
+           |              23::UBIGINT AS iu FROM d),
+           |m0 AS (SELECT doc_id, ((($signedZf % 2) + 2) % 2) = 0 AS fim_applied
+           |       FROM ${ExtQueries.mixChainSql("g0", "doc_id")}),
+           |g1 AS (SELECT doc_id, len(ws) + 1 AS l, CAST(doc_id AS UBIGINT) AS hu,
+           |              24::UBIGINT AS iu FROM d),
+           |m1 AS (SELECT doc_id, ((($signedZf % l) + l) % l) AS p1
+           |       FROM ${ExtQueries.mixChainSql("g1", "doc_id, l")}),
+           |g2 AS (SELECT doc_id, len(ws) + 1 AS l, CAST(doc_id AS UBIGINT) AS hu,
+           |              25::UBIGINT AS iu FROM d),
+           |m2 AS (SELECT doc_id, ((($signedZf % l) + l) % l) AS p2
+           |       FROM ${ExtQueries.mixChainSql("g2", "doc_id, l")}),
+           |b AS (SELECT doc_id, least(p1, p2) AS lo, greatest(p1, p2) AS hi
+           |      FROM m1 JOIN m2 USING (doc_id))
+           |SELECT d.doc_id, fim_applied,
+           |       CASE WHEN fim_applied THEN
+           |         '<fim_prefix> '
+           |         || coalesce(array_to_string(list_slice(ws, 1, lo), ' '), '')
+           |         || ' <fim_suffix> '
+           |         || coalesce(array_to_string(list_slice(ws, hi + 1, len(ws)), ' '), '')
+           |         || ' <fim_middle> '
+           |         || coalesce(array_to_string(list_slice(ws, lo + 1, hi), ' '), '')
+           |       ELSE text END AS out_text,
+           |       lo, hi
+           |FROM d JOIN m0 USING (doc_id) JOIN b USING (doc_id)""".stripMargin
+      },
 
       // digest-keyed split replay: DuckDB's sha256 emits the same
       // lowercase hex as Spark's sha2(_, 256); 128 is a power of two, so

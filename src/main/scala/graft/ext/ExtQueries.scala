@@ -61,6 +61,24 @@ object ExtQueries extends QueryPack {
         span = 10, numHashes = 32, rowsPerBand = 4)
     }),
 
+    // incremental-ingest novelty gate: the stored index = band postings +
+    // digests of docs with doc_id % 10 < 8; the new batch = the rest. A
+    // batch doc colliding with any stored band signature (near-dup of
+    // indexed content — the planted dup families straddle the 80/20 split)
+    // or stored digest is rejected; the remainder is admitted
+    "dedup_novelty_gate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (bands, digests) =
+        Dedup.noveltyIndex(docs.where(col("doc_id") % 10 < 8),
+          numHashes = 32, rowsPerBand = 4)
+      Dedup.noveltyGate(bands, digests, docs.where(col("doc_id") % 10 >= 8),
+        numHashes = 32, rowsPerBand = 4)
+    }),
+
+    // per-source tokenizer fertility/compression budgeting stats
+    "text_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(table(s, dir, "documents"))),
+
     // pairs -> clusters: the transitive closure that actually dedups a
     // corpus (A~B~C collapses to one keeper even when A~C never paired)
     "dedup_cluster_assign" -> ((s, dir) => {
@@ -601,6 +619,44 @@ object ExtQueries extends QueryPack {
          |FROM bands x JOIN bands y
          |  ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
          |GROUP BY 1, 2""".stripMargin,
+
+    // novelty gate: the same band-signature chain computed once over the
+    // full corpus, split 80/20 into index and batch; the digest leg joins
+    // on raw text (sha-256 equality == text equality absent a collision)
+    "dedup_novelty_gate" ->
+      s"""$shingleHashSql,
+         |fam AS (SELECT doc_id, t.i AS i, hu, CAST(t.i AS UBIGINT) AS iu
+         |        FROM h CROSS JOIN range(32) t(i)),
+         |mins AS (SELECT doc_id, i, min(${toSignedSql("zf")}) AS m
+         |         FROM ${mixChainSql("fam", "doc_id, i")} GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS band_id, list(m ORDER BY i) AS sig
+         |          FROM mins GROUP BY doc_id, i // 4),
+         |idxb AS (SELECT DISTINCT band_id, sig FROM bands WHERE doc_id % 10 < 8),
+         |nearhit AS (SELECT DISTINCT b.doc_id
+         |            FROM bands b JOIN idxb USING (band_id, sig)
+         |            WHERE b.doc_id % 10 >= 8),
+         |exacthit AS (SELECT doc_id FROM documents
+         |             WHERE doc_id % 10 >= 8 AND text IN
+         |               (SELECT text FROM documents WHERE doc_id % 10 < 8))
+         |SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_bytes
+         |FROM documents
+         |WHERE doc_id % 10 >= 8
+         |  AND doc_id NOT IN (SELECT doc_id FROM nearhit)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exacthit)""".stripMargin,
+
+    "text_tokenizer_fertility" ->
+      s"""WITH t AS (SELECT source, text,
+         |    regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}') AS toks
+         |  FROM documents),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |             CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         |             CAST(sum(length(text)) AS BIGINT) AS n_bytes
+         |      FROM t GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_words, n_bytes,
+         |       CAST(n_tokens AS DOUBLE) / n_words AS fertility,
+         |       CAST(n_bytes AS DOUBLE) / n_tokens AS bytes_per_token
+         |FROM a""".stripMargin,
 
     // segment near-dup: the same minhash chain as dedup_minhash_lsh, run
     // over span-10 segments as synthetic units doc_id*2^20+idx; the

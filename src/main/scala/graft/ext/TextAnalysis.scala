@@ -44,6 +44,28 @@ object TextAnalysis {
         length(col("text")).as("n_chars2")
       )
 
+  /** Per-source tokenizer fertility — the budgeting statistic a tokenizer
+    * change is judged by at corpus scale: BPE-ish tokens per whitespace
+    * word (fertility) and bytes per token (compression), aggregated over
+    * each source. Map-side-combinable long sums through one small groupBy
+    * shuffle keyed by source (source cardinality, not corpus cardinality),
+    * then one exact int/int double division per ratio — oracle-exact.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks",
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_words"),
+        sum(length(col("text")).cast("long")).as("n_bytes"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_words"),
+        col("n_bytes"),
+        (col("n_tokens").cast("double") / col("n_words")).as("fertility"),
+        (col("n_bytes").cast("double") / col("n_tokens")).as("bytes_per_token"))
+
   /** Quality signals. Every ratio is a single int/int division so the value
     * is the correctly-rounded IEEE quotient in any engine (oracle-exact).
     */

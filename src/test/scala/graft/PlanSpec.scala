@@ -60,7 +60,8 @@ class PlanSpec extends SparkTestBase {
 
   test("dedup and similarity candidate generation contains no cartesian product") {
     for (name <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-        "similarity_topk_lsh", "dedup_embedding_cosine", "interval_join")) {
+        "similarity_topk_lsh", "dedup_embedding_cosine", "interval_join",
+        "dedup_novelty_gate")) {
       val s = planString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name plans a cartesian product")
     }

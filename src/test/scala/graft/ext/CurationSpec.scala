@@ -27,6 +27,63 @@ class CurationSpec extends SparkTestBase {
     assert(d1.isNullAt(6) && d1.getInt(7) == 0)
   }
 
+  test("span corruption: splitmix-gated masks, renumbered sentinels, shuffle-free") {
+    val s = spark
+    import s.implicits._
+    val words = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((3L, words)).toDF("doc_id", "text")
+    val df = Curation.spanCorruption(docs, spanLen = 2, maskEveryK = 2, seed = 11L)
+    // per-document rewrite must be a map-only stage: no exchange anywhere
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val r = df.collect()(0)
+    // replay the gate with the library's own mixer
+    def masked(i: Int) =
+      java.lang.Math.floorMod(Hashing.mix64(3L * 1048576L + i, 11L), 2L) == 0L
+    val spans = (0 until 6).map(i => s"w${2 * i} w${2 * i + 1}")
+    var j = 0
+    val inp = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tgt = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 0 until 6) {
+      if (masked(i)) {
+        inp += s"<extra_id_$j>"; tgt += s"<extra_id_$j> ${spans(i)}"; j += 1
+      } else inp += spans(i)
+    }
+    assert(j >= 1 && j < 6) // fixture exercises both branches
+    assert(r.getAs[String]("input_text") == inp.mkString(" "))
+    assert(r.getAs[String]("target_text") == tgt.mkString(" "))
+    assert(r.getAs[Long]("n_masked") == j.toLong)
+    assert(r.getAs[Long]("n_spans") == 6L)
+  }
+
+  test("FIM transform: coin + split points replay the library mixer, PSM order") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 8L).map(d => (d, (0 until 9).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val df = Curation.fimTransform(docs, seed = 23L)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = df.orderBy("doc_id").collect()
+    var applied = 0
+    for (r <- rows) {
+      val d = r.getLong(0)
+      val coin = java.lang.Math.floorMod(Hashing.mix64(d, 23L), 2L) == 0L
+      assert(r.getBoolean(1) == coin)
+      val p1 = java.lang.Math.floorMod(Hashing.mix64(d, 24L), 10L)
+      val p2 = java.lang.Math.floorMod(Hashing.mix64(d, 25L), 10L)
+      val (lo, hi) = (math.min(p1, p2), math.max(p1, p2))
+      assert(r.getLong(3) == lo && r.getLong(4) == hi)
+      val ws = (0 until 9).map(i => s"t$i")
+      if (coin) {
+        applied += 1
+        val expect = s"<fim_prefix> ${ws.take(lo.toInt).mkString(" ")}" +
+          s" <fim_suffix> ${ws.drop(hi.toInt).mkString(" ")}" +
+          s" <fim_middle> ${ws.slice(lo.toInt, hi.toInt).mkString(" ")}"
+        assert(r.getString(2) == expect)
+      } else assert(r.getString(2) == ws.mkString(" "))
+    }
+    assert(applied >= 1 && applied < rows.length) // both branches exercised
+  }
+
   test("scrub masks emails then urls and counts matches") {
     val s = spark
     import s.implicits._

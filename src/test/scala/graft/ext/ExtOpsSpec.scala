@@ -31,6 +31,42 @@ class ExtOpsSpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("novelty gate admits only content absent from the stored index") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base, "en", "src0", 10L),
+      (1L, "totally different words one two three four five six", "en", "src0", 10L),
+      (10L, base, "en", "src1", 10L),                 // exact dup of 0
+      (11L, base + " lambda", "en", "src1", 10L),     // near dup of 0 (shared bands)
+      (12L, "qq ww ee rr tt yy uu ii oo pp", "en", "src1", 10L) // novel
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (bands, digests) =
+      Dedup.noveltyIndex(docs.where($"doc_id" < 10), 32, 4)
+    val out = Dedup.noveltyGate(bands, digests, docs.where($"doc_id" >= 10), 32, 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(12L))
+    assert(out(0).getString(1) == "src1" && out(0).getLong(2) == 29L)
+    // the near-dup really was caught by the band leg, not the digest leg
+    val bandOnly = Dedup.noveltyGate(bands,
+      spark.emptyDataset[String].toDF("digest"),
+      docs.where($"doc_id" === 11L), 32, 4).collect()
+    assert(bandOnly.isEmpty)
+  }
+
+  test("tokenizer fertility aggregates exact per-source token/word/byte sums") {
+    val docs = Seq(
+      (0L, "the cat sat", "en", "srcA", 11L),  // BPE-ish: the| cat| sat = 3
+      (1L, "dogs run", "en", "srcA", 8L),      // dogs| run = 2
+      (2L, "a b", "en", "srcB", 3L)            // a| b = 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.tokenizerFertility(docs).orderBy("source").collect()
+    assert(r(0).getString(0) == "srcA" && r(0).getLong(1) == 2L)
+    assert(r(0).getLong(2) == 5L && r(0).getLong(3) == 5L && r(0).getLong(4) == 19L)
+    assert(r(0).getDouble(5) == 1.0 && r(0).getDouble(6) == 19.0 / 5)
+    assert(r(1).getString(0) == "srcB" && r(1).getLong(2) == 2L &&
+      r(1).getLong(3) == 2L && r(1).getDouble(5) == 1.0)
+  }
+
   test("clusterAssign equals the transitive closure (union-find) on generated graphs") {
     // deterministic pseudo-random graphs via the library's own mix64 — three
     // shapes: sparse, chain-heavy (deep components), and dense
