@@ -117,9 +117,10 @@ object IvmQueries extends QueryPack {
     history(t, ordersJoinTable, col("o_orderkey") * 100 + 50, op2, img0, img1)
   }
 
-  private val AsOf = 8000000000000000L
-  private val DiffLo = 4000000000000000L
-  private val DiffHi = 12000000000000000L
+  // orderkey-threshold * 8 on the lineitem-envelope offset layout
+  private val AsOf = 64000L
+  private val DiffLo = 32000L
+  private val DiffHi = 96000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVM join — the folded delta stream must equal the direct join of

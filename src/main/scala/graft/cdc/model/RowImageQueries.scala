@@ -16,8 +16,9 @@ import RowImage._
   * The fixture synthesizes a changelog from `lineitem` deterministically
   * (both sides of the oracle derive it with the same arithmetic):
   *
-  *   - offset = ((l_orderkey*10 + l_linenumber)*1e6 + l_partkey)*1e5
-  *              + l_suppkey                       (unique, monotone)
+  *   - offset = l_orderkey*8 + l_linenumber      (monotone; unique within
+  *              each (l_partkey, l_suppkey) merge group — the 4-tuple is
+  *              unique — so arg_max/max_by never tie; fits int64 at any SF)
   *   - op     = R -> 'd', A -> 'u', else 'c'     (from l_returnflag)
   *   - ts_ms  = epoch millis of l_shipdate
   *   - after image  = the row's declared-typed values (absent for deletes),
@@ -199,7 +200,16 @@ object RowImageQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Envelope frames derived from an (optionally filtered) lineitem frame. */
-  def envelopeFrom(lineitem: DataFrame): DataFrame = {
+  def envelopeFrom(lineitem: DataFrame): DataFrame =
+    envelopeFromKeyed(lineitem).drop("l_partkey", "l_suppkey")
+
+  /** [[envelopeFrom]] plus the (l_partkey, l_suppkey) identity columns —
+    * (offset, l_partkey, l_suppkey) is the fixture's unique row identity
+    * (bijective with the 4-tuple, since offset folds orderkey+linenumber),
+    * which staging paths use to totalize the offset order deterministically
+    * on both oracle sides.
+    */
+  def envelopeFromKeyed(lineitem: DataFrame): DataFrame = {
     val after = image(0, when(col("l_returnflag") === "N", lit(null).cast(StringType))
       .otherwise(col("l_returnflag")))
     val before = image(5, lit("P"))
@@ -221,18 +231,25 @@ object RowImageQueries extends QueryPack {
           .when(col("l_returnflag") === "A", Changelog.OpUpdate)
           .otherwise(Changelog.OpInsert))
       .select(
-        // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is the fixture's
-        // unique row identity (the driver's synthetic lineitem repeats
-        // (orderkey, linenumber) pairs); fold all four into one monotone
-        // int64 offset — max ~1.5e18 at sf1, no overflow
-        (((col("l_orderkey") * 10 + col("l_linenumber")) * lit(1000000L) +
-          col("l_partkey")) * lit(100000L) + col("l_suppkey")).as("offset"),
+        // offset = l_orderkey*8 + l_linenumber (linenumber <= 7). The merge
+        // key is (l_partkey, l_suppkey) and the full 4-tuple
+        // (orderkey, linenumber, partkey, suppkey) is unique, so offsets
+        // never tie WITHIN a merge group — which is all last-writer-wins
+        // needs. Distinct rows of different groups may share an offset,
+        // exactly like two rows of one transaction sharing a binlog
+        // position. (The previous layout folded all four components
+        // positionally; at sf10 key ranges that is a >63-bit space and
+        // overflows — within-group uniqueness is the scale-stable
+        // contract.)
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("offset"),
         col("op"),
         unix_millis(col("l_shipdate")).as("ts_ms"),
         when(col("op").isin(Changelog.OpUpdate, Changelog.OpDelete),
           encodeImage(before, lineitemTable)).as("before"),
         when(col("op") =!= Changelog.OpDelete,
-          encodeImage(after, lineitemTable)).as("after")
+          encodeImage(after, lineitemTable)).as("after"),
+        col("l_partkey").cast("long").as("l_partkey"),
+        col("l_suppkey").cast("long").as("l_suppkey")
       )
   }
 
@@ -269,10 +286,10 @@ object RowImageQueries extends QueryPack {
     def row(lo: Column, hi: Column, hwm: Long): DataFrame =
       spark.range(1).select(lo.as("lo"), hi.as("hi"), lit(hwm).as("hwm"))
     val nul = lit(null).cast(keyType)
-    // hwm ~= orderkey-threshold * 1e12 on the folded offset layout
-    row(nul, k(500, 50), 1000000000000000L)
-      .unionByName(row(k(500, 50), k(1500, 25), 1200000000000000L))
-      .unionByName(row(k(1500, 25), nul, 400000000000000L))
+    // hwm = orderkey-threshold * 8 on the offset layout
+    row(nul, k(500, 50), 8000L)
+      .unionByName(row(k(500, 50), k(1500, 25), 9600L))
+      .unionByName(row(k(1500, 25), nul, 3200L))
   }
 
   /** The last-writer-wins oracle, with an optional predicate over the
@@ -311,8 +328,7 @@ object RowImageQueries extends QueryPack {
   /** Shared oracle prelude: the deterministic changelog derivation. */
   private[model] def clSqlWhere(where: String): String =
     s"""WITH cl AS (
-      |  SELECT ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey)
-      |           * 100000 + l_suppkey AS o,
+      |  SELECT l_orderkey * 8 + l_linenumber AS o,
       |         CASE l_returnflag WHEN 'R' THEN 'd' WHEN 'A' THEN 'u'
       |              ELSE 'c' END AS op,
       |         l_partkey, l_suppkey, l_quantity, l_extendedprice,
@@ -447,9 +463,9 @@ object RowImageQueries extends QueryPack {
       def k(p: Long, sk: Long): Column =
         struct(lit(p).as("l_partkey"), lit(sk).as("l_suppkey")).cast(keyType)
       val plan: graft.cdc.source.RowImageHybrid.ChunkPlan = Seq(
-        (None, Some(k(500, 50)), 2000000000000000L, 3000000000000000L),
-        (Some(k(500, 50)), Some(k(1500, 25)), 5000000000000000L, 5000000000000000L),
-        (Some(k(1500, 25)), None, 7000000000000000L, 9000000000000000L))
+        (None, Some(k(500, 50)), 16000L, 24000L),
+        (Some(k(500, 50)), Some(k(1500, 25)), 40000L, 40000L),
+        (Some(k(1500, 25)), None, 56000L, 72000L))
       graft.cdc.source.RowImageHybrid.materialize(ir, lineitemTable, plan).select(
         col("l_partkey"), col("l_suppkey"), col("last_offset"),
         col("l_quantity").cast(StringType).as("l_quantity"),
@@ -489,15 +505,19 @@ object RowImageQueries extends QueryPack {
     // Capped at l_orderkey <= 1500 (~6k frames at any sf) so fixture cost
     // is sf-independent.
     "rowimage_stream_materialize" -> ((s, dir) => {
-      val capped = envelopeFrom(
+      val capped = envelopeFromKeyed(
         Changelog.table(s, dir, "lineitem").where(col("l_orderkey") <= 1500))
       val frames = capped.collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-          "lineitem", r.getString(3), r.getString(4)))
+        .map(r => ((r.getLong(0), r.getLong(5), r.getLong(6)),
+          (r.getString(1), r.getLong(2), "lineitem", r.getString(3), r.getString(4))))
+        // totalize the offset order with the identity columns — offsets can
+        // repeat ACROSS merge groups (two rows of one transaction at one
+        // binlog position), so (offset, pk, sk) is the deterministic total
+        // order the oracle's row_number() replays
         .sortBy(_._1)
-        // sf0.001 has one duplicated row identity -> tied offsets; a log's
-        // SEQ is unique by construction, so keep one frame per seq (sf0.01+,
-        // where the oracle gate runs, has no ties)
+        // sf0.001 has one duplicated full row identity; a log's SEQ is
+        // unique by construction, so keep one frame per identity (sf0.01+,
+        // where the oracle gate runs, has no identity duplicates)
         .distinctBy(_._1)
         // the log's SEQ is its own DENSE domain — the delivery order of the
         // stream (a binlog/topic position), not the row-identity offset. The
@@ -506,7 +526,7 @@ object RowImageQueries extends QueryPack {
         // folded identity would make `start + maxRows` never reach the data.
         // The oracle derives the identical numbering with row_number().
         .zipWithIndex
-        .map { case ((_, op, ts, tbl, b, a), i) => (i.toLong, op, ts, tbl, b, a) }
+        .map { case ((_, (op, ts, tbl, b, a)), i) => (i.toLong, op, ts, tbl, b, a) }
       val stageKey = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_env1_$stageKey"
@@ -723,7 +743,8 @@ object RowImageQueries extends QueryPack {
     "rowimage_stream_materialize" ->
       s"""${clSqlWhere(" WHERE l_orderkey <= 1500")},
          |cld AS (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY o) - 1 AS o, op,
+         |  SELECT ROW_NUMBER() OVER (ORDER BY o, l_partkey, l_suppkey) - 1
+         |           AS o, op,
          |         l_partkey, l_suppkey, l_quantity, l_extendedprice,
          |         l_shipdate, l_returnflag, l_linestatus
          |  FROM cl)
@@ -744,11 +765,11 @@ object RowImageQueries extends QueryPack {
       s"""$clSql
          |SELECT o AS "offset", op, l_partkey, l_suppkey FROM cl
          |WHERE ((l_partkey < 500 OR (l_partkey = 500 AND l_suppkey < 50))
-         |        AND o > 1000000000000000)
+         |        AND o > 8000)
          |   OR (NOT (l_partkey < 500 OR (l_partkey = 500 AND l_suppkey < 50))
          |        AND (l_partkey < 1500 OR (l_partkey = 1500 AND l_suppkey < 25))
-         |        AND o > 1200000000000000)
+         |        AND o > 9600)
          |   OR (NOT (l_partkey < 1500 OR (l_partkey = 1500 AND l_suppkey < 25))
-         |        AND o > 400000000000000)""".stripMargin
+         |        AND o > 3200)""".stripMargin
   )
 }

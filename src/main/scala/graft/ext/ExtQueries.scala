@@ -236,7 +236,14 @@ object ExtQueries extends QueryPack {
     // recomputes the pixel statistics analytically from the text bytes
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeBatched(
-        Multimodal.encodePng(table(s, dir, "documents")), batchSize = 64).toDF())
+        Multimodal.encodePng(table(s, dir, "documents")), batchSize = 64).toDF()),
+
+    // caption-media alignment gate (the CLIP-score filter shape): captions
+    // paired to media embeddings by id, hashed-BoW text projection vs the
+    // stored vector, keep iff cosine >= 0 — both branches populated
+    "multimodal_caption_align" -> ((s, dir) =>
+      Multimodal.captionAlign(table(s, dir, "documents"),
+        table(s, dir, "embeddings"), dim = 64, threshold = 0.0))
   )
 
   /** DuckDB rendering of [[Similarity]]'s sequential double fold: prepending
@@ -606,6 +613,30 @@ object ExtQueries extends QueryPack {
          |SELECT doc_id, 16 AS width, CAST(height AS INTEGER) AS height, px_sum,
          |       px_sum::DOUBLE / (16 * height) AS mean_lum
          |FROM s""".stripMargin,
+
+    // alignment replay: bucket = fnv64(word) mod 64 (power of two, so
+    // unsigned == signed pmod); count vector, norms, and the cross dot are
+    // all index-order folds — the same IEEE sequence graft_dot runs
+    "multimodal_caption_align" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tb AS (SELECT doc_id,
+         |         list_transform(ws, w0 ->
+         |           CAST(${fnvUSql("w0")} % 64 AS BIGINT)) AS buckets
+         |       FROM t),
+         |tv AS (SELECT doc_id,
+         |         list_transform(range(0, 64),
+         |           b -> CAST(len(list_filter(buckets, x -> x = b)) AS DOUBLE))
+         |           AS tv
+         |       FROM tb),
+         |tn AS (SELECT doc_id, tv, sqrt(${dotSql("tv", "tv")}) AS tnrm FROM tv),
+         |m AS (SELECT vec_id AS doc_id,
+         |             list_transform(embedding, x -> x::DOUBLE) AS vd
+         |      FROM embeddings),
+         |mn AS (SELECT doc_id, vd, sqrt(${dotSql("vd", "vd")}) AS vnrm FROM m),
+         |sel AS (SELECT tn.doc_id,
+         |               ${dotSql("tv", "vd")} / (tnrm * vnrm) AS align_score
+         |        FROM tn JOIN mn USING (doc_id))
+         |SELECT doc_id, align_score, align_score >= 0.0 AS kept FROM sel""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""$shingleHashSql,

@@ -165,4 +165,44 @@ object Multimodal {
         min(struct(col("doc_id"), col("frame_idx"))).as("keep"))
       .select(col("feature"), col("frame_len"), col("dup_cnt"),
         col("keep.doc_id").as("keep_doc"), col("keep.frame_idx").as("keep_idx"))
+
+  /** Caption-image alignment filtering (the LAION/DataComp CLIP-score gate):
+    * each caption (documents row) pairs with its media embedding
+    * (embeddings row, vec_id == doc_id) and the pair is kept iff the
+    * cosine between a text-side embedding and the stored media embedding
+    * clears `threshold`. The text encoder here is the deterministic
+    * stand-in a sandbox allows — a hashed bag-of-words projected into the
+    * embedding space (bucket = fnv64(word) mod dim) — while the Spark-side
+    * plumbing is the real thing: an equi-join keyed by id (media embeddings
+    * shuffle once by key, captions likewise; at 100 TB both sides are
+    * id-bucketed and the join is shuffle-free), cosine entirely inside
+    * codegen, and the gate a narrow filter.
+    *
+    * Every arithmetic step is a fixed-order fold (graft_dot walks indices
+    * 0..dim-1), so the DuckDB oracle replays bit-for-bit. The count vector
+    * materializes per row (dim * words compiled ops — fine at the fixture's
+    * dim; a production-dim encoder would run the sorted-run fold instead).
+    */
+  def captionAlign(docs: DataFrame, emb: DataFrame, dim: Int,
+      threshold: Double): DataFrame = {
+    require(dim >= 1 && (dim & (dim - 1)) == 0,
+      s"dim must be a positive power of two (bucket = unsigned mod), got $dim")
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    val text = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("buckets", expr(s"transform(ws, w -> pmod(graft_fnv64(w), ${dim}L))"))
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, $dim - 1),
+                 |  b -> cast(size(filter(buckets, x -> x = b)) as double))"""
+          .stripMargin).as("tv"))
+      .withColumn("tnrm", Similarity.norm(col("tv")))
+    val media = emb.select(col("vec_id").as("doc_id"),
+        Similarity.toDouble("embedding").as("vd"))
+      .withColumn("vnrm", Similarity.norm(col("vd")))
+    text.join(media, Seq("doc_id"))
+      .select(col("doc_id"),
+        (Similarity.dot(col("tv"), col("vd")) / (col("tnrm") * col("vnrm")))
+          .as("align_score"))
+      .withColumn("kept", col("align_score") >= threshold)
+  }
 }

@@ -215,7 +215,7 @@ class IvmSpec extends SparkTestBase {
     assert(keyed(plain) == keyed(asOfEnd) && keyed(plain).nonEmpty)
 
     // apply the lo->hi diff onto state(lo); must land exactly on state(hi)
-    val lo = 5000000000000L
+    val lo = 40L // orderkey 5 * 8
     val hi = Long.MaxValue
     val sLo = keyed(RowImage.upsertMaterializeEnvelopeAsOf(env, t, lo))
     val sHi = keyed(RowImage.upsertMaterializeEnvelopeAsOf(env, t, hi))

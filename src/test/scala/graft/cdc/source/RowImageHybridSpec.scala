@@ -37,7 +37,7 @@ class RowImageHybridSpec extends SparkTestBase {
 
   test("hybrid == direct merge across chunk plans and watermark interleavings") {
     val direct = norm(RowImage.upsertMaterialize(ir, t))
-    val lo = 100000000000000L // ~orderkey 100 on the folded offset layout
+    val lo = 800L // orderkey 100 * 8 on the offset layout
     val plans: Seq[RowImageHybrid.ChunkPlan] = Seq(
       // staggered brackets per chunk
       Seq((None, Some(k(500, 50)), lo, 3 * lo),
@@ -63,7 +63,7 @@ class RowImageHybridSpec extends SparkTestBase {
     val ranges = graft.cdc.split.KeyedChunkPlanner.sampledChunkRanges(
       keys, Seq("l_partkey", "l_suppkey"), n = 4, fraction = 0.5)
     assert(ranges.length == 4)
-    val lo = 100000000000000L
+    val lo = 800L
     val plan = RowImageHybrid.planFromBoundaries(t, ranges,
       i => (lo * (i + 1), lo * (i + 3))) // staggered brackets per chunk
     assert(norm(RowImageHybrid.materialize(ir, t, plan)) ==

@@ -53,6 +53,26 @@ class ExtOpsSpec extends SparkTestBase {
     assert(bandOnly.isEmpty)
   }
 
+  test("caption alignment replays the hashed-BoW cosine against the stored vector") {
+    val docs = Seq((7L, "alpha beta alpha", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vec = Array.tabulate(64)(i => (i % 5 - 2).toFloat)
+    val emb = Seq((7L, vec.toSeq, 1)).toDF("vec_id", "embedding", "label")
+    val r = Multimodal.captionAlign(docs, emb, dim = 64, threshold = 0.0).collect()(0)
+    val counts = new Array[Double](64)
+    for (w <- Seq("alpha", "beta", "alpha"))
+      counts(java.lang.Math.floorMod(TextAnalysis.fnv1a64(w), 64L).toInt) += 1.0
+    var dot = 0.0; var t2 = 0.0; var v2 = 0.0
+    for (i <- 0 until 64) {
+      dot += counts(i) * vec(i).toDouble
+      t2 += counts(i) * counts(i); v2 += vec(i).toDouble * vec(i).toDouble
+    }
+    val expect = dot / (math.sqrt(t2) * math.sqrt(v2))
+    assert(r.getLong(0) == 7L)
+    assert(math.abs(r.getDouble(1) - expect) < 1e-12)
+    assert(r.getBoolean(2) == (expect >= 0.0))
+  }
+
   test("tokenizer fertility aggregates exact per-source token/word/byte sums") {
     val docs = Seq(
       (0L, "the cat sat", "en", "srcA", 11L),  // BPE-ish: the| cat| sat = 3
