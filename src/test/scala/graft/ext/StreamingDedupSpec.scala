@@ -47,6 +47,48 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(kept.nonEmpty)
   }
 
+  test("streaming novelty gate (foreachBatch vs static index) equals the batch gate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val indexed = docs.where(col("doc_id") % 10 < 8)
+    val batchSide = docs.where(col("doc_id") % 10 >= 8)
+    val (bands, digests) = Dedup.noveltyIndex(indexed, 32, 4)
+    // the stored index is static across the stream: cache like a real
+    // posting table read once per ingest
+    val (bandsC, digestsC) = (bands.cache(), digests.cache())
+
+    val expected = Dedup.noveltyGate(bandsC, digestsC, batchSide, 32, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val rows = batchSide.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val stream = MemoryStream[(Long, String, String)]
+    val admitted = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    val q = stream.toDS().toDF("doc_id", "text", "source").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        admitted ++= Dedup.noveltyGate(bandsC, digestsC, batch, 32, 4)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    // three uneven micro-batches: the gate is per-batch stateless against
+    // the static index, so any split must produce the same admissions
+    val (a, rest) = rows.splitAt(rows.length / 3)
+    val (b, c) = rest.splitAt(1)
+    stream.addData(a.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    stream.addData(c.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    assert(admitted.toSet == expected)
+    assert(expected.nonEmpty && expected.size < rows.length) // both branches real
+  }
+
   test("state TTL path: claims within the TTL window still dedup identically") {
     val s = spark
     import s.implicits._
