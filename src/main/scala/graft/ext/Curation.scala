@@ -1224,6 +1224,13 @@ object Curation {
         s"""transform(sequence(0, (size(ws) + $spanLen - 1) div $spanLen - 1),
            |          i -> concat_ws(' ', slice(ws, i * $spanLen + 1, $spanLen)))"""
           .stripMargin))
+      // the mask key is doc_id * 2^20 + i: a document with more spans than
+      // the 2^20 slot would silently alias into another doc's mask stream —
+      // fail loudly instead (same guard as Dedup.segmentNearDup)
+      .withColumn("spans", expr(
+        s"""if(size(spans) <= ${Dedup.MaxSegsPerDoc}L, spans,
+           |   raise_error(concat('more than ${Dedup.MaxSegsPerDoc} spans in document ',
+           |                      cast(doc_id as string))))""".stripMargin))
       .withColumn("folded", expr(
         s"""aggregate(
            |  sequence(0, size(spans) - 1),

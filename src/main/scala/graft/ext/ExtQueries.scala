@@ -618,7 +618,8 @@ object ExtQueries extends QueryPack {
     // unsigned == signed pmod); count vector, norms, and the cross dot are
     // all index-order folds — the same IEEE sequence graft_dot runs
     "multimodal_caption_align" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents WHERE text IS NOT NULL),
          |tb AS (SELECT doc_id,
          |         list_transform(ws, w0 ->
          |           CAST(${fnvUSql("w0")} % 64 AS BIGINT)) AS buckets
@@ -669,7 +670,7 @@ object ExtQueries extends QueryPack {
          |exacthit AS (SELECT doc_id FROM documents
          |             WHERE doc_id % 10 >= 8 AND text IN
          |               (SELECT text FROM documents WHERE doc_id % 10 < 8))
-         |SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_bytes
+         |SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS n_bytes
          |FROM documents
          |WHERE doc_id % 10 >= 8
          |  AND doc_id NOT IN (SELECT doc_id FROM nearhit)
@@ -682,7 +683,7 @@ object ExtQueries extends QueryPack {
          |a AS (SELECT source, count(*) AS n_docs,
          |             CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
          |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
-         |             CAST(sum(length(text)) AS BIGINT) AS n_bytes
+         |             CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
          |      FROM t GROUP BY source)
          |SELECT source, n_docs, n_tokens, n_words, n_bytes,
          |       CAST(n_tokens AS DOUBLE) / n_words AS fertility,

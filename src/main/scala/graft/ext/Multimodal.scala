@@ -188,7 +188,11 @@ object Multimodal {
     require(dim >= 1 && (dim & (dim - 1)) == 0,
       s"dim must be a positive power of two (bucket = unsigned mod), got $dim")
     graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    // NULL captions carry no alignment signal — filter them out (same
+    // contract as spanCorruption/fimTransform) so the hash/norm lambdas
+    // never see a NULL word array
     val text = docs
+      .where(col("text").isNotNull)
       .withColumn("ws", split(col("text"), " "))
       .withColumn("buckets", expr(s"transform(ws, w -> pmod(graft_fnv64(w), ${dim}L))"))
       .select(col("doc_id"),

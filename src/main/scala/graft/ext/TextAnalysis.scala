@@ -60,7 +60,9 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("n_tokens"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_words"),
-        sum(length(col("text")).cast("long")).as("n_bytes"))
+        // octet_length: true UTF-8 bytes (length() counts characters, which
+        // diverges on any non-ASCII corpus — bytes_per_token is a BYTE ratio)
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_words"),
         col("n_bytes"),
         (col("n_tokens").cast("double") / col("n_words")).as("fertility"),

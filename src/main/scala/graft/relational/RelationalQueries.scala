@@ -67,6 +67,30 @@ object RelationalQueries extends QueryPack {
         .distinct()
     }),
 
+    // J3 — the aggregate-over-join form of the interval join: per-user
+    // within-hour pair COUNTS. Same bucketed range-join (no cross join),
+    // but the output is bounded by user cardinality instead of pair
+    // cardinality — the form a scale bench should time, since the
+    // row-emitting twin's output grows super-linearly whenever the
+    // generator packs more events into a fixed time window (the sf10
+    // artifact BENCH_NOTES_r08.md measured). The row-emitting form above
+    // stays oracled for the pair semantics.
+    "interval_join_agg" -> ((s, dir) => {
+      val ev = changelog(s, dir).select(col("offset"), col("pk"), col("ts_ms"))
+      val bucketed = ev.withColumn("bucket", expr("ts_ms div 3600000"))
+      val left = bucketed.select(col("offset").as("l_off"), col("pk"),
+        col("ts_ms").as("l_ts"), col("bucket"))
+      val right = bucketed.select(col("offset").as("r_off"), col("pk"),
+        col("ts_ms").as("r_ts"), explode(array(col("bucket"), col("bucket") + 1,
+          col("bucket") - 1)).as("bucket"))
+      left.join(right, Seq("pk", "bucket"))
+        .where(col("l_off") < col("r_off") &&
+          abs(col("l_ts") - col("r_ts")) <= 3600000L)
+        .select(col("pk"), col("l_off"), col("r_off"))
+        .distinct()
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // T4-adjacent — session windows: gap > 30 min starts a new session per
     // user; output one row per session with bounds and event count. The
     // lag/cumulative-sum formulation shuffles once by user.
@@ -177,6 +201,14 @@ object RelationalQueries extends QueryPack {
          |FROM changelog a JOIN changelog b
          |  ON a.pk = b.pk AND a."offset" < b."offset"
          | AND abs(a.ts_ms - b.ts_ms) <= 3600000""".stripMargin,
+
+    "interval_join_agg" ->
+      s"""$changelogSql,
+         |p AS (SELECT DISTINCT a.pk, a."offset" AS l_off, b."offset" AS r_off
+         |      FROM changelog a JOIN changelog b
+         |        ON a.pk = b.pk AND a."offset" < b."offset"
+         |       AND abs(a.ts_ms - b.ts_ms) <= 3600000)
+         |SELECT pk, count(*) AS n_pairs FROM p GROUP BY pk""".stripMargin,
 
     "event_time_windows" ->
       s"""$changelogSql

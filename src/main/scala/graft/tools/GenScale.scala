@@ -108,17 +108,53 @@ object GenScale {
     write("events", replicate(events, Map("event_id" -> eS)) { d =>
       d.withColumn("ts", expr("timestampadd(MICROSECOND, copy, ts)"))
     })
-    // per-copy suffix: copies are near-duplicates, not byte-duplicates
+    // Clone-group BOUNDING (the round-8 scaling artifact's fix): a naive
+    // per-copy suffix keeps all `factor` copies of a document mutually
+    // near-duplicate, so near-dup PAIR counts grow as factor^2 and the
+    // pair-output dedup queries go quadratic by construction of the
+    // generator, not of the operator. Copies are therefore grouped into
+    // buckets of CloneGroup: within a bucket, copies differ only by a
+    // per-copy suffix token (near-dups — detectable, like a real corpus's
+    // mirror/revision families); ACROSS buckets, a deterministic word-level
+    // edit rewrites 2 of every 5 word positions (phase-shifted by bucket,
+    // replacement token keyed by bucket and position), which (a) leaves no
+    // surviving 3-word shingle (the minhash/simhash feature), (b) drops
+    // word-set Jaccard to <= ~3/7 (below the 0.5 gate even for same-phase
+    // buckets, whose tokens still differ), and (c) breaks every >= 8-word
+    // exact run (the span detector). Per original document the near-dup
+    // pair count is then (factor/CloneGroup) * C(CloneGroup, 2) — LINEAR in
+    // factor — while clone families stay present at every scale.
+    val CloneGroup = 5
     write("documents", replicate(documents, Map("doc_id" -> dS)) { d =>
-      d.withColumn("text",
+      d.withColumn("bucket", expr(s"copy div $CloneGroup"))
+        .withColumn("text",
+          when(col("bucket") === 0, col("text"))
+            .otherwise(expr(
+              s"""concat_ws(' ', transform(split(text, ' '), (w, i) ->
+                 |  CASE WHEN pmod(i + bucket, 5) IN (0, 2)
+                 |       THEN concat('zq', cast(bucket as string), 'x',
+                 |                   cast(pmod(i, 7) as string))
+                 |       ELSE w END))""".stripMargin)))
+        .withColumn("text",
           when(col("copy") === 0, col("text"))
             .otherwise(concat(col("text"), lit(" c"), col("copy"))))
         .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("bucket")
     })
+    // same bounding for vectors: within a bucket, copies get a tiny slot
+    // offset (cosine ~= 1, detectable near-dups); across buckets each
+    // dimension's SIGN flips by a (bucket, dim)-keyed hash parity — norms
+    // are preserved exactly and cross-bucket cosine concentrates near 0
+    // (|E| ~ dim^-1/2 ~= 0.125 at dim 64), far below the 0.3/0.44 gates
     write("embeddings", replicate(embeddings, Map("vec_id" -> vS)) { d =>
-      d.withColumn("embedding",
-        transform(col("embedding"),
-          x => (x + col("copy").cast("float") * lit(0.001f)).cast("float")))
+      d.withColumn("bucket", expr(s"copy div $CloneGroup"))
+        .withColumn("embedding", expr(
+          s"""transform(embedding, (x, i) -> cast(
+             |  (x + cast(pmod(copy, $CloneGroup) as float) * 0.001f)
+             |  * cast(CASE WHEN bucket = 0 THEN 1
+             |              ELSE 1 - 2 * pmod(xxhash64('embsign', bucket, i), 2)
+             |         END as float) as float))""".stripMargin))
+        .drop("bucket")
     })
 
     new java.io.File(outTmp).delete()
