@@ -47,6 +47,15 @@ object ExtQueries extends QueryPack {
     "dedup_cdc_view" -> ((s, dir) =>
       Dedup.cdcDedupedCorpus(docsChangelog(s, dir))),
 
+    // the FUSED continuous pipeline, batch form: CDC documents changelog →
+    // LWW live corpus → exact-dedup keepers → curation gate → sharded
+    // sequence-packing manifest. TrainingPipelineSpec proves the streaming
+    // composition (exactly-once envelope sink + epoch cut + packStream)
+    // equals this across kill/restart and arbitrary micro-batch splits.
+    "pipeline_cdc_training_batches" -> ((s, dir) =>
+      TrainingPipeline.fromChangelog(docsChangelog(s, dir),
+        minWords = 3, repLimit = 2, seqLen = 128L, nShards = 4)),
+
     // paragraph-level NEAR dedup: every 8th doc gets a planted
     // boilerplate segment whose LAST word varies by doc_id % 3, so
     // byte-identical spans (within a variant) AND near-identical spans
@@ -1110,6 +1119,66 @@ object ExtQueries extends QueryPack {
         |SELECT l.doc_id, g.keeper_id, g.group_size,
         |       l.doc_id = g.keeper_id AS is_keeper
         |FROM live l JOIN grp g USING (text)""".stripMargin,
+
+    // the fused pipeline, restated single-node: the same changelog fold as
+    // dedup_cdc_view, then keeper/gate (text grouping == digest grouping;
+    // max word multiplicity == max run of the sorted word array), then the
+    // mix64-sharded per-shard window prefix sum of corpus_pack_sequences.
+    // shard = zf % 4 on the UNSIGNED mix: 2^64 ≡ 0 (mod 4), so it equals
+    // Spark's pmod of the signed value
+    "pipeline_cdc_training_batches" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0
+        |              THEN 'planted dup ' || (doc_id % 17)
+        |              ELSE text END AS t0
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id * 10 AS o, doc_id, 'c' AS op, t0 AS text FROM d0
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 5000000, doc_id, 'u',
+        |         'shared dup bucket ' || (doc_id % 11)
+        |  FROM d0 WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 5000000, doc_id, 'd', '' FROM d0
+        |  WHERE doc_id % 7 = 4),
+        |st AS (SELECT doc_id, arg_max(op, o) AS op, arg_max(text, o) AS text
+        |       FROM frames GROUP BY 1),
+        |live AS (SELECT doc_id, text FROM st WHERE op <> 'd'),
+        |keep AS (SELECT text, min(doc_id) AS keep_id FROM live GROUP BY 1),
+        |wf AS (SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_words
+        |       FROM (SELECT doc_id, word, count(*) AS c
+        |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |                   FROM live)
+        |             GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |gated AS (SELECT l.doc_id, l.text
+        |          FROM live l JOIN keep k USING (text) JOIN wf w USING (doc_id)
+        |          WHERE l.doc_id = k.keep_id
+        |            AND w.n_words >= 3 AND w.top_cnt * 2 <= w.n_words),
+        |src AS (SELECT doc_id, doc_id::UBIGINT AS hu, 0::UBIGINT AS iu
+        |        FROM gated),
+        |mx AS (SELECT * FROM ${mixChainSql("src", "doc_id")}),
+        |sh AS (SELECT g.doc_id, CAST(m.zf % 4::UBIGINT AS BIGINT) AS shard,
+        |              CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_toks
+        |       FROM gated g JOIN mx m USING (doc_id)),
+        |c AS (SELECT shard, doc_id, n_toks,
+        |             CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                  AS BIGINT) AS cum_end
+        |      FROM sh),
+        |d AS (SELECT shard, doc_id, cum_end, cum_end - n_toks AS cum_start
+        |      FROM c),
+        |e AS (SELECT shard, doc_id, cum_start, cum_end,
+        |             unnest(generate_series(cum_start // 128,
+        |                                    (cum_end - 1) // 128)) AS seq_id
+        |      FROM d)
+        |SELECT shard, doc_id, seq_id,
+        |       greatest(cum_start, seq_id * 128) - cum_start AS doc_tok_start,
+        |       greatest(cum_start, seq_id * 128) - seq_id * 128 AS seq_tok_start,
+        |       least(cum_end, (seq_id + 1) * 128)
+        |         - greatest(cum_start, seq_id * 128) AS span_toks
+        |FROM e""".stripMargin,
 
     "text_bigram_freq" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
