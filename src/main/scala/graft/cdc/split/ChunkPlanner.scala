@@ -334,29 +334,74 @@ object ChunkPlanner {
     }
   }
 
+  /** Row-limit spelling — the SECOND per-dialect surface the probe SQL
+    * crosses. ANSI `OFFSET n ROWS FETCH NEXT 1 ROWS ONLY` is what Derby,
+    * PostgreSQL and DuckDB parse; real MySQL parses NEITHER `FETCH FIRST`
+    * nor `OFFSET ... ROWS` — its grammar is `LIMIT offset, count`
+    * (MySqlChunkSplitter's probes go through the MySQL driver, which is why
+    * the reference never spells this out). A collation-correct probe with
+    * an ANSI limit clause is still a syntax error on MySQL, so the dialect
+    * must pin BOTH spellings.
+    */
+  sealed trait SqlLimit {
+    /** Clause selecting the first row of the ordered scan. */
+    def firstRow: String
+    /** Clause selecting the single row at `offset` (0-based). */
+    def rowAt(offset: Int): String
+  }
+  object SqlLimit {
+    case object Ansi extends SqlLimit {
+      def firstRow: String = "FETCH FIRST 1 ROWS ONLY"
+      def rowAt(offset: Int): String = s"OFFSET $offset ROWS FETCH NEXT 1 ROWS ONLY"
+    }
+    case object MySql extends SqlLimit {
+      def firstRow: String = "LIMIT 1"
+      def rowAt(offset: Int): String = s"LIMIT $offset, 1"
+    }
+  }
+
+  /** A dialect = the collation cast + the row-limit grammar, bundled so a
+    * caller cannot pair MySQL's collation face with a limit clause MySQL
+    * cannot parse. DialectLiveSpec executes the Postgres face end-to-end on
+    * DuckDB's JDBC driver (a PostgreSQL-derived grammar that parses
+    * `COLLATE "C"` and ANSI OFFSET/FETCH with codepoint semantics); the
+    * Ansi face runs live on Derby in JdbcScanSpec; the MySql face is pinned
+    * by golden strings against the published grammar (no MySQL-grammar
+    * engine ships in this sandbox).
+    */
+  final case class SqlDialect(collation: SqlCollation, limit: SqlLimit)
+  object SqlDialect {
+    /** Derby / DuckDB / any engine whose default order is already codepoint. */
+    val Ansi: SqlDialect = SqlDialect(SqlCollation.Binary, SqlLimit.Ansi)
+    /** MySQL with a case-insensitive column collation (utf8mb4_general_ci). */
+    val MySql: SqlDialect = SqlDialect(SqlCollation.MySqlBinary, SqlLimit.MySql)
+    /** PostgreSQL (also DuckDB, whose parser accepts the same spellings). */
+    val Postgres: SqlDialect = SqlDialect(SqlCollation.PostgresC, SqlLimit.Ansi)
+  }
+
   /** The exact SQL faces the string splitter pushes to a live database,
     * exposed as pure builders so their per-dialect spelling is PINNED by
-    * spec (JdbcScanSpec): no H2/MySQL/Postgres engine ships in this
-    * sandbox (Derby only), so the dialect strings cannot be live-parsed
-    * here — the contract is (a) these golden renderings against the
-    * public grammars (MySQL `BINARY col` cast, PostgreSQL `COLLATE "C"`,
-    * both documented expression syntax in ORDER BY/WHERE), and (b) the
-    * Binary face executed end-to-end on Derby, whose UCS_BASIC collation
-    * IS the codepoint order the contract pins.
+    * spec and EXECUTED by every grammar available in this sandbox: the
+    * Ansi face live on Derby (JdbcScanSpec), the Postgres face live on
+    * DuckDB's PostgreSQL-derived parser (DialectLiveSpec — `COLLATE "C"`
+    * probes, boundary OFFSET/FETCH, pushed predicates, all with codepoint
+    * semantics), and the MySql face (`BINARY col` cast + `LIMIT off, 1`)
+    * pinned as golden strings against the published grammar, since no
+    * MySQL-grammar engine ships here.
     */
-  def maxKeySql(table: String, key: String, collation: SqlCollation): String =
-    s"SELECT $key FROM $table ORDER BY ${collation.orderExpr(key)} DESC " +
-      "FETCH FIRST 1 ROWS ONLY"
+  def maxKeySql(table: String, key: String, dialect: SqlDialect): String =
+    s"SELECT $key FROM $table ORDER BY ${dialect.collation.orderExpr(key)} DESC " +
+      dialect.limit.firstRow
   def boundaryProbeSql(
-      table: String, key: String, chunkSize: Int, collation: SqlCollation): String = {
-    val e = collation.orderExpr(key)
+      table: String, key: String, chunkSize: Int, dialect: SqlDialect): String = {
+    val e = dialect.collation.orderExpr(key)
     s"SELECT $key FROM $table WHERE $e > ? ORDER BY $e " +
-      s"OFFSET ${chunkSize - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+      dialect.limit.rowAt(chunkSize - 1)
   }
   def firstBoundarySql(
-      table: String, key: String, chunkSize: Int, collation: SqlCollation): String =
-    s"SELECT $key FROM $table ORDER BY ${collation.orderExpr(key)} " +
-      s"OFFSET ${chunkSize - 1} ROWS FETCH NEXT 1 ROWS ONLY"
+      table: String, key: String, chunkSize: Int, dialect: SqlDialect): String =
+    s"SELECT $key FROM $table ORDER BY ${dialect.collation.orderExpr(key)} " +
+      dialect.limit.rowAt(chunkSize - 1)
 
   /** [[unevenChunkRangesJdbc]] for VARCHAR split keys under an explicit
     * [[SqlCollation]] contract. Boundaries are actual key VALUES (probed
@@ -371,13 +416,16 @@ object ChunkPlanner {
       table: String,
       key: String,
       chunkSize: Int,
-      collation: SqlCollation = SqlCollation.Binary,
+      dialect: SqlDialect = SqlDialect.Ansi,
       props: java.util.Properties = new java.util.Properties(),
       maxChunks: Int = 10000,
-      throttle: ProbeThrottle = ProbeThrottle.Off
+      throttle: ProbeThrottle = ProbeThrottle.Off,
+      connect: Option[String => java.sql.Connection] = None
   ): Seq[(Option[String], Option[String])] = {
-    val e = collation.orderExpr(key)
-    val conn = java.sql.DriverManager.getConnection(url, props)
+    // `connect` injects a driver DriverManager cannot see (DialectLiveSpec
+    // loads DuckDB's JDBC driver from a jar outside the app classloader)
+    val conn = connect.getOrElse(
+      (u: String) => java.sql.DriverManager.getConnection(u, props))(url)
     try {
       def one(sql: String, param: Option[String]): Option[String] = {
         val st = conn.prepareStatement(sql)
@@ -387,10 +435,10 @@ object ChunkPlanner {
           if (rs.next()) Option(rs.getString(1)) else None
         } finally st.close()
       }
-      val maxK = one(maxKeySql(table, key, collation), None)
+      val maxK = one(maxKeySql(table, key, dialect), None)
         .getOrElse(return Seq((None, None)))
-      val probeSql = boundaryProbeSql(table, key, chunkSize, collation)
-      val firstSql = firstBoundarySql(table, key, chunkSize, collation)
+      val probeSql = boundaryProbeSql(table, key, chunkSize, dialect)
+      val firstSql = firstBoundarySql(table, key, chunkSize, dialect)
       val ranges = Seq.newBuilder[(Option[String], Option[String])]
       var start: Option[String] = None
       var done = false

@@ -110,21 +110,24 @@ class JdbcScanSpec extends SparkTestBase {
 
   test("dialect collation faces render pinned SQL; the Binary face runs live on Derby") {
     import graft.cdc.split.ChunkPlanner
-    import graft.cdc.split.ChunkPlanner.SqlCollation
-    // golden per-dialect probe strings — the exact text a live MySQL /
-    // PostgreSQL would be handed (no such engine ships in this sandbox, so
-    // the spelling is pinned against the public grammars instead:
-    // MySQL `BINARY expr` collate-cast; PostgreSQL `expr COLLATE "C"`)
-    assert(ChunkPlanner.boundaryProbeSql("t", "k", 100, SqlCollation.MySqlBinary) ==
-      "SELECT k FROM t WHERE BINARY k > ? ORDER BY BINARY k " +
-        "OFFSET 99 ROWS FETCH NEXT 1 ROWS ONLY")
-    assert(ChunkPlanner.boundaryProbeSql("t", "k", 100, SqlCollation.PostgresC) ==
+    import graft.cdc.split.ChunkPlanner.{SqlCollation, SqlDialect}
+    // golden per-dialect probe strings. The MySql face is the one no
+    // engine in this sandbox can parse (real MySQL grammar: `BINARY expr`
+    // collate-cast + `LIMIT offset, count` — NOT ANSI OFFSET/FETCH), so its
+    // spelling is pinned here against the published grammar; the Postgres
+    // face is additionally EXECUTED live by DuckDB's PostgreSQL-derived
+    // parser in DialectLiveSpec, and the Ansi face on Derby below.
+    assert(ChunkPlanner.boundaryProbeSql("t", "k", 100, SqlDialect.MySql) ==
+      "SELECT k FROM t WHERE BINARY k > ? ORDER BY BINARY k LIMIT 99, 1")
+    assert(ChunkPlanner.boundaryProbeSql("t", "k", 100, SqlDialect.Postgres) ==
       """SELECT k FROM t WHERE k COLLATE "C" > ? ORDER BY k COLLATE "C" OFFSET 99 ROWS FETCH NEXT 1 ROWS ONLY""")
-    assert(ChunkPlanner.maxKeySql("t", "k", SqlCollation.MySqlBinary) ==
-      "SELECT k FROM t ORDER BY BINARY k DESC FETCH FIRST 1 ROWS ONLY")
-    assert(ChunkPlanner.maxKeySql("t", "k", SqlCollation.PostgresC) ==
+    assert(ChunkPlanner.maxKeySql("t", "k", SqlDialect.MySql) ==
+      "SELECT k FROM t ORDER BY BINARY k DESC LIMIT 1")
+    assert(ChunkPlanner.maxKeySql("t", "k", SqlDialect.Postgres) ==
       """SELECT k FROM t ORDER BY k COLLATE "C" DESC FETCH FIRST 1 ROWS ONLY""")
-    assert(ChunkPlanner.firstBoundarySql("t", "k", 50, SqlCollation.Binary) ==
+    assert(ChunkPlanner.firstBoundarySql("t", "k", 50, SqlDialect.MySql) ==
+      "SELECT k FROM t ORDER BY BINARY k LIMIT 49, 1")
+    assert(ChunkPlanner.firstBoundarySql("t", "k", 50, SqlDialect.Ansi) ==
       "SELECT k FROM t ORDER BY k OFFSET 49 ROWS FETCH NEXT 1 ROWS ONLY")
     // the pushed range predicates under each dialect face
     val ranges = Seq((None, Some("m")), (Some("m"), None))
@@ -139,7 +142,7 @@ class JdbcScanSpec extends SparkTestBase {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.prepareStatement(
-        ChunkPlanner.boundaryProbeSql("customer", "C_CUSTKEY", 64, SqlCollation.Binary))
+        ChunkPlanner.boundaryProbeSql("customer", "C_CUSTKEY", 64, SqlDialect.Ansi))
       st.setString(1, "0")
       val rs = st.executeQuery()
       assert(rs.next())

@@ -195,7 +195,7 @@ class ChunkPlannerSpec extends SparkTestBase {
     } finally conn.close()
 
     val ranges = ChunkPlanner.unevenChunkRangesJdbcString(
-      url, "T", "CK", chunkSize = 64, ChunkPlanner.SqlCollation.Binary)
+      url, "T", "CK", chunkSize = 64, ChunkPlanner.SqlDialect.Ansi)
     assert(ranges.length >= 3)
     // the contract property: DB-probed boundaries ARE Spark-order
     // boundaries — the Spark-side keyed planner over the same rows agrees
