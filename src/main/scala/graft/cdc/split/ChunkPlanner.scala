@@ -382,12 +382,13 @@ object ChunkPlanner {
   /** The exact SQL faces the string splitter pushes to a live database,
     * exposed as pure builders so their per-dialect spelling is PINNED by
     * spec and EXECUTED by every grammar available in this sandbox: the
-    * Ansi face live on Derby (JdbcScanSpec), the Postgres face live on
-    * DuckDB's PostgreSQL-derived parser (DialectLiveSpec — `COLLATE "C"`
-    * probes, boundary OFFSET/FETCH, pushed predicates, all with codepoint
-    * semantics), and the MySql face (`BINARY col` cast + `LIMIT off, 1`)
-    * pinned as golden strings against the published grammar, since no
-    * MySQL-grammar engine ships here.
+    * Ansi face live on Derby (JdbcScanSpec), the Postgres face live on a
+    * REAL PostgreSQL 15 server (PgLiveSpec — `COLLATE "C"` probes,
+    * boundary OFFSET/FETCH, pushed predicates, an ICU-collation negative
+    * control) and on DuckDB's PostgreSQL-derived parser (DialectLiveSpec),
+    * and the MySql face (`BINARY col` cast + `LIMIT off, 1`) pinned as
+    * golden strings against the published grammar, since no MySQL-grammar
+    * engine ships here (no MySQL server, no H2 jar in the offline cache).
     */
   def maxKeySql(table: String, key: String, dialect: SqlDialect): String =
     s"SELECT $key FROM $table ORDER BY ${dialect.collation.orderExpr(key)} DESC " +

@@ -143,4 +143,196 @@ object DialectWire {
       .select(col("offset"), col("op"), col("ts_ms"), col("tenant_name"),
         col("key"), col("before"), col("after"))
   }
+
+  // ------------------------------------------------------------------
+  // PostgreSQL logical-decoding textual face. The reference's Postgres
+  // connector selects a server-side logical decoding output plugin
+  // (PostgreSQLSource.java:44-59: decoderbufs / wal2json / pgoutput) and
+  // consumes its change stream; the plugin every PostgreSQL ships with is
+  // contrib's `test_decoding`, whose public textual grammar is
+  //   table <schema>.<table>: INSERT|UPDATE|DELETE: col[type]:value ...
+  //   BEGIN <xid> / COMMIT <xid> [(at <timestamptz>)]
+  // with UPDATE old images behind `old-key:` and new images behind
+  // `new-tuple:`, quoted values doubling embedded quotes. PgLiveSpec
+  // replays this decode against a real PostgreSQL 15 server end-to-end.
+  // ------------------------------------------------------------------
+
+  /** One field token: `name[type]:value` where value is either a
+    * single-quoted string (embedded quotes doubled) or a bare token
+    * (numbers, booleans, `null`, `unchanged-toast-datum`). The same RE2-safe
+    * pattern runs in Spark (Java regex) and the DuckDB oracle.
+    */
+  val TestDecodingField = """([\w$]+)\[([^\]]+)\]:('[^']*(?:''[^']*)*'|[^ ]+)"""
+
+  /** The full payload token stream: an UPDATE's image markers OR a field
+    * token. One left-to-right scan consumes quoted values atomically, so a
+    * VALUE whose text embeds `new-tuple: x[type]:...` can never be mistaken
+    * for the marker — the scanner is already inside the quotes when it
+    * passes it (a split-on-marker regex provably gets this wrong).
+    * Groups: 1 = marker, 2 = field name, 3 = raw field value.
+    */
+  val TestDecodingToken =
+    """(old-key:|new-tuple:)|([\w$]+)\[[^\]]+\]:('[^']*(?:''[^']*)*'|[^ ]+)"""
+
+  /** The plugin's marker for a TOASTed column the UPDATE did not touch
+    * (the value is not in the WAL record). Kept distinct from NULL through
+    * tokenization so the image builder can fall back to the before-image.
+    */
+  val UnchangedToast = "unchanged-toast-datum"
+
+  /** `name[type]:value` token run -> map<name, normalized value>: outer
+    * quotes stripped, doubled quotes folded, bare `null` mapped to SQL
+    * NULL; [[UnchangedToast]] passes through verbatim for the image
+    * builder.
+    */
+  def testDecodingFields(payload: Column): Column = {
+    val names = regexp_extract_all(payload, lit(TestDecodingField), lit(1))
+    val raws = regexp_extract_all(payload, lit(TestDecodingField), lit(3))
+    val vals = transform(raws, raw =>
+      when(raw.startsWith("'"),
+        regexp_replace(raw.substr(lit(2), length(raw) - 2), "''", "'"))
+        .when(raw === "null", lit(null).cast(StringType))
+        .otherwise(raw))
+    when(payload.isNull, lit(null).cast(MapType(StringType, StringType)))
+      .otherwise(map_from_arrays(names, vals))
+  }
+
+  /** PostgreSQL textual converter ladder: the logproxy ladder plus the
+    * bytea rendering (`\x` + lowercase hex, quotes already stripped).
+    */
+  def pgTextualDecodeField(f: StructField): Column => Column = f.dataType match {
+    case BinaryType => c => unhex(regexp_replace(c, "^\\\\x", ""))
+    case other      => c => c.cast(other)
+  }
+
+  /** Decode a `test_decoding` change stream
+    * `(lsn: string pg_lsn text, xid: long, data: string)` into the generic
+    * IR `(offset, op, ts_ms, schema_name, key, before, after)`:
+    *
+    *   - `table ...` lines carry the images; BEGIN/COMMIT markers are
+    *     dropped here, but COMMIT lines' optional `(at <ts>)` suffix (the
+    *     plugin's include-timestamp option) is joined back onto the
+    *     transaction's rows as ts_ms — one commit row per txn, so the join
+    *     side is txn-count sized, and deletes/updates keep full images
+    *     under REPLICA IDENTITY FULL exactly like the reference requires
+    *     of its plugins
+    *   - offsets are the numeric pg_lsn fold ([[graft.cdc.offsets.DialectOffsets.pgLsnValue]]),
+    *     PostgreSQL's own total commit order
+    *   - field text decodes through the same [[textualDecodeField]] ladder
+    *     as the logproxy face
+    */
+  def decodeTestDecoding(lines: DataFrame, table: DeclaredTable): DataFrame = {
+    import graft.cdc.offsets.DialectOffsets.pgLsnValue
+    val header = "^table ([^\\.]+)\\.([^:]+): (INSERT|UPDATE|DELETE): (.*)$"
+    val commits = lines
+      .where(col("data").rlike("^COMMIT \\d"))
+      .select(col("xid").as("c_xid"),
+        to_timestamp(regexp_extract(col("data"), "\\(at (.+)\\)$", 1))
+          .as("c_ts"))
+      .where(col("c_ts").isNotNull)
+      // a txn commits once; replayed change batches repeat the marker, and
+      // a duplicated join side would fan the rows out
+      .groupBy(col("c_xid")).agg(max(col("c_ts")).as("c_ts"))
+    val rows = lines
+      .where(col("data").startsWith("table "))
+      .select(col("lsn"), col("xid"),
+        regexp_extract(col("data"), header, 1).as("schema_name"),
+        regexp_extract(col("data"), header, 2).as("table_name"),
+        regexp_extract(col("data"), header, 3).as("verb"),
+        regexp_extract(col("data"), header, 4).as("payload"))
+      .where(col("table_name") === table.name)
+    // ONE left-to-right token scan of the payload (markers and fields are
+    // both tokens; quoted values are consumed atomically, so marker text
+    // inside a value is unreachable), then fields route to the before or
+    // after image by their position relative to the new-tuple marker:
+    // DELETE is all-before, INSERT all-after, an UPDATE without an old
+    // image (default replica identity, key untouched) all-after
+    val toks = lit(TestDecodingToken)
+    val marks = regexp_extract_all(col("payload"), toks, lit(1))
+    val names = regexp_extract_all(col("payload"), toks, lit(2))
+    val raws = regexp_extract_all(col("payload"), toks, lit(3))
+    val newAt = coalesce(array_position(marks, "new-tuple:"), lit(0L))
+    // 1-based token indices; `get` (0-based, null out of bounds) keeps
+    // every access ANSI-safe
+    val idx = filter(
+      sequence(lit(1L), greatest(size(marks).cast(LongType), lit(1L))),
+      i => i <= size(marks))
+    def fieldsWhere(cond: Column => Column): Column = {
+      val keep = filter(idx, i =>
+        get(marks, (i - 1).cast(IntegerType)) === "" && cond(i))
+      val pick = (arr: Column) =>
+        transform(keep, i => get(arr, (i - 1).cast(IntegerType)))
+      val vals = transform(pick(raws), raw =>
+        when(raw.startsWith("'"),
+          regexp_replace(raw.substr(lit(2), length(raw) - 2), "''", "'"))
+          .when(raw === "null", lit(null).cast(StringType))
+          .otherwise(raw))
+      map_from_arrays(pick(names), vals)
+    }
+    val allMap = fieldsWhere(_ => lit(true))
+    val preMap = fieldsWhere(i => i < newAt)
+    val postMap = fieldsWhere(i => i > newAt)
+    val hasOld = get(marks, lit(0)) === "old-key:"
+    val beforeMap = when(col("verb") === "DELETE", allMap)
+      .when(col("verb") === "UPDATE" && hasOld, preMap)
+    val afterMap = when(col("verb") === "INSERT", allMap)
+      .when(col("verb") === "UPDATE" && hasOld, postMap)
+      .when(col("verb") === "UPDATE" && !hasOld, allMap)
+    def image(m: Column, toastFallback: Option[Column]): Column = {
+      val fields = table.schema.fields.map { f =>
+        val raw = element_at(m, f.name)
+        val v = toastFallback match {
+          // a TOASTed column the UPDATE didn't touch isn't in the WAL's
+          // new tuple; under REPLICA IDENTITY FULL the old tuple carries
+          // the full value, so the after-image inherits it (without a
+          // before image the column decodes to NULL — the same gap every
+          // consumer of this plugin has)
+          case Some(b) => when(raw === UnchangedToast, b.getField(f.name))
+            .otherwise(pgTextualDecodeField(f)(raw))
+          case None => pgTextualDecodeField(f)(
+            when(raw === UnchangedToast, lit(null).cast(StringType)).otherwise(raw))
+        }
+        v.as(f.name)
+      }
+      when(m.isNull, lit(null).cast(table.schema))
+        .otherwise(struct(fields.toIndexedSeq: _*))
+    }
+    val op = when(col("verb") === "INSERT", "c")
+      .when(col("verb") === "UPDATE", "u")
+      .otherwise("d")
+    val decoded = rows
+      .withColumn("before", image(beforeMap, None))
+      .withColumn("after", image(afterMap, Some(col("before"))))
+    def keyOf(img: Column): Column = struct(table.pkCols.map(c =>
+      img.getField(c).as(c)): _*).cast(table.keyType)
+    val afterKey = struct(table.pkCols.map(c =>
+      coalesce(col("after").getField(c), col("before").getField(c)).as(c)): _*)
+      .cast(table.keyType)
+    // a key-changing UPDATE is one wire record but TWO state transitions:
+    // the old key dies, the new key is born (the reference's Debezium
+    // stream delivers exactly this delete+create pair for pk updates) —
+    // emitted here as two IR rows sharing the record's lsn
+    val keyChanged = col("op") === "u" && col("before").isNotNull &&
+      !(keyOf(col("before")) <=> col("key"))
+    val base = decoded
+      .join(commits, decoded("xid") === commits("c_xid"), "left")
+      .select(
+        pgLsnValue(col("lsn")).cast(LongType).as("offset"),
+        op.as("op"),
+        unix_millis(col("c_ts")).as("ts_ms"),
+        col("schema_name"),
+        afterKey.as("key"), col("before"), col("after"))
+    val nullImg = lit(null).cast(table.schema)
+    base.select(col("offset"), col("ts_ms"), col("schema_name"),
+        explode(when(keyChanged, array(
+            struct(lit("d").as("op"), keyOf(col("before")).as("key"),
+              col("before"), nullImg.as("after")),
+            struct(lit("c").as("op"), col("key"),
+              nullImg.as("before"), col("after"))))
+          .otherwise(array(struct(col("op"), col("key"),
+            col("before"), col("after"))))).as("t"))
+      .select(col("offset"), col("t.op").as("op"), col("ts_ms"),
+        col("schema_name"), col("t.key").as("key"),
+        col("t.before").as("before"), col("t.after").as("after"))
+  }
 }

@@ -224,8 +224,79 @@ object TypeQueries extends QueryPack {
         call_function("graft_wkb_geojson",
           mkPoint(col("l_quantity"), col("l_discount"))).as("geojson")
       )
+    }),
+
+    // PostgreSQL logical-decoding textual face: test_decoding grammar
+    // lines synthesized from orders (quote-doubled values, a value
+    // embedding the grammar's own new-tuple marker, bare nulls, old-key/
+    // new-tuple updates, commit-timestamp markers), decoded by the one
+    // left-to-right token scan. PgLiveSpec replays the same decode against
+    // a real PostgreSQL 15 server's replication slot.
+    "pg_testdecoding_decode" -> ((s, dir) => {
+      val t = pgOrdersTable
+      val k = col("o_orderkey")
+      val xid = k % 997
+      val dec = org.apache.spark.sql.types.DecimalType(14, 2)
+      val dt = col("o_orderdate").cast("date").cast("string")
+      // a name that exercises quote doubling AND embeds the marker text
+      val name = when(k % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(col("o_orderpriority"),
+          lit("'s new-tuple: x[text]:'y'")))
+      def q(c: org.apache.spark.sql.Column) =
+        when(c.isNull, "null")
+          .otherwise(concat(lit("'"), regexp_replace(c, "'", "''"), lit("'")))
+      def img(priceShift: Int) = concat(
+        lit("o_orderkey[integer]:"), k,
+        lit(" o_name[text]:"), q(name),
+        lit(" o_totalprice[numeric]:"),
+        (col("o_totalprice") + lit(priceShift)).cast(dec),
+        lit(" o_orderdate[date]:"), q(dt))
+      val verb = when(col("o_orderstatus") === "F", "DELETE")
+        .when(col("o_orderstatus") === "P", "UPDATE")
+        .otherwise("INSERT")
+      val payload = when(verb === "INSERT", img(0))
+        .when(verb === "UPDATE",
+          concat(lit("old-key: "), img(10), lit(" new-tuple: "), img(0)))
+        .otherwise(img(10))
+      val base = table(s, dir, "orders")
+      val lsn = format_string("%X/%X",
+        shiftrightunsigned(k, 32), k.bitwiseAND(lit(4294967295L)))
+      val changes = base.select(lsn.as("lsn"), xid.as("xid"),
+        concat(lit("table public.orders: "), verb, lit(": "), payload).as("data"))
+      val commits = base.select(xid.as("x")).distinct().select(
+        lit("Z/0").as("lsn"), col("x").as("xid"),
+        format_string("COMMIT %d (at %s+00)", col("x"),
+          date_format(timestamp_seconds(lit(1704067200L) + col("x")),
+            "yyyy-MM-dd HH:mm:ss")).as("data"))
+      val begins = base.select(xid.as("x")).distinct().select(
+        lit("Z/0").as("lsn"), col("x").as("xid"),
+        format_string("BEGIN %d", col("x")).as("data"))
+      val ir = DialectWire.decodeTestDecoding(
+        changes.unionByName(commits).unionByName(begins), t)
+      val pick = when(col("op") === "d", col("before")).otherwise(col("after"))
+      ir.select(col("offset"), col("op"), col("ts_ms"), col("schema_name"),
+        col("key.o_orderkey").as("o_orderkey"),
+        pick.getField("o_name").as("o_name"),
+        pick.getField("o_totalprice").cast("string").as("o_totalprice"),
+        pick.getField("o_orderdate").as("o_orderdate"))
     })
   )
+
+  /** Declared shape of the test_decoding face: single-column integer pk,
+    * nullable text, decimal, date.
+    */
+  private val pgOrdersTable = graft.cdc.model.RowImage.DeclaredTable(
+    "orders",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DecimalType(14, 2)),
+      org.apache.spark.sql.types.StructField("o_orderdate",
+        org.apache.spark.sql.types.DateType))),
+    pkCols = Seq("o_orderkey"))
 
   def oracles: Map[String, String] = Map(
     // the KV round trip is lossless, so the oracle recomputes the decoded
@@ -275,6 +346,28 @@ object TypeQueries extends QueryPack {
         |         || CAST(l_quantity::DOUBLE AS VARCHAR) || ','
         |         || CAST(l_discount::DOUBLE AS VARCHAR) || ']}' AS geojson
         |FROM lineitem""".stripMargin,
+
+    // the textual round trip is lossless, so the oracle recomputes the
+    // decoded scalars from orders directly: op from the status routing,
+    // ts_ms from the synthesized commit-timestamp formula, deletes carry
+    // the shifted old image
+    "pg_testdecoding_decode" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderpriority, o_totalprice,
+        |             CAST(o_orderdate AS DATE) AS od,
+        |             CASE o_orderstatus WHEN 'F' THEN 'd' WHEN 'P' THEN 'u'
+        |                  ELSE 'c' END AS op,
+        |             o_orderkey % 997 AS xid
+        |           FROM orders)
+        |SELECT k AS "offset", op,
+        |       (1704067200 + xid) * 1000 AS ts_ms,
+        |       'public' AS schema_name, k AS o_orderkey,
+        |       CASE WHEN k % 7 = 0 THEN NULL
+        |            ELSE o_orderpriority || '''s new-tuple: x[text]:''y''' END
+        |         AS o_name,
+        |       CAST(CAST(o_totalprice + CASE WHEN op = 'd' THEN 10 ELSE 0 END
+        |            AS DECIMAL(14,2)) AS VARCHAR) AS o_totalprice,
+        |       od AS o_orderdate
+        |FROM t""".stripMargin,
 
     "type_promotions" ->
       """SELECT l_orderkey, l_linenumber,
