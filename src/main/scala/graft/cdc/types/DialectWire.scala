@@ -247,10 +247,18 @@ object DialectWire {
     // after image by their position relative to the new-tuple marker:
     // DELETE is all-before, INSERT all-after, an UPDATE without an old
     // image (default replica identity, key untouched) all-after
+    // the token arrays and the routed maps materialize as COLUMNS in their
+    // own projections (not inlined expressions): every downstream field
+    // lookup references them several times, and CollapseProject keeps a
+    // non-cheap expression referenced more than once in its own stage, so
+    // the regex scan runs ONCE per row instead of once per field per image
     val toks = lit(TestDecodingToken)
-    val marks = regexp_extract_all(col("payload"), toks, lit(1))
-    val names = regexp_extract_all(col("payload"), toks, lit(2))
-    val raws = regexp_extract_all(col("payload"), toks, lit(3))
+    val tokenized = rows.select(
+      col("lsn"), col("xid"), col("schema_name"), col("verb"),
+      regexp_extract_all(col("payload"), toks, lit(1)).as("marks"),
+      regexp_extract_all(col("payload"), toks, lit(2)).as("tok_names"),
+      regexp_extract_all(col("payload"), toks, lit(3)).as("tok_raws"))
+    val marks = col("marks")
     val newAt = coalesce(array_position(marks, "new-tuple:"), lit(0L))
     // 1-based token indices; `get` (0-based, null out of bounds) keeps
     // every access ANSI-safe
@@ -262,22 +270,24 @@ object DialectWire {
         get(marks, (i - 1).cast(IntegerType)) === "" && cond(i))
       val pick = (arr: Column) =>
         transform(keep, i => get(arr, (i - 1).cast(IntegerType)))
-      val vals = transform(pick(raws), raw =>
+      val vals = transform(pick(col("tok_raws")), raw =>
         when(raw.startsWith("'"),
           regexp_replace(raw.substr(lit(2), length(raw) - 2), "''", "'"))
           .when(raw === "null", lit(null).cast(StringType))
           .otherwise(raw))
-      map_from_arrays(pick(names), vals)
+      map_from_arrays(pick(col("tok_names")), vals)
     }
     val allMap = fieldsWhere(_ => lit(true))
     val preMap = fieldsWhere(i => i < newAt)
     val postMap = fieldsWhere(i => i > newAt)
     val hasOld = get(marks, lit(0)) === "old-key:"
-    val beforeMap = when(col("verb") === "DELETE", allMap)
-      .when(col("verb") === "UPDATE" && hasOld, preMap)
-    val afterMap = when(col("verb") === "INSERT", allMap)
-      .when(col("verb") === "UPDATE" && hasOld, postMap)
-      .when(col("verb") === "UPDATE" && !hasOld, allMap)
+    val mapped = tokenized.select(
+      col("lsn"), col("xid"), col("schema_name"), col("verb"),
+      when(col("verb") === "DELETE", allMap)
+        .when(col("verb") === "UPDATE" && hasOld, preMap).as("before_map"),
+      when(col("verb") === "INSERT", allMap)
+        .when(col("verb") === "UPDATE" && hasOld, postMap)
+        .when(col("verb") === "UPDATE" && !hasOld, allMap).as("after_map"))
     def image(m: Column, toastFallback: Option[Column]): Column = {
       val fields = table.schema.fields.map { f =>
         val raw = element_at(m, f.name)
@@ -300,9 +310,9 @@ object DialectWire {
     val op = when(col("verb") === "INSERT", "c")
       .when(col("verb") === "UPDATE", "u")
       .otherwise("d")
-    val decoded = rows
-      .withColumn("before", image(beforeMap, None))
-      .withColumn("after", image(afterMap, Some(col("before"))))
+    val decoded = mapped
+      .withColumn("before", image(col("before_map"), None))
+      .withColumn("after", image(col("after_map"), Some(col("before"))))
     def keyOf(img: Column): Column = struct(table.pkCols.map(c =>
       img.getField(c).as(c)): _*).cast(table.keyType)
     val afterKey = struct(table.pkCols.map(c =>
