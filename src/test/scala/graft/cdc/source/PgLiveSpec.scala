@@ -76,6 +76,30 @@ class PgLiveSpec extends SparkTestBase {
     }
   }
 
+  test("table discovery live on PostgreSQL: catalog listing + capture regex, re-run sees new tables") {
+    assume(PgLive.available, "no runnable PostgreSQL server in this environment")
+    PgLive.withServer { h =>
+      h.sql("CREATE TABLE users_0 (id INT)")
+      h.sql("CREATE TABLE users_1 (id INT)")
+      h.sql("CREATE TABLE audit_log (id INT)")
+      h.sql("CREATE VIEW users_v AS SELECT * FROM users_0") // views are not capturable
+      val all = Discovery.listTables("ignored", "public",
+        connect = Some(_ => PgLive.connection(h)))
+      assert(all == Seq(("public", "audit_log"), ("public", "users_0"),
+        ("public", "users_1")))
+      val cap = Discovery.captured(all, Some("^public\\.users_[01]$"))
+      assert(cap.map(_._2) == Seq("users_0", "users_1"))
+      // the T8 flow's discovery half: a table added later is seen by the
+      // same pass with a widened capture list
+      h.sql("CREATE TABLE users_2 (id INT)")
+      val again = Discovery.captured(
+        Discovery.listTables("ignored", "public",
+          connect = Some(_ => PgLive.connection(h))),
+        Some("^public\\.users_[0-9]+$"))
+      assert(again.map(_._2) == Seq("users_0", "users_1", "users_2"))
+    }
+  }
+
   private val cdcTable = RowImage.DeclaredTable(
     "cdc_t",
     StructType(Seq(
