@@ -35,7 +35,15 @@ object Bench {
     var failed = List.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // per-query progress on stderr: long scale runs are otherwise
+        // silent for an hour+, which makes a pathological query
+        // indistinguishable from normal progress
+        System.err.println(f"[bench] $name%s $secs%.1fs")
+        secs
+      }
       catch {
         case e: Throwable =>
           if (!failed.contains(name)) {

@@ -79,7 +79,17 @@ object GenScale {
     val outTmp = s"$dst/_tmp"
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$outTmp/$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // single FILE (oracle reads read_parquet('<dir>/<t>.parquet')) but
+      // SMALL row groups: parquet only splits at row-group boundaries, so
+      // a coalesce(1) file with default 128MB groups caps every downstream
+      // scan at parallelism 1 — an explode-heavy query at sf10 then runs
+      // its whole map side in one task (round-9 bench caught one at 92min
+      // of single-task CPU). 2MB groups keep even the small doc tables
+      // splittable ~20-way (pair with spark.sql.files.maxPartitionBytes in
+      // the run scripts); scan-task overhead at these sizes is negligible.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 2L * 1024 * 1024)
+        .parquet(tmp)
       val dir = new java.io.File(tmp)
       val partFile = dir.listFiles().find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no parquet part written for $name"))
@@ -116,14 +126,19 @@ object GenScale {
     // buckets of CloneGroup: within a bucket, copies differ only by a
     // per-copy suffix token (near-dups — detectable, like a real corpus's
     // mirror/revision families); ACROSS buckets, a deterministic word-level
-    // edit rewrites 2 of every 5 word positions (phase-shifted by bucket,
-    // replacement token keyed by bucket and position), which (a) leaves no
-    // surviving 3-word shingle (the minhash/simhash feature), (b) drops
-    // word-set Jaccard to <= ~3/7 (below the 0.5 gate even for same-phase
-    // buckets, whose tokens still differ), and (c) breaks every >= 8-word
-    // exact run (the span detector). Per original document the near-dup
-    // pair count is then (factor/CloneGroup) * C(CloneGroup, 2) — LINEAR in
-    // factor — while clone families stay present at every scale.
+    // edit rewrites ALTERNATING positions of a 23-cycle ((i+bucket) mod 23
+    // even -> a bucket-keyed token, ~52% of positions), which (a) leaves no
+    // surviving word 2-gram, so shingle features (minhash/simhash bands,
+    // span grams) share NOTHING across buckets — zero cross-bucket LSH
+    // candidates at ANY factor, not merely a sub-threshold Jaccard (the
+    // round-9 sf10 run showed a 5-cycle phase scheme still leaks ~24% of
+    // same-phase bucket pairs into the band join, which is quadratic in
+    // bucket count — 1604s for dedup_segment_near); (b) keeps word-SET
+    // Jaccard at ~0.15 cross-bucket, far under the 0.5 gates; (c) phases
+    // repeat only at bucket distance 23 (factor >= 575), so sf10's 20
+    // buckets are pairwise phase-distinct. Per original document the
+    // near-dup pair count is (factor/CloneGroup) * C(CloneGroup, 2) —
+    // LINEAR in factor — while clone families stay present at every scale.
     val CloneGroup = 5
     write("documents", replicate(documents, Map("doc_id" -> dS)) { d =>
       d.withColumn("bucket", expr(s"copy div $CloneGroup"))
@@ -131,7 +146,7 @@ object GenScale {
           when(col("bucket") === 0, col("text"))
             .otherwise(expr(
               s"""concat_ws(' ', transform(split(text, ' '), (w, i) ->
-                 |  CASE WHEN pmod(i + bucket, 5) IN (0, 2)
+                 |  CASE WHEN pmod(pmod(i + bucket, 23), 2) = 0
                  |       THEN concat('zq', cast(bucket as string), 'x',
                  |                   cast(pmod(i, 7) as string))
                  |       ELSE w END))""".stripMargin)))

@@ -16,7 +16,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   JAVA_FLAGS="$JAVA_FLAGS --add-opens java.base/$p=ALL-UNNAMED"
 done
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
-java $JAVA_FLAGS -Xmx64g -Dspark.ui.enabled=false \
+java $JAVA_FLAGS -Xmx64g -Dspark.ui.enabled=false -Dspark.sql.files.maxPartitionBytes=2097152 \
   -Dspark.sql.session.timeZone=UTC -cp "$SNAP:/opt/spark/jars/*" \
   graft.tools.SelfCheck /root/repo/bench-data/sf10 \
   /root/repo/CORRECTNESS_SF10_self.json > /tmp/selfcheck_sf10.log 2>&1

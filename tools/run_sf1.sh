@@ -24,14 +24,14 @@ SF=/root/repo/bench-data/sf1
 echo "=== 1. spark bench at sf1 ==="
 SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ORACLE_WALL=0 \
 SPARK_GRAFT_BENCH_OUT=/root/repo/BENCH_SF1_spark.json \
-java $JAVA_FLAGS -Xmx48g -Dspark.ui.enabled=false \
+java $JAVA_FLAGS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.files.maxPartitionBytes=2097152 \
   -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
   > /tmp/sf1_bench.log 2>&1
 tail -3 /tmp/sf1_bench.log
 
 echo "=== 2. verify dump at sf1 ==="
 SPARK_GRAFT_CPUS=16 \
-java $JAVA_FLAGS -Xmx48g -Dspark.ui.enabled=false \
+java $JAVA_FLAGS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.files.maxPartitionBytes=2097152 \
   -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Verify \
   $SF /root/repo/target/verify_sf1 > /tmp/sf1_verify.log 2>&1
 tail -3 /tmp/sf1_verify.log

@@ -13,7 +13,7 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   JAVA_FLAGS="$JAVA_FLAGS --add-opens java.base/$p=ALL-UNNAMED"
 done
-java $JAVA_FLAGS -Xmx60g -Dspark.ui.enabled=false \
+java $JAVA_FLAGS -Xmx60g -Dspark.ui.enabled=false -Dspark.sql.files.maxPartitionBytes=2097152 \
   -Dspark.sql.session.timeZone=UTC -cp "$SNAP:/opt/spark/jars/*" \
   graft.tools.ProbeMain /root/repo/bench-data/sf10 \
   changelog_upsert_materialize rowimage_orders_upsert dedup_exact_hash \

@@ -20,7 +20,7 @@ done
 SPARK_GRAFT_SF_DIR=/root/repo/bench-data/sf10 \
 SPARK_GRAFT_ORACLE_WALL=0 \
 SPARK_GRAFT_BENCH_OUT=/root/repo/BENCH_SF10_spark.json \
-java $JAVA_FLAGS -Xmx80g -Dspark.ui.enabled=false \
+java $JAVA_FLAGS -Xmx80g -Dspark.ui.enabled=false -Dspark.sql.files.maxPartitionBytes=2097152 \
   -Dspark.sql.session.timeZone=UTC -cp "$SNAP:/opt/spark/jars/*" \
   graft.Bench > /tmp/sf10_bench.log 2>&1
 tail -3 /tmp/sf10_bench.log
