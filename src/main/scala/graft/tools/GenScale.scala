@@ -139,6 +139,16 @@ object GenScale {
     // buckets are pairwise phase-distinct. Per original document the
     // near-dup pair count is (factor/CloneGroup) * C(CloneGroup, 2) —
     // LINEAR in factor — while clone families stay present at every scale.
+    // The replacement token is keyed by (bucket, position, ORIGINAL doc
+    // identity). The doc key matters: the base corpus contains natural
+    // near-dup families, and a token shared across documents would keep
+    // those families near-dup in EVERY bucket — family size would scale
+    // with factor and family pair counts with factor^2 (the second
+    // quadratic source the round-9 sf10 run exposed). Doc-keyed tokens
+    // confine natural families to the unmodified bucket 0, whose size is
+    // CloneGroup regardless of factor. The key must be the PRE-shift
+    // identity (doc_id - copy*stride) so the CloneGroup copies inside a
+    // bucket still match each other.
     val CloneGroup = 5
     write("documents", replicate(documents, Map("doc_id" -> dS)) { d =>
       d.withColumn("bucket", expr(s"copy div $CloneGroup"))
@@ -148,7 +158,8 @@ object GenScale {
               s"""concat_ws(' ', transform(split(text, ' '), (w, i) ->
                  |  CASE WHEN pmod(pmod(i + bucket, 23), 2) = 0
                  |       THEN concat('zq', cast(bucket as string), 'x',
-                 |                   cast(pmod(i, 7) as string))
+                 |                   cast(pmod(i, 7) as string), 'd',
+                 |                   cast(doc_id - copy * ${dS}L as string))
                  |       ELSE w END))""".stripMargin)))
         .withColumn("text",
           when(col("copy") === 0, col("text"))
