@@ -110,16 +110,11 @@ object Bench {
         System.err.println(s"[bench] could not persist full line to $benchOut: $e")
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val fullMapJson = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val gz = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(fullMapJson.getBytes("UTF-8")); g.close()
-      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-    }
-    // top slowest queries, as many as keep the line under budget
-    val budget = 3600
+    // top slowest queries, as many as keep the line under budget — the
+    // COMPLETE map already ships uncompressed in BENCH_SELF.json; the
+    // round-8/9 gz+base64 fold made the stdout line itself unparseable,
+    // so the stdout line now carries plain JSON only, <2KB
+    val budget = 2000
     val slowSorted = results.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
     def line(slowN: Int): String = {
@@ -128,7 +123,6 @@ object Bench {
         s""""n_queries":${results.size},"queries":$slow,"failed":$fq,""" +
         s""""oracle_wall_s":${r3(oracleWall.getOrElse(-1.0))},""" +
         s""""bench_vs_baseline":${r3(ratio.getOrElse(-1.0))},""" +
-        s""""queries_gz_b64":"$gz",""" +
         s""""queries_full":"BENCH_SELF.json","sf":"$sfDir"}"""
     }
     val n = (results.size to 0 by -1).find(line(_).length <= budget).getOrElse(0)

@@ -530,13 +530,63 @@ object RowImage {
     * with the scalar (pk, val) replaced by (key struct, after struct).
     * Output: pk columns flattened, last_offset, value columns flattened.
     */
-  def upsertMaterialize(rows: DataFrame, table: DeclaredTable): DataFrame = {
+  def upsertMaterialize(rows: DataFrame, table: DeclaredTable): DataFrame =
+    upsertMaterialize(rows, table, carryUnavailable = false)
+
+  /** As above, with `carryUnavailable = true` for streams that can carry
+    * [[graft.cdc.types.DialectWire.UnavailableValue]] placeholders
+    * (PostgreSQL unchanged-toast-datum under default replica identity): a
+    * placeholder in the winning row's after-image must NOT clobber the
+    * stored value, so each placeholder-capable (string/binary) value column
+    * additionally folds its latest AVAILABLE value — still one hash
+    * aggregation, one shuffle of partial maxima (an extra `max_by` per
+    * string column rides the same map-side combine). A key whose entire
+    * visible history is placeholders (stream started mid-life with no
+    * snapshot) keeps the placeholder — distinguishable from NULL, exactly
+    * the reference's Debezium `unavailable.value.placeholder` contract.
+    */
+  def upsertMaterialize(
+      rows: DataFrame, table: DeclaredTable, carryUnavailable: Boolean): DataFrame = {
+    import graft.cdc.types.DialectWire.UnavailableValue
+    def sentinelLit(dt: DataType): Column = dt match {
+      case BinaryType => lit(UnavailableValue.getBytes("UTF-8"))
+      case _          => lit(UnavailableValue)
+    }
+    val carryCols: Seq[StructField] =
+      if (!carryUnavailable) Seq.empty
+      else table.schema.fields.toSeq.filter(f =>
+        table.valueCols.contains(f.name) &&
+          (f.dataType == StringType || f.dataType == BinaryType))
+    val lastAgg =
+      max_by(struct(col("offset"), col("op"), col("after")), col("offset")).as("last")
+    // latest value that was actually present in a record: placeholder rows
+    // have a NULL ordering and are skipped by max_by. The value rides in a
+    // single-field struct because an explicit NULL value IS present and
+    // must participate (max_by skips bare NULL values) — a NULL struct
+    // means "no available row", a struct with a NULL field means "latest
+    // available value is SQL NULL"
+    val availAggs = carryCols.map { f =>
+      val v = col("after").getField(f.name)
+      max_by(struct(v.as("v")),
+        when(col("after").isNotNull && !(v <=> sentinelLit(f.dataType)),
+          col("offset"))).as(s"_avail_${f.name}")
+    }
     val merged = rows
       .groupBy(col("key"))
-      .agg(max_by(struct(col("offset"), col("op"), col("after")), col("offset")).as("last"))
+      .agg(lastAgg, availAggs: _*)
       .where(col("last.op") =!= Changelog.OpDelete)
     val pkOut = table.pkCols.map(c => col("key").getField(c).as(c))
-    val valOut = table.valueCols.map(c => col("last.after").getField(c).as(c))
+    val valOut = table.valueCols.map { c =>
+      val last = col("last.after").getField(c)
+      carryCols.find(_.name == c) match {
+        case Some(f) =>
+          val avail = col(s"_avail_$c")
+          when(last <=> sentinelLit(f.dataType),
+            when(avail.isNotNull, avail.getField("v")).otherwise(last))
+            .otherwise(last).as(c)
+        case None => last.as(c)
+      }
+    }
     merged.select(pkOut ++ (col("last.offset").as("last_offset") +: valOut): _*)
   }
 

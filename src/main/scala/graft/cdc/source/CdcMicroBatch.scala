@@ -306,8 +306,9 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap)
     Option(options.get("max-events-per-trigger")).map(_.toLong)
   /** Capture-list include filter, applied IN the readers (the reference
     * filters the one-binlog-many-tables stream client-side,
-    * BinlogSplitReader.java:104-105) — rlike semantics, matching the batch
-    * facade's table-name option.
+    * BinlogSplitReader.java:104-105) — whole-identifier match, the same
+    * anchored semantics as the batch facade's table-name option and
+    * Discovery.captured.
     */
   private val tableRegex: Option[String] = Option(options.get("table-name")).map { re =>
     try { java.util.regex.Pattern.compile(re); re }
@@ -494,7 +495,8 @@ class CdcPartitionReader(
   private var conn: java.sql.Connection = _
   private var stmt: java.sql.PreparedStatement = _
   private var rs: java.sql.ResultSet = _
-  // rlike semantics (find, not full match) — same as the batch facade
+  // whole-identifier match — same anchored semantics as the batch facade
+  // and Discovery.captured (the reference's RelationalTableFilters)
   private val pattern = tableRegex.map(java.util.regex.Pattern.compile)
   // position of the table tag in each layout's SELECT list
   private val tblIndex = if (envelope) 4 else 6
@@ -518,7 +520,7 @@ class CdcPartitionReader(
     // capture-list filter applies after that
     def keep(tbl: String): Boolean =
       tbl != CdcMicroBatch.HeartbeatTable &&
-        pattern.forall(_.matcher(tbl).find())
+        pattern.forall(_.matcher(tbl).matches())
     var has = rs.next()
     while (has && !keep(rs.getString(tblIndex)))
       has = rs.next()

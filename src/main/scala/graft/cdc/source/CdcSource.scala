@@ -113,7 +113,8 @@ object CdcSource {
       // the reference's capture list governs both phases
       val tableFilter: DataFrame => DataFrame = opts.get("table-name") match {
         case Some(re) =>
-          df => df.where(graft.cdc.merge.ChangelogOps.tableNameCol.rlike(re))
+          df => df.where(graft.cdc.merge.ChangelogOps.tableNameCol
+            .rlike(Discovery.anchored(re)))
         case None => identity
       }
       val cl = tableFilter(Changelog.changelog(spark, sfDir))
@@ -139,7 +140,8 @@ object CdcSource {
       val cl0 = graft.cdc.streaming.StreamingOps.changelogStream(
         Changelog.normalizeEventTs(raw).withColumn("ts_ms", expr("ts div 1000000")))
       val cl = opts.get("table-name") match {
-        case Some(re) => cl0.where(graft.cdc.merge.ChangelogOps.tableNameCol.rlike(re))
+        case Some(re) => cl0.where(graft.cdc.merge.ChangelogOps.tableNameCol
+          .rlike(Discovery.anchored(re)))
         case None => cl0
       }
       applyStartupMode(cl, initial = None)
@@ -367,7 +369,7 @@ object CdcSource {
       validateOptions()
       val cl0 = graft.cdc.streaming.KafkaEnvelope.decode(kafkaShaped)
       val cl = (opts.get("table-name") match {
-        case Some(re) => cl0.where(col("table_name").rlike(re))
+        case Some(re) => cl0.where(col("table_name").rlike(Discovery.anchored(re)))
         case None => cl0
       }).drop("table_name")
       applyStartupMode(cl, initial = None)

@@ -44,9 +44,17 @@ object Discovery {
     } finally conn.close()
   }
 
+  /** Anchor an include regex so it must match the WHOLE identifier — the
+    * reference's RelationalTableFilters semantics (full `matches()`, so
+    * `public.users` does NOT capture `public.users_archive`). The in-stream
+    * P7 filter wraps its rlike pattern through this same helper, so
+    * discovery and stream filtering cannot disagree on a table.
+    */
+  def anchored(re: String): String = "^(?:" + re + ")$"
+
   /** The capture-list filter: `schema.table` against the include regex —
-    * identical semantics to the in-stream P7 filter (`rlike` on the
-    * qualified name), applied at discovery time like the reference's
+    * whole-identifier match (see [[anchored]]), identical semantics to the
+    * in-stream P7 filter, applied at discovery time like the reference's
     * RelationalTableFilters.
     */
   def captured(
@@ -55,6 +63,6 @@ object Discovery {
       case None => tables
       case Some(re) =>
         val p = java.util.regex.Pattern.compile(re)
-        tables.filter { case (s, t) => p.matcher(s + "." + t).find() }
+        tables.filter { case (s, t) => p.matcher(s + "." + t).matches() }
     }
 }

@@ -235,15 +235,14 @@ object ChunkPlanner {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val stats = conn.createStatement()
-      val rs = stats.executeQuery(s"SELECT MIN($key), MAX($key) FROM $table")
+      val rs = stats.executeQuery(minMaxSql(table, key))
       rs.next()
       val minK = rs.getLong(1); val minNull = rs.wasNull()
       val maxK = rs.getLong(2)
       rs.close(); stats.close()
       if (minNull) return Seq((None, None))
       val probe = conn.prepareStatement(
-        s"SELECT MAX(k) FROM (SELECT $key AS k FROM $table WHERE $key >= ? " +
-          s"ORDER BY $key ${fetchClause(chunkSize)}) probe_t")
+        numericBoundaryProbeSql(table, key, chunkSize, fetchClause))
       try {
         val ranges = Seq.newBuilder[(Option[Long], Option[Long])]
         var start: Option[Long] = None
@@ -390,6 +389,24 @@ object ChunkPlanner {
     * golden strings against the published grammar, since no MySQL-grammar
     * engine ships here (no MySQL server, no H2 jar in the offline cache).
     */
+  /** The numeric splitter's A1 probe (MIN/MAX over the split key) — pure
+    * builder so every dialect's spelling is grammar-validated by spec
+    * (MySqlGrammarSpec parses it with the vendored MySQL grammar).
+    */
+  def minMaxSql(table: String, key: String): String =
+    s"SELECT MIN($key), MAX($key) FROM $table"
+
+  /** The numeric splitter's next-boundary probe: max key within the next
+    * `chunkSize` rows past the cursor, as one pushed subquery.
+    * `fetchClause` is the dialect's row-limit spelling (ANSI FETCH FIRST by
+    * default; `n => s"LIMIT $n"` on MySQL).
+    */
+  def numericBoundaryProbeSql(
+      table: String, key: String, chunkSize: Int,
+      fetchClause: Int => String = n => s"FETCH FIRST $n ROWS ONLY"): String =
+    s"SELECT MAX(k) FROM (SELECT $key AS k FROM $table WHERE $key >= ? " +
+      s"ORDER BY $key ${fetchClause(chunkSize)}) probe_t"
+
   def maxKeySql(table: String, key: String, dialect: SqlDialect): String =
     s"SELECT $key FROM $table ORDER BY ${dialect.collation.orderExpr(key)} DESC " +
       dialect.limit.firstRow

@@ -180,6 +180,20 @@ object DialectWire {
     */
   val UnchangedToast = "unchanged-toast-datum"
 
+  /** Placeholder for a value that is genuinely NOT in the WAL: an unchanged
+    * TOASTed datum on an UPDATE with no before image (default REPLICA
+    * IDENTITY). Distinct from NULL so consumers — and the LWW
+    * materialization, which carries the prior stored value forward instead
+    * of clobbering it — can tell "not in this record" from "set to NULL".
+    * Mirrors the reference's Debezium `unavailable.value.placeholder`
+    * (PostgresConnectorConfig#UNAVAILABLE_VALUE_PLACEHOLDER). Only string
+    * and binary columns can carry the placeholder in a typed image; an
+    * unchanged-toast marker on any other column type (TOASTed numeric/array
+    * with no before image) fails loudly, because silently decoding it to
+    * NULL is data loss.
+    */
+  val UnavailableValue = "__graft_unavailable_value__"
+
   /** `name[type]:value` token run -> map<name, normalized value>: outer
     * quotes stripped, doubled quotes folded, bare `null` mapped to SQL
     * NULL; [[UnchangedToast]] passes through verbatim for the image
@@ -233,11 +247,24 @@ object DialectWire {
       // a txn commits once; replayed change batches repeat the marker, and
       // a duplicated join side would fan the rows out
       .groupBy(col("c_xid")).agg(max(col("c_ts")).as("c_ts"))
+    // a 'table ...' line the header grammar cannot parse must fail loudly
+    // instead of being silently dropped by the table-name filter below
+    // (unparseable change records as silent data loss). Two forms: a name
+    // containing ':' fails the regex outright (empty extract groups), and
+    // a QUOTED identifier ("odd name") extracts with its quote characters
+    // kept — never equal to any declared table name, so equally silent.
+    val tableNameOrFail = {
+      val extracted = regexp_extract(col("data"), header, 2)
+      when(extracted === "" || extracted.contains("\""),
+        raise_error(concat(
+          lit("unparseable test_decoding change record (header grammar drift?): "),
+          col("data")))).otherwise(extracted)
+    }
     val rows = lines
       .where(col("data").startsWith("table "))
       .select(col("lsn"), col("xid"),
         regexp_extract(col("data"), header, 1).as("schema_name"),
-        regexp_extract(col("data"), header, 2).as("table_name"),
+        tableNameOrFail.as("table_name"),
         regexp_extract(col("data"), header, 3).as("verb"),
         regexp_extract(col("data"), header, 4).as("payload"))
       .where(col("table_name") === table.name)
@@ -290,17 +317,37 @@ object DialectWire {
         .when(col("verb") === "UPDATE" && !hasOld, allMap).as("after_map"))
     def image(m: Column, toastFallback: Option[Column]): Column = {
       val fields = table.schema.fields.map { f =>
+        // when the value is genuinely absent from the WAL (unchanged TOAST
+        // and no before image to inherit from — default replica identity),
+        // emit the typed [[UnavailableValue]] placeholder — NOT NULL, which
+        // a materializer would take as "set to NULL" and clobber the stored
+        // TOAST value with — or fail loudly where the column type cannot
+        // carry a placeholder
+        val placeholderOrFail: Column = f.dataType match {
+          case StringType => lit(UnavailableValue)
+          case BinaryType => lit(UnavailableValue.getBytes("UTF-8"))
+          case _ => raise_error(lit(
+            s"unchanged-toast-datum for non-string column ${table.name}.${f.name} " +
+              "with no before image: set REPLICA IDENTITY FULL on the " +
+              "source table (the WAL does not carry the value)"))
+            .cast(f.dataType)
+        }
         val raw = element_at(m, f.name)
         val v = toastFallback match {
           // a TOASTed column the UPDATE didn't touch isn't in the WAL's
           // new tuple; under REPLICA IDENTITY FULL the old tuple carries
-          // the full value, so the after-image inherits it (without a
-          // before image the column decodes to NULL — the same gap every
-          // consumer of this plugin has)
-          case Some(b) => when(raw === UnchangedToast, b.getField(f.name))
+          // the full value, so the after-image inherits it. An UPDATE
+          // under DEFAULT replica identity has no old tuple (or, on a pk
+          // update, a key-only one): no value to inherit — and since an
+          // unchanged-toast marker implies the stored value was a real
+          // (non-NULL) toasted datum, a NULL inherited field can only mean
+          // "not carried", never "was NULL", so coalescing to the
+          // placeholder is lossless
+          case Some(b) => when(raw === UnchangedToast,
+              coalesce(b.getField(f.name), placeholderOrFail))
             .otherwise(pgTextualDecodeField(f)(raw))
-          case None => pgTextualDecodeField(f)(
-            when(raw === UnchangedToast, lit(null).cast(StringType)).otherwise(raw))
+          case None => when(raw === UnchangedToast, placeholderOrFail)
+            .otherwise(pgTextualDecodeField(f)(raw))
         }
         v.as(f.name)
       }

@@ -40,10 +40,17 @@ object PgLive {
       val pb = new ProcessBuilder(cmd: _*)
       cwd.foreach(d => pb.directory(d.toFile))
       val p = pb.start()
+      // drain stderr on its own thread: a child that fills the ~64KB stderr
+      // pipe while the JVM is blocked reading stdout to EOF would deadlock
+      val errBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val drainer = new Thread(() =>
+        errBuf.set(new String(p.getErrorStream.readAllBytes(), "UTF-8")))
+      drainer.setDaemon(true)
+      drainer.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+      drainer.join()
       p.waitFor()
-      (p.exitValue(), out, err)
+      (p.exitValue(), out, errBuf.get())
     } catch { case _: java.io.IOException => (127, "", "spawn failed") }
   }
 

@@ -201,4 +201,47 @@ class PgLiveSpec extends SparkTestBase {
       assert(toasted(1).get.length == 300 * 32)
     }
   }
+
+  test("default replica identity live: unchanged TOAST yields the placeholder and the carry-aware merge matches the server") {
+    assume(PgLive.available, "no runnable PostgreSQL server in this environment")
+    PgLive.withServer { h =>
+      // NO "REPLICA IDENTITY FULL": updates carry no before image, so an
+      // untouched TOASTed datum is genuinely absent from the WAL — the
+      // decode must surface DialectWire.UnavailableValue (never NULL) and
+      // the carry-aware materialization must recover the stored value from
+      // the key's earlier records
+      h.sql("CREATE TABLE toast_t (id INT PRIMARY KEY, body TEXT, n INT)")
+      h.sql("SELECT pg_create_logical_replication_slot('graft_toast', 'test_decoding')")
+      h.sql("""INSERT INTO toast_t
+        SELECT 1, string_agg(md5(g::text), ''), 10 FROM generate_series(1, 300) g""")
+      h.sql("UPDATE toast_t SET n = 20 WHERE id = 1")
+
+      val changes = h.sql("SELECT lsn::text, xid::text::bigint, data FROM " +
+        "pg_logical_slot_get_changes('graft_toast', NULL, NULL, 'include-timestamp', 'on')")
+      val s = spark
+      import s.implicits._
+      val lines = changes.map(r => (r(0).get, r(1).get.toLong, r(2).get))
+        .toDF("lsn", "xid", "data")
+      val tt = RowImage.DeclaredTable(
+        "toast_t",
+        StructType(Seq(
+          StructField("id", IntegerType),
+          StructField("body", StringType),
+          StructField("n", IntegerType))),
+        pkCols = Seq("id"))
+      val ir = DialectWire.decodeTestDecoding(lines, tt)
+
+      // the wire really said unchanged-toast-datum with no old-key section
+      val u = ir.where(col("op") === "u").select(col("before"), col("after.body")).head
+      assert(u.isNullAt(0), "default replica identity must produce no before image")
+      assert(u.getString(1) == DialectWire.UnavailableValue)
+
+      val got = RowImage.upsertMaterialize(ir, tt, carryUnavailable = true)
+        .select(col("id").cast("string"), col("body"), col("n").cast("string"))
+        .collect().map(r => (0 until 3).map(i => Option(r.get(i)).map(_.toString)))
+      val want = h.sql("SELECT id, body, n FROM toast_t ORDER BY id")
+      assert(got.length == 1 && got.head == want.head,
+        s"carry-aware merge diverged from the server's table state")
+    }
+  }
 }
