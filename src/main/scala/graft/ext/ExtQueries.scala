@@ -57,14 +57,26 @@ object ExtQueries extends QueryPack {
         minWords = 3, repLimit = 2, seqLen = 128L, nShards = 4)),
 
     // paragraph-level NEAR dedup: every 8th doc gets a planted
-    // boilerplate segment whose LAST word varies by doc_id % 3, so
-    // byte-identical spans (within a variant) AND near-identical spans
-    // (across variants, 9/10 words shared) both exercise the band join
+    // family-keyed boilerplate: planted docs (doc_id % 8 = 0) group into
+    // families of 4 (fam = (doc_id div 8) div 4) and ALTERNATING stem words
+    // carry the family tag, so every 3-shingle of the planted span is
+    // family-keyed — cross-family planted segments share NO shingles and
+    // can never band-collide, keeping planted pair output LINEAR in corpus
+    // size (the same bounded-family treatment GenScale's clone buckets
+    // apply to whole-document dups; the old 3-global-variant planting made
+    // pair output quadratic, 883s of the round-9 sf10 bench total). Within
+    // a family the 10th word varies by doc_id % 3: same variant =
+    // byte-identical segment, different variant = 9/10-word near dup —
+    // both collision legs still exercised.
     "dedup_segment_near" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
+      val f = concat(lit("f"),
+        org.apache.spark.sql.functions.expr("(doc_id div 8) div 4"))
       val planted = org.apache.spark.sql.functions.when(
         col("doc_id") % 8 === 0,
-        concat(lit(NearBoiler + " v"), col("doc_id") % 3, lit(" "), col("text")))
+        concat(lit("terms of"), f, lit(" service apply"), f, lit(" to all"), f,
+          lit(" content on"), f, lit(" this v"), col("doc_id") % 3,
+          lit(" "), col("text")))
         .otherwise(col("text"))
       Dedup.segmentNearDup(docs.select(col("doc_id"), planted.as("text")),
         span = 10, numHashes = 32, rowsPerBand = 4)
@@ -464,11 +476,6 @@ object ExtQueries extends QueryPack {
 
   private[ext] val U64 = "18446744073709551616"
 
-  /** 9-word boilerplate stem for dedup_segment_near's planted paragraph —
-    * the 10th word varies per doc, making the span a NEAR (not exact) dup.
-    */
-  private[ext] val NearBoiler = "terms of service apply to all content on this"
-
   /** Probe suffix for text_normalize: tab, decomposed e+acute, a double
     * space, a BEL control islanded in spaces, the Angstrom sign (U+212B,
     * NFC-composes to U+00C5), decomposed o+diaeresis, then VT + CRLF +
@@ -704,13 +711,19 @@ object ExtQueries extends QueryPack {
     // synthetic order equals the lexicographic (doc, idx) order, so the
     // doc_a < doc_b band join decodes to identical 4-tuples
     "dedup_segment_near" ->
-      s"""WITH aug AS (
+      s"""WITH ftag AS (
+         |  SELECT doc_id, text,
+         |         'f' || CAST((doc_id // 8) // 4 AS VARCHAR) AS f
+         |  FROM documents),
+         |aug AS (
          |  SELECT doc_id,
          |         CASE WHEN doc_id % 8 = 0
-         |              THEN '$NearBoiler v' || CAST(doc_id % 3 AS VARCHAR)
+         |              THEN 'terms of' || f || ' service apply' || f
+         |                   || ' to all' || f || ' content on' || f
+         |                   || ' this v' || CAST(doc_id % 3 AS VARCHAR)
          |                   || ' ' || text
          |              ELSE text END AS text
-         |  FROM documents),
+         |  FROM ftag),
          |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
          |e AS (SELECT doc_id, ws, unnest(range(0, (len(ws) + 9) // 10)) AS idx
          |      FROM t),

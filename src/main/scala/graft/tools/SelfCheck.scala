@@ -175,6 +175,62 @@ object SelfCheck {
             .unionByName(Dedup.noveltyGate(bands, digests,
               batch.where(col("doc_id") % 2 === 1),
               numHashes = 32, rowsPerBand = 4))
+        }),
+
+      // the three wire-decode faces vs pure-ARITHMETIC restatements of
+      // their DuckDB oracles (proven equal at sf0.01 by the driver gate)
+      // re-expressed in Spark: the decode path (regex token scan / KV
+      // layout / logproxy text maps) shares no code with the restatement,
+      // so agreement at sf10 exercises the newest decode paths at 100x
+      ("pg_testdecoding_decode_vs_arith",
+        () => q("pg_testdecoding_decode")(spark, sfDir),
+        () => {
+          val k = col("o_orderkey")
+          val op = when(col("o_orderstatus") === "F", "d")
+            .when(col("o_orderstatus") === "P", "u").otherwise("c")
+          Changelog.table(spark, sfDir, "orders").select(
+            k.as("offset"), op.as("op"),
+            ((lit(1704067200L) + k % 997) * 1000L).as("ts_ms"),
+            lit("public").as("schema_name"), k.as("o_orderkey"),
+            when(k % 7 === 0, lit(null).cast(StringType))
+              .otherwise(concat(col("o_orderpriority"),
+                lit("'s new-tuple: x[text]:'y'"))).as("o_name"),
+            (col("o_totalprice") + when(op === "d", 10).otherwise(0))
+              .cast(DecimalType(14, 2)).cast(StringType).as("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_orderdate"))
+        }),
+
+      ("tikv_kv_decode_vs_arith",
+        () => q("tikv_kv_decode")(spark, sfDir),
+        () => {
+          val ms = unix_millis(col("o_orderdate").cast("timestamp"))
+          val op = when(col("o_orderstatus") === "F", "d").otherwise("c")
+          Changelog.table(spark, sfDir, "orders").select(
+            (ms * 262144L + col("o_orderkey") % 262144L).as("offset"),
+            op.as("op"), ms.as("ts_ms"), lit(42L).as("table_id"),
+            col("o_orderkey"),
+            when(op === "c", col("o_totalprice").cast(DecimalType(14, 2))
+              .cast(StringType)).as("o_totalprice"),
+            when(op === "c", col("o_orderdate").cast("date")).as("o_orderdate"),
+            when(op === "c", col("o_orderstatus")).as("o_orderstatus"))
+        }),
+
+      ("oceanbase_logproxy_decode_vs_arith",
+        () => q("oceanbase_logproxy_decode")(spark, sfDir),
+        () => {
+          val tsS = (unix_millis(col("o_orderdate").cast("timestamp")) / 1000)
+            .cast("long")
+          val op = when(col("o_orderstatus") === "F", "d")
+            .when(col("o_orderstatus") === "P", "u").otherwise("c")
+          Changelog.table(spark, sfDir, "orders").select(
+            (tsS * 1000000L + col("o_orderkey")).as("offset"), op.as("op"),
+            (tsS * 1000L).as("ts_ms"),
+            concat(lit("tenant_"), col("o_custkey") % 3).as("tenant_name"),
+            col("o_orderkey"),
+            (col("o_totalprice") + when(op === "d", 10).otherwise(0))
+              .cast(DecimalType(14, 2)).cast(StringType).as("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderstatus"))
         })
     )
 

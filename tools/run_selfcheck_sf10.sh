@@ -4,6 +4,12 @@
 # Spark where single-node DuckDB cannot follow. Writes
 # CORRECTNESS_SF10_self.json (see graft.tools.SelfCheck).
 set -x
+# refuse to race a live data regeneration (round-9 post-mortem: a bench
+# started during GenScale rewrite recorded every query as failed)
+if pgrep -f "graft.tools.GenScale" > /dev/null; then
+  echo "GenScale is running — refusing to bench against a moving sf dir" >&2
+  exit 1
+fi
 cd /root/repo
 SNAP=$(mktemp -d /tmp/graft_classes_sc10_XXXX)
 cp -r target/scala-2.13/classes/* "$SNAP/"

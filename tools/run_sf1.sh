@@ -5,6 +5,12 @@
 #   CORRECTNESS_SF1.json  — per-query gate + per-oracle DuckDB seconds
 #   BENCH_SF1.json        — combined headline artifact
 set -x
+# refuse to race a live data regeneration (round-9 post-mortem: a bench
+# started during GenScale rewrite recorded every query as failed)
+if pgrep -f "graft.tools.GenScale" > /dev/null; then
+  echo "GenScale is running — refusing to bench against a moving sf dir" >&2
+  exit 1
+fi
 cd /root/repo
 JAVA_FLAGS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

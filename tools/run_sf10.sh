@@ -2,6 +2,12 @@
 # sf10 spark-side headline run: 12 representative queries at ~60M lineitem
 # (no DuckDB leg — the point of this artifact is Spark-side scaling).
 set -x
+# refuse to race a live data regeneration (round-9 post-mortem: a bench
+# started during GenScale rewrite recorded every query as failed)
+if pgrep -f "graft.tools.GenScale" > /dev/null; then
+  echo "GenScale is running — refusing to bench against a moving sf dir" >&2
+  exit 1
+fi
 cd /root/repo
 SNAP=$(mktemp -d /tmp/graft_classes_sf10_XXXX)
 cp -r target/scala-2.13/classes/* "$SNAP/"

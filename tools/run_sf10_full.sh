@@ -6,6 +6,12 @@
 # word-level edits across buckets, so near-dup pair output scales linearly
 # and the pair-output dedup queries run at every scale.
 set -x
+# refuse to race a live data regeneration (round-9 post-mortem: a bench
+# started during GenScale rewrite recorded every query as failed)
+if pgrep -f "graft.tools.GenScale" > /dev/null; then
+  echo "GenScale is running — refusing to bench against a moving sf dir" >&2
+  exit 1
+fi
 cd /root/repo
 SNAP=$(mktemp -d /tmp/graft_classes_sf10f_XXXX)
 cp -r target/scala-2.13/classes/* "$SNAP/"
