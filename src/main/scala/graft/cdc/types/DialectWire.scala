@@ -6,6 +6,124 @@ import org.apache.spark.sql.types._
 import graft.cdc.model.RowImage
 import graft.cdc.model.RowImage.DeclaredTable
 
+/** Runtime for the native `test_decoding` scanners ([[GraftExpressions]]
+  * `graft_testdecoding_tokens` / `graft_testdecoding_header`): the SAME
+  * compiled java.util.regex patterns the Column formulation used, but ONE
+  * matcher pass per row filling every capture group at once — the Column
+  * form paid three `regexp_extract_all` scans for the payload tokens and
+  * four `regexp_extract` scans for the header, i.e. 7 full regex passes
+  * over every change line. At sf10 (6 M wire lines × 2 bench passes) that
+  * was the single most expensive query on the board (62.5 s); one pass per
+  * pattern is the floor without abandoning the shared grammar.
+  */
+object TestDecodingScan {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val headerType: StructType = StructType(Seq(
+    StructField("schema_name", StringType),
+    StructField("table_name", StringType),
+    StructField("verb", StringType),
+    StructField("payload", StringType)))
+
+  private val TokenPattern =
+    java.util.regex.Pattern.compile(DialectWire.TestDecodingToken)
+  private val HeaderPattern =
+    java.util.regex.Pattern.compile(DialectWire.TestDecodingHeader)
+
+  val imagesType: StructType = StructType(Seq(
+    StructField("before_map", MapType(StringType, StringType, valueContainsNull = true)),
+    StructField("after_map", MapType(StringType, StringType, valueContainsNull = true))))
+
+  /** The whole token-scan + image-routing pipeline in ONE native pass:
+    * scan the payload's tokens left-to-right, normalize each field value
+    * (outer quotes stripped, doubled quotes folded, bare `null` -> SQL
+    * NULL; [[DialectWire.UnchangedToast]] passes verbatim), and route
+    * fields to the before/after maps by verb and position relative to the
+    * first `new-tuple:` marker — DELETE all-before, INSERT all-after, an
+    * UPDATE with an old image splits at the marker, an UPDATE without one
+    * (default replica identity) is all-after. Exactly the Column
+    * formulation's `array_position`/`filter`/`transform`/`map_from_arrays`
+    * routing (TestDecodingScanSpec pins the equality), but without
+    * materializing three token arrays, the per-index HOF passes, or the
+    * intermediate struct copy.
+    */
+  def images(verb: UTF8String, payload: UTF8String): InternalRow = {
+    val m = TokenPattern.matcher(payload.toString)
+    val names = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    // token index (1-based over ALL tokens) of each field, the first
+    // new-tuple: marker, and whether token 1 is old-key:
+    val fieldIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var tokIdx = 0
+    var newAt = 0
+    var hasOld = false
+    while (m.find()) {
+      tokIdx += 1
+      val mark = m.group(1)
+      if (mark != null) {
+        if (mark == "new-tuple:" && newAt == 0) newAt = tokIdx
+        if (mark == "old-key:" && tokIdx == 1) hasOld = true
+      } else {
+        val raw = m.group(3)
+        // quote strip mirrors the Column form's substr(2, len-2): a
+        // degenerate lone-quote bare token (len 1) strips to "" too
+        val v =
+          if (raw.charAt(0) == '\'')
+            UTF8String.fromString(
+              raw.substring(1, math.max(1, raw.length - 1)).replace("''", "'"))
+          else if (raw == "null") null
+          else UTF8String.fromString(raw)
+        names += UTF8String.fromString(m.group(2))
+        vals += v
+        fieldIdx += tokIdx
+      }
+    }
+    def mapOf(cond: Int => Boolean): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+      val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i < fieldIdx.length) {
+        if (cond(fieldIdx(i))) { ks += names(i); vs += vals(i) }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(ks.toArray), new GenericArrayData(vs.toArray))
+    }
+    val v = verb.toString
+    // a tokenless UPDATE payload (degenerate; the grammar never emits one)
+    // routes BOTH images to NULL — the Column formulation's `hasOld` was
+    // an out-of-bounds `get` there (SQL NULL), so neither the hasOld nor
+    // the !hasOld branch fired; the DuckDB oracle pins the same semantics
+    val degenerate = v == "UPDATE" && tokIdx == 0
+    val before =
+      if (v == "DELETE") mapOf(_ => true)
+      else if (v == "UPDATE" && hasOld) mapOf(_ < newAt)
+      else null
+    val after =
+      if (v == "INSERT") mapOf(_ => true)
+      else if (degenerate) null
+      else if (v == "UPDATE" && hasOld) mapOf(_ > newAt)
+      else if (v == "UPDATE") mapOf(_ => true)
+      else null
+    new GenericInternalRow(Array[Any](before, after))
+  }
+
+  /** One find() sweep of the header grammar; all four fields come back NULL
+    * when the grammar does not match (the caller raises — an unparseable
+    * `table ...` line must not become silent data loss).
+    */
+  def header(line: UTF8String): InternalRow = {
+    val m = HeaderPattern.matcher(line.toString)
+    if (!m.find()) new GenericInternalRow(Array[Any](null, null, null, null))
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(m.group(1)), UTF8String.fromString(m.group(2)),
+      UTF8String.fromString(m.group(3)), UTF8String.fromString(m.group(4))))
+  }
+}
+
 /** True F19/F20 — the two wire dialects whose DECODE shape differs from the
   * JSON envelope family: TiKV delivers raw KV byte pairs, OceanBase's
   * logproxy delivers textual field maps. Both decode through the same
@@ -174,6 +292,12 @@ object DialectWire {
   val TestDecodingToken =
     """(old-key:|new-tuple:)|([\w$]+)\[[^\]]+\]:('[^']*(?:''[^']*)*'|[^ ]+)"""
 
+  /** The change-record header grammar:
+    * `table <schema>.<table>: INSERT|UPDATE|DELETE: <payload>`.
+    */
+  val TestDecodingHeader =
+    "^table ([^\\.]+)\\.([^:]+): (INSERT|UPDATE|DELETE): (.*)$"
+
   /** The plugin's marker for a TOASTed column the UPDATE did not touch
     * (the value is not in the WAL record). Kept distinct from NULL through
     * tokenization so the image builder can fall back to the before-image.
@@ -237,7 +361,7 @@ object DialectWire {
     */
   def decodeTestDecoding(lines: DataFrame, table: DeclaredTable): DataFrame = {
     import graft.cdc.offsets.DialectOffsets.pgLsnValue
-    val header = "^table ([^\\.]+)\\.([^:]+): (INSERT|UPDATE|DELETE): (.*)$"
+    GraftFunctions.register(lines.sparkSession)
     val commits = lines
       .where(col("data").rlike("^COMMIT \\d"))
       .select(col("xid").as("c_xid"),
@@ -250,71 +374,48 @@ object DialectWire {
     // a 'table ...' line the header grammar cannot parse must fail loudly
     // instead of being silently dropped by the table-name filter below
     // (unparseable change records as silent data loss). Two forms: a name
-    // containing ':' fails the regex outright (empty extract groups), and
-    // a QUOTED identifier ("odd name") extracts with its quote characters
-    // kept — never equal to any declared table name, so equally silent.
+    // containing ':' fails the regex outright (NULL header fields from the
+    // native scanner), and a QUOTED identifier ("odd name") extracts with
+    // its quote characters kept — never equal to any declared table name,
+    // so equally silent. The header parse is ONE native find() sweep
+    // ([[TestDecodingScan.header]]) filling all four groups — the
+    // per-group `regexp_extract` form re-ran the regex 4x per line.
     val tableNameOrFail = {
-      val extracted = regexp_extract(col("data"), header, 2)
-      when(extracted === "" || extracted.contains("\""),
+      val extracted = col("hdr").getField("table_name")
+      when(extracted.isNull || extracted.contains("\""),
         raise_error(concat(
           lit("unparseable test_decoding change record (header grammar drift?): "),
           col("data")))).otherwise(extracted)
     }
     val rows = lines
       .where(col("data").startsWith("table "))
+      .select(col("lsn"), col("xid"), col("data"),
+        call_function("graft_testdecoding_header", col("data")).as("hdr"))
       .select(col("lsn"), col("xid"),
-        regexp_extract(col("data"), header, 1).as("schema_name"),
+        col("hdr").getField("schema_name").as("schema_name"),
         tableNameOrFail.as("table_name"),
-        regexp_extract(col("data"), header, 3).as("verb"),
-        regexp_extract(col("data"), header, 4).as("payload"))
+        col("hdr").getField("verb").as("verb"),
+        col("hdr").getField("payload").as("payload"))
       .where(col("table_name") === table.name)
     // ONE left-to-right token scan of the payload (markers and fields are
     // both tokens; quoted values are consumed atomically, so marker text
-    // inside a value is unreachable), then fields route to the before or
-    // after image by their position relative to the new-tuple marker:
-    // DELETE is all-before, INSERT all-after, an UPDATE without an old
-    // image (default replica identity, key untouched) all-after
-    // the token arrays and the routed maps materialize as COLUMNS in their
-    // own projections (not inlined expressions): every downstream field
-    // lookup references them several times, and CollapseProject keeps a
-    // non-cheap expression referenced more than once in its own stage, so
-    // the regex scan runs ONCE per row instead of once per field per image
-    val toks = lit(TestDecodingToken)
-    val tokenized = rows.select(
+    // inside a value is unreachable), fused with value normalization and
+    // before/after routing in the native [[TestDecodingScan.images]] pass:
+    // DELETE is all-before, INSERT all-after, an UPDATE splits at the
+    // new-tuple marker, an UPDATE without an old image (default replica
+    // identity, key untouched) is all-after. The routed maps materialize
+    // as COLUMNS in their own projection: every downstream field lookup
+    // references them several times, and CollapseProject keeps a non-cheap
+    // expression referenced more than once in its own stage, so the scan
+    // runs ONCE per row instead of once per field per image.
+    val mapped = rows.select(
       col("lsn"), col("xid"), col("schema_name"), col("verb"),
-      regexp_extract_all(col("payload"), toks, lit(1)).as("marks"),
-      regexp_extract_all(col("payload"), toks, lit(2)).as("tok_names"),
-      regexp_extract_all(col("payload"), toks, lit(3)).as("tok_raws"))
-    val marks = col("marks")
-    val newAt = coalesce(array_position(marks, "new-tuple:"), lit(0L))
-    // 1-based token indices; `get` (0-based, null out of bounds) keeps
-    // every access ANSI-safe
-    val idx = filter(
-      sequence(lit(1L), greatest(size(marks).cast(LongType), lit(1L))),
-      i => i <= size(marks))
-    def fieldsWhere(cond: Column => Column): Column = {
-      val keep = filter(idx, i =>
-        get(marks, (i - 1).cast(IntegerType)) === "" && cond(i))
-      val pick = (arr: Column) =>
-        transform(keep, i => get(arr, (i - 1).cast(IntegerType)))
-      val vals = transform(pick(col("tok_raws")), raw =>
-        when(raw.startsWith("'"),
-          regexp_replace(raw.substr(lit(2), length(raw) - 2), "''", "'"))
-          .when(raw === "null", lit(null).cast(StringType))
-          .otherwise(raw))
-      map_from_arrays(pick(col("tok_names")), vals)
-    }
-    val allMap = fieldsWhere(_ => lit(true))
-    val preMap = fieldsWhere(i => i < newAt)
-    val postMap = fieldsWhere(i => i > newAt)
-    val hasOld = get(marks, lit(0)) === "old-key:"
-    val mapped = tokenized.select(
-      col("lsn"), col("xid"), col("schema_name"), col("verb"),
-      when(col("verb") === "DELETE", allMap)
-        .when(col("verb") === "UPDATE" && hasOld, preMap).as("before_map"),
-      when(col("verb") === "INSERT", allMap)
-        .when(col("verb") === "UPDATE" && hasOld, postMap)
-        .when(col("verb") === "UPDATE" && !hasOld, allMap).as("after_map"))
+      call_function("graft_testdecoding_images",
+        col("verb"), col("payload")).as("im"))
+      .select(
+        col("lsn"), col("xid"), col("schema_name"), col("verb"),
+        col("im").getField("before_map").as("before_map"),
+        col("im").getField("after_map").as("after_map"))
     def image(m: Column, toastFallback: Option[Column]): Column = {
       val fields = table.schema.fields.map { f =>
         // when the value is genuinely absent from the WAL (unchanged TOAST

@@ -487,6 +487,59 @@ case class BpeApply(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_testdecoding_header(line) -> struct<schema_name, table_name,
+  * verb, payload>`: the test_decoding change-record header
+  * ([[DialectWire.TestDecodingHeader]]) parsed in ONE native matcher sweep
+  * ([[TestDecodingScan.header]]); all four fields are NULL when the grammar
+  * does not match (callers raise — silent drop of an unparseable change
+  * record is data loss). The per-group `regexp_extract` form ran the
+  * header regex 4x per line.
+  */
+case class TestDecodingHeaderParse(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = TestDecodingScan.headerType
+  override def prettyName: String = "graft_testdecoding_header"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TestDecodingScan.header(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.cdc.types.TestDecodingScan.header($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TestDecodingHeaderParse =
+    copy(child = newChild)
+}
+
+/** `graft_testdecoding_images(verb, payload) -> struct<before_map
+  * map<string,string>, after_map map<string,string>>`: the full token-scan
+  * + image-routing pipeline of the test_decoding decode in ONE native pass
+  * ([[TestDecodingScan.images]]) — value normalization and
+  * before/after routing included, replacing the three-array token struct,
+  * the `array_position`/`filter`/`transform` per-index HOF passes, and
+  * `map_from_arrays`. TestDecodingScanSpec pins equality with the Column
+  * formulation.
+  */
+case class TestDecodingImages(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = TestDecodingScan.imagesType
+  override def prettyName: String = "graft_testdecoding_images"
+
+  override protected def nullSafeEval(verb: Any, payload: Any): Any =
+    TestDecodingScan.images(
+      verb.asInstanceOf[UTF8String], payload.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, p) => s"graft.cdc.types.TestDecodingScan.images($v, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TestDecodingImages =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private def unary(name: String)(build: Expression => Expression)
@@ -577,6 +630,17 @@ object GraftFunctions {
           throw new IllegalArgumentException(
             s"graft_zorder expects exactly 2 arguments, got ${children.length}")
       }),
+    (FunctionIdentifier("graft_testdecoding_images"),
+      new ExpressionInfo(classOf[TestDecodingImages].getName, "graft_testdecoding_images"),
+      {
+        case Seq(a, b) => TestDecodingImages(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_testdecoding_images expects exactly 2 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_testdecoding_header"),
+      new ExpressionInfo(classOf[TestDecodingHeaderParse].getName, "graft_testdecoding_header"),
+      unary("graft_testdecoding_header")(TestDecodingHeaderParse)),
     (FunctionIdentifier("graft_gtid_contains"),
       new ExpressionInfo(classOf[GtidContains].getName, "graft_gtid_contains"),
       {

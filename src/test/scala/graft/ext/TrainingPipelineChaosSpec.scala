@@ -3,144 +3,213 @@ package graft.ext
 import java.util.concurrent.ConcurrentHashMap
 
 import graft.SparkTestBase
+import graft.cdc.model.RowImage
 import graft.cdc.source.{CdcMicroBatch, CdcSource}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** The fused CDC->training pipeline under the same failover matrix: kills
-  * at EACH stage boundary of the composition (envelope stream -> offset-
-  * guarded state, epoch cut -> streaming packer), each landing on the batch
-  * truth. The generic-IR chaos matrix lives in
-  * graft.cdc.streaming.ChaosSpec; the clean-split halves of this pipeline
-  * are in TrainingPipelineSpec.
+/** ChaosSpec treatment for the FUSED pipeline (CDC changelog in → LWW
+  * state → dedup/curation gate → epoch cut → streaming packer → training
+  * batches): deterministic kills at the worst window of each stage
+  * boundary — after a micro-batch's effects land but BEFORE the engine
+  * marks the batch committed — then restart from the same checkpoint.
+  * TrainingPipelineSpec holds the clean-split half (stream == batch over
+  * arbitrary micro-batch splits); this spec holds the crash half:
+  *
+  *   1. ingest stage: EVERY state-apply micro-batch killed once in the
+  *      land-rows-then-die window; the offset-guarded upsert must absorb
+  *      each replay (exactly-once effect, not at-least-once delivery)
+  *   2. ingest→cut boundary: an epoch cut taken from the state table
+  *      while the stream is DOWN mid-log must equal the batch composition
+  *      of exactly the delivered prefix — a consistent snapshot, never a
+  *      torn one
+  *   3. pack stage: every packer micro-batch killed once after its spans
+  *      land; on restart the state store reloads the pre-batch cursor
+  *      version, so the replayed batch emits byte-identical spans and a
+  *      keyed sink converges on exactly the batch manifest
   */
 class TrainingPipelineChaosSpec extends SparkTestBase {
 
-  private def freshDb(prefix: String): String =
-    s"jdbc:derby:${java.nio.file.Files.createTempDirectory(prefix).toString}/db;create=true"
+  private val docsTable = RowImage.DeclaredTable(
+    "documents",
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("text", StringType, nullable = true))),
+    Seq("doc_id"))
 
-  private def runUntilKilled(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.processAllAvailable()
-      q.awaitTermination()
-    }
-    assert(e.getMessage.contains("chaos kill"), s"unexpected failure: ${e.getMessage}")
-  }
-
-  test("fused CDC->training pipeline: kills at both stage boundaries, manifest equals batch truth") {
-    import graft.cdc.model.RowImage
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-
-    val docsTable = RowImage.DeclaredTable(
-      "documents",
-      StructType(Seq(
-        StructField("doc_id", LongType, nullable = true),
-        StructField("text", StringType, nullable = true))),
-      Seq("doc_id"))
-
-    // the same fixture TrainingPipelineSpec drives cleanly: the documents
-    // changelog as envelope frames in delivery order
-    val frames = ExtQueries.docsChangelog(spark, sfDir)
-      .select(col("offset"), col("doc_id"), col("op"),
-        to_json(struct(col("doc_id"), col("text"))).as("img"))
+  /** Delivery-ordered changes, renumbered to the dense SEQ domain (same
+    * renumbering as TrainingPipelineSpec so LWW winners are preserved).
+    */
+  private lazy val ordered: Array[(Long, Long, String, String)] =
+    ExtQueries.docsChangelog(spark, sfDir)
+      .select(col("offset"), col("doc_id"), col("op"), col("text"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
       .sortBy(t => (t._1, t._2))
       .zipWithIndex
-      .map { case ((_, _, op, img), i) =>
-        val before = if (op == "d") img else null
-        val after = if (op == "d") null else img
-        (i.toLong, op, i.toLong, "documents", before, after)
-      }
-    def manifestSet(df: DataFrame): Set[(Long, Long, Long, Long, Long, Long)] =
-      df.select(col("shard"), col("doc_id"), col("seq_id"),
-          col("doc_tok_start"), col("seq_tok_start"), col("span_toks"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5))).toSet
-    val want = manifestSet(TrainingPipeline.fromChangelog(
-      ExtQueries.docsChangelog(spark, sfDir)))
+      .map { case ((_, d, op, tx), i) => (i.toLong, d, op, tx) }
 
-    // ===== stage boundary 1: envelope stream -> offset-guarded state =====
-    // the kill window is the worst one: the batch's rows LAND in the state
-    // table, then the process dies before the checkpoint commit — replay
-    // must be a per-key no-op (the offset guard), not a double-apply
-    val url = freshDb("chaos_tp_log")
-    CdcMicroBatch.appendEnvelopeTable(url, "TPC_LOG", frames.iterator)
+  private def changesDf(rows: Array[(Long, Long, String, String)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toSeq.toDF("offset", "doc_id", "op", "text")
+  }
+
+  /** Envelope frames for [[CdcMicroBatch.appendEnvelopeTable]]. */
+  private def frames(rows: Array[(Long, Long, String, String)])
+      : Array[(Long, String, Long, String, String, String)] = {
+    val imgs = changesDf(rows)
+      .select(col("offset"), to_json(struct(col("doc_id"), col("text"))).as("img"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.map { case (i, _, op, _) =>
+      val img = imgs(i)
+      val before = if (op == "d") img else null
+      val after = if (op == "d") null else img
+      (i, op, i, "documents", before, after)
+    }
+  }
+
+  private def manifestSet(df: DataFrame): Set[(Long, Long, Long, Long, Long, Long)] =
+    df.select(col("shard"), col("doc_id"), col("seq_id"),
+        col("doc_tok_start"), col("seq_tok_start"), col("span_toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+
+  private def cutOfState(url: String): Set[(Long, Long, Long, Long, Long, Long)] =
+    manifestSet(TrainingPipeline.epochCut(
+      RowImage.readState(spark, docsTable, url, "TPC_STATE")
+        .select(col("doc_id"), col("text"))))
+
+  /** Drive a chaos-killed stream to a clean drain: each run dies at the
+    * first not-yet-killed batch (its rows already landed), the next run
+    * resumes from the checkpoint. Returns the number of chaos restarts.
+    */
+  private def drainWithKills(start: () => org.apache.spark.sql.streaming.StreamingQuery,
+      maxRestarts: Int = 64): Int = {
+    var restarts = 0
+    var done = false
+    while (!done) {
+      val q = start()
+      try {
+        q.processAllAvailable()
+        q.stop()
+        done = true
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          assert(e.getMessage.contains("chaos kill"),
+            s"unexpected failure: ${e.getMessage}")
+          restarts += 1
+          assert(restarts <= maxRestarts, "chaos loop did not converge")
+      }
+    }
+    restarts
+  }
+
+  test("ingest killed at EVERY batch + mid-log epoch cut == prefix truth; final cut == full truth") {
+    val (h1, h2) = ordered.splitAt(ordered.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("derby_tpc").toString
+    val url = s"jdbc:derby:$dir/logdb;create=true"
+    CdcMicroBatch.appendEnvelopeTable(url, "TPC_LOG", frames(h1).iterator)
+    val ckpt = java.nio.file.Files.createTempDirectory("tpc_ckpt").toString
     RowImage.createStateTable(url, docsTable, "TPC_STATE")
-    val ckpt = java.nio.file.Files.createTempDirectory("chaos_tp_ckpt").toString
+
+    // the chaos sink: the production decode+apply, then die BEFORE the
+    // engine marks the batch — once per batch id; the replay applies the
+    // same rows and the offset guard makes it a per-key no-op
     val killed = ConcurrentHashMap.newKeySet[Long]()
-    def start(killAt: Set[Long]) = CdcSource.read(spark)
+    def start() = CdcSource.read(spark)
       .option("envelope", "true")
-      .option("max-events-per-trigger", 64)
+      .option("max-events-per-trigger", 48)
       .loadMicroBatch(url, "TPC_LOG")
       .writeStream
       .option("checkpointLocation", ckpt)
-      .outputMode("update")
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        val decoded = RowImage.decodeEnvelope(b, docsTable)
-        RowImage.applyRows(decoded, docsTable, url, "TPC_STATE")
-        if (killAt.contains(id) && killed.add(id))
-          throw new RuntimeException(s"chaos kill at batch $id")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        RowImage.applyRows(
+          RowImage.decodeEnvelope(batch, docsTable), docsTable, url, "TPC_STATE")
+        if (killed.add(id)) throw new RuntimeException(s"chaos kill at batch $id")
       }
       .start()
-    runUntilKilled(start(Set(1L)))
-    runUntilKilled(start(Set(3L)))
-    val q = start(Set.empty)
-    q.processAllAvailable(); q.stop()
-    assert(killed.size == 2, s"chaos kills fired: $killed")
 
-    val live = RowImage.readState(spark, docsTable, url, "TPC_STATE")
-      .select(col("doc_id"), col("text"))
-    assert(manifestSet(TrainingPipeline.epochCut(live)) == want && want.nonEmpty)
+    // phase 1: only h1 staged; every batch dies once in the worst window.
+    // The stream is DOWN when drainWithKills returns a clean drain — the
+    // epoch cut taken here is the ingest→cut stage boundary under chaos.
+    val restarts1 = drainWithKills(() => start())
+    assert(restarts1 >= 2, s"expected multiple ingest kills, got $restarts1")
+    assert(cutOfState(url) ==
+      manifestSet(TrainingPipeline.fromChangelog(changesDf(h1))),
+      "mid-log epoch cut must equal the batch composition of the delivered prefix")
 
-    // ===== stage boundary 2: epoch-cut corpus -> streaming packer =====
-    // kill AFTER a batch's spans reach the (ledgered) sink but before the
-    // commit: on restart the state store rewinds to the pre-batch version,
-    // the batch replays from the WAL'd offset range, and the ledger
-    // overwrite by batch id makes the effect exactly-once — the packer's
-    // shard cursors must not double-advance
-    val s = spark
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
+    // phase 2: the log grows; same checkpoint, kills keep firing per batch
+    CdcMicroBatch.appendEnvelopeTable(url, "TPC_LOG", frames(h2).iterator)
+    drainWithKills(() => start())
+    val want = manifestSet(TrainingPipeline.fromChangelog(changesDf(ordered)))
+    val got = cutOfState(url)
+    assert(got == want && got.nonEmpty,
+      "post-chaos epoch cut must equal the full batch composition")
+  }
+
+  test("packer killed at EVERY batch after spans land: keyed sink converges on the batch manifest") {
     val gated = TrainingPipeline.dedupGate(
-      TrainingPipeline.liveCorpus(ExtQueries.docsChangelog(spark, sfDir)),
-      minWords = 3, repLimit = 2)
-    val docs = gated.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val packCkpt = java.nio.file.Files.createTempDirectory("chaos_pack_ckpt").toString
-    val ledger = new ConcurrentHashMap[Long, Set[(Long, Long, Long, Long, Long, Long)]]()
-    val killedPack = ConcurrentHashMap.newKeySet[Long]()
-    def startPack(killAt: Set[Long]) =
-      StreamingPack.packStream(stream.toDS().toDF("doc_id", "text"), 128L, 4)
-        .writeStream
-        .option("checkpointLocation", packCkpt)
-        .outputMode("append")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingPack.PackSpan], id: Long) =>
-          val rows = b.collect().map(r => (r.shard, r.doc_id, r.seq_id,
-            r.doc_tok_start, r.seq_tok_start, r.span_toks)).toSet
-          ledger.put(id, rows)
-          if (killAt.contains(id) && killedPack.add(id))
-            throw new RuntimeException(s"chaos kill at batch $id")
-          ()
-        }
-        .start()
-    val splits = Seq(docs.take(docs.length / 3),
-      docs.slice(docs.length / 3, docs.length / 2), docs.drop(docs.length / 2))
-    // run 1: first split lands (batch 0), second split's batch 1 dies
-    // post-ledger pre-commit
-    val p1 = startPack(Set(1L))
-    stream.addData(splits(0).toIndexedSeq); p1.processAllAvailable()
-    stream.addData(splits(1).toIndexedSeq)
-    runUntilKilled(p1)
-    // run 2: same checkpoint — batch 1 replays (ledger overwrite), then the
-    // third split drains clean
-    val p2 = startPack(Set.empty)
-    stream.addData(splits(2).toIndexedSeq)
-    p2.processAllAvailable(); p2.stop()
-    assert(killedPack.size == 1)
+      TrainingPipeline.liveCorpus(changesDf(ordered)), minWords = 3, repLimit = 2)
+    val want = manifestSet(TrainingPipeline.packManifest(gated, 128L, 4))
+    assert(want.nonEmpty)
 
-    val got = ledger.values().toArray.flatMap(_.asInstanceOf[Set[(Long, Long, Long, Long, Long, Long)]]).toSet
-    assert(got == want, "packer spans after kill/replay diverge from the batch manifest")
+    // a replayable multi-batch source: the gated corpus as 6 parquet files,
+    // one file per micro-batch. Arrival order must be doc_id order (the
+    // manifest's per-shard packing order, same contract as
+    // TrainingPipelineSpec's splits), so each file is a contiguous doc_id
+    // range and files carry strictly increasing modification times (the
+    // file source's processing order).
+    val srcDir = java.nio.file.Files.createTempDirectory("tpc_pack_src")
+    val s = spark; import s.implicits._
+    val docs = gated.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val chunks = docs.grouped(math.max(1, (docs.length + 5) / 6)).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"tpc_chunk$i").toString
+      chunk.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = srcDir.resolve(f"chunk-$i%02d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("tpc_pack_ckpt").toString
+    val docsStream = spark.readStream
+      .schema(gated.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir.toString)
+
+    // land every span into a keyed counter, then die — once per batch id.
+    // Restart reloads the PRE-batch state-store cursor version, so the
+    // replay must emit byte-identical spans (the counter never grows a key
+    // outside the batch manifest, and no key lands more than twice).
+    val landed = new ConcurrentHashMap[(Long, Long, Long, Long, Long, Long), Long]()
+    val killed = ConcurrentHashMap.newKeySet[Long]()
+    def start() = StreamingPack.packStream(docsStream, 128L, 4)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (ds: Dataset[StreamingPack.PackSpan], id: Long) =>
+        ds.collect().foreach { s =>
+          landed.merge((s.shard, s.doc_id, s.seq_id, s.doc_tok_start,
+            s.seq_tok_start, s.span_toks), 1L, (a, b) => a + b)
+        }
+        if (killed.add(id)) throw new RuntimeException(s"chaos kill at batch $id")
+      }
+      .start()
+
+    val restarts = drainWithKills(() => start())
+    assert(restarts >= 2, s"expected multiple packer kills, got $restarts")
+
+    import scala.jdk.CollectionConverters._
+    val got = landed.keySet().asScala.toSet
+    assert(got == want,
+      "replayed packer batches drifted from the batch manifest")
+    val over = landed.asScala.filter(_._2 > 2)
+    assert(over.isEmpty, s"a span landed more than twice (non-idempotent replay): $over")
   }
 }
