@@ -7,14 +7,15 @@ import graft.cdc.model.RowImage
 import graft.cdc.model.RowImage.DeclaredTable
 
 /** Runtime for the native `test_decoding` scanners ([[GraftExpressions]]
-  * `graft_testdecoding_tokens` / `graft_testdecoding_header`): the SAME
+  * `graft_testdecoding_images` / `graft_testdecoding_header`): the SAME
   * compiled java.util.regex patterns the Column formulation used, but ONE
-  * matcher pass per row filling every capture group at once — the Column
-  * form paid three `regexp_extract_all` scans for the payload tokens and
+  * matcher pass per row — the Column form paid three `regexp_extract_all`
+  * scans for the payload tokens plus per-index array-HOF routing, and
   * four `regexp_extract` scans for the header, i.e. 7 full regex passes
   * over every change line. At sf10 (6 M wire lines × 2 bench passes) that
-  * was the single most expensive query on the board (62.5 s); one pass per
-  * pattern is the floor without abandoning the shared grammar.
+  * was the single most expensive query on the board; one pass per
+  * pattern with fused routing is the floor without abandoning the shared
+  * grammar (TestDecodingScanSpec pins observational equality).
   */
 object TestDecodingScan {
   import org.apache.spark.sql.catalyst.InternalRow
