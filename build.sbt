@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// With fork:=true, sbt wraps the forked process's stdout through its
+// logger as "[info] <line>" by default, which breaks the driver's
+// tail-parse of graft.Bench's single JSON line. StdoutOutput passes the
+// child's stdout through verbatim.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // graft.Bench's contract is ONE JSON line as the final stdout line; sbt's
 // trailing "[success] Total time: ..." banner would otherwise follow it
 // and break tail-parsing of the bench output.

@@ -204,10 +204,8 @@ object ExtQueries extends QueryPack {
     "text_bpe_learn" -> ((s, dir) =>
       Bpe.learnMerges(table(s, dir, "documents"), nMerges = 30)),
 
-    "text_bpe_tokenize" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      Bpe.tokenizeWith(docs, Bpe.learnMerges(docs, nMerges = 20))
-    }),
+    "text_bpe_tokenize" -> ((s, dir) =>
+      Bpe.learnAndTokenize(table(s, dir, "documents"), nMerges = 20)),
 
     "text_bpe_token_count" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
