@@ -500,39 +500,60 @@ object Curation {
     * the whole score is a deterministic IEEE fold the oracle replicates
     * bit-for-bit.
     *
-    * Shape at scale: the count tables are ONE map-side-combined hash
-    * aggregation each; V is a single scalar broadcast; scoring is two hash
-    * equi-joins of the token-level rows against the count tables, and the
-    * per-document fold orders terms by position inside the row
-    * (sort_array + aggregate — sums doubles in a defined sequence, never
-    * shuffle order). Documents with fewer than two tokens have no bigrams
-    * and drop out, stated behavior.
+    * Determinism: each term is the exact integer quotient
+    * `(cb+1)·10^15 div (cu+V)` (fixed-point at 15 digits — far below the
+    * signal in a smoothed probability), so the per-document sum is an
+    * EXACT integer aggregate: order-insensitive, plain codegen hash agg,
+    * no per-row collect/sort fold. The earlier double-domain form had to
+    * collect_list every document's terms and fold them in position order
+    * to pin IEEE addition order — corpus-sized row state and a non-codegen
+    * HOF in the hot path, bought back here by quantizing the division
+    * once instead of ordering the additions.
+    *
+    * Shape at scale: raw corpus rows cross the wire exactly TWICE — one
+    * repartition by (w1,w2) shared by the bigram count (no further
+    * exchange) and the term join (shuffle-hash, both sides co-partitioned,
+    * no corpus-side sort), and the final per-document aggregation. The
+    * unigram count and V ride a map-side-combined aggregate whose shuffle
+    * carries vocabulary-scale partials; per-(w1,w2) terms are computed at
+    * bigram-vocabulary scale and joined back, so no corpus-level row ever
+    * joins a count table twice. Documents with fewer than two tokens have
+    * no bigrams and drop out, stated behavior.
     */
   def ngramLmScore(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    // (doc_id, pos, w1, w2) token-transition rows, pos 1-based over bigrams.
-    // The size guard matters: Spark's sequence(1, 0) DESCENDS, so a
-    // single-token doc would index w[1] out of bounds instead of dropping
+    // (doc_id, w1, w2) token-transition rows. The size guard matters:
+    // Spark's sequence(1, 0) DESCENDS, so a single-token doc would index
+    // w[1] out of bounds instead of dropping
     val bi = toks.where(size(col("w")) >= 2).select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        col("col.w1").as("w1"), col("col.w2").as("w2"))
-    val uniRows = toks.select(explode(col("w")).as("w1"))
+      explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .repartition(col("w1"), col("w2"))
     val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val uniCounts = uniRows.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-    val vocabV = uniRows.select(countDistinct(col("w1")).as("v"))
-    bi.join(biCounts, Seq("w1", "w2"))
-      .join(uniCounts, Seq("w1"))
+    // unigram counts: direct map-side-combined corpus aggregate — the
+    // shuffle carries vocabulary-scale partials only; keeping this
+    // independent of biCounts leaves the (heavier) bigram aggregation
+    // with exactly one consumer, so it is computed once
+    val uniCounts = toks.select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocabV = uniCounts.agg(count(lit(1)).as("v"))
+    // per-(w1,w2) fixed-point term, joined back to the corpus rows on the
+    // partitioning they already have — no corpus exchange for the join
+    val termTable = biCounts
+      .join(uniCounts.hint("shuffle_hash"), Seq("w1"))
       .crossJoin(broadcast(vocabV))
-      .select(col("doc_id"), col("pos"),
-        ((col("cb") + lit(1.0)) / (col("cu") + col("v"))).as("term"))
+      .select(col("w1"), col("w2"),
+        expr("CAST(cb + 1 AS DECIMAL(38,0)) * 1000000000000000 DIV (cu + v)")
+          .cast("decimal(20,0)").as("term_q"))
+    // shuffle_hash: both sides already hash-partitioned on (w1,w2); a
+    // sort-merge join would add two corpus-scale sorts for no benefit
+    // (the term table builds a hash map instead)
+    bi.join(termTable.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        aggregate(
-          sort_array(collect_list(struct(col("pos"), col("term")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("term")).as("sum_prob"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_q").cast("double") / lit(1e15)).as("sum_prob"))
       .withColumn("avg_prob", col("sum_prob") / col("n_bigrams"))
   }
 

@@ -951,28 +951,30 @@ object CurationQueries extends QueryPack {
            |FROM terms GROUP BY doc_id, source
            |ORDER BY score DESC, doc_id LIMIT 64""".stripMargin,
 
+      // term = exact hugeint quotient (cb+1)*10^15 // (cu+V): integer
+      // sums are order-free, so no positional list fold is needed; the
+      // unigram counts are the plain direct aggregate (same values the
+      // Spark side derives from w2-sums + doc-first tokens)
       "corpus_ngram_lm_score" ->
         """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
           |              FROM documents),
           |pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS pos FROM toks),
-          |bi AS (SELECT doc_id, pos, w[pos] AS w1, w[pos + 1] AS w2 FROM pos),
+          |bi AS (SELECT doc_id, w[pos] AS w1, w[pos + 1] AS w2 FROM pos),
           |uni AS (SELECT unnest(w) AS w1 FROM toks),
           |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
           |cu AS (SELECT w1, count(*) AS cu FROM uni GROUP BY w1),
           |v AS (SELECT count(DISTINCT w1) AS v FROM uni),
           |terms AS (
-          |  SELECT bi.doc_id, bi.pos,
-          |         (cb.cb + 1.0) / (cu.cu + v.v) AS term
+          |  SELECT bi.doc_id,
+          |         (CAST(cb.cb + 1 AS HUGEINT) * 1000000000000000)
+          |           // (cu.cu + v.v) AS term_q
           |  FROM bi JOIN cb ON bi.w1 = cb.w1 AND bi.w2 = cb.w2
           |          JOIN cu ON bi.w1 = cu.w1
           |          CROSS JOIN v)
           |SELECT doc_id, count(*) AS n_bigrams,
-          |       list_reduce(list_prepend(0.0::DOUBLE,
-          |                                list(term ORDER BY pos)),
-          |                   (acc, z) -> acc + z) AS sum_prob,
-          |       list_reduce(list_prepend(0.0::DOUBLE,
-          |                                list(term ORDER BY pos)),
-          |                   (acc, z) -> acc + z) / count(*) AS avg_prob
+          |       CAST(sum(term_q) AS DOUBLE) / 1000000000000000.0 AS sum_prob,
+          |       (CAST(sum(term_q) AS DOUBLE) / 1000000000000000.0) / count(*)
+          |         AS avg_prob
           |FROM terms
           |GROUP BY doc_id""".stripMargin,
 

@@ -111,14 +111,20 @@ object ExtQueries extends QueryPack {
     // label blocking refined by the deterministic semantic cell — the
     // scale-stable form (pure-label blocks grow with the corpus when label
     // cardinality is fixed; the sf1 run measured the quadratic blow-up)
-    "dedup_embedding_cosine" -> ((s, dir) =>
-      Dedup.embeddingCosineCells(table(s, dir, "embeddings"), 0.3, nCells = 8)),
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Dedup.embeddingCosineCells(emb, 0.3, nCells = scaledCells(emb, 8))
+    }),
 
     // SemDeDup: cell assignment from the vectors themselves as the
-    // blocking key (vs embeddingCosine's given label column)
-    "dedup_semantic" -> ((s, dir) =>
-      Dedup.semanticDedup(table(s, dir, "embeddings"), nCells = 16,
-        threshold = 0.44)),
+    // blocking key (vs embeddingCosine's given label column). Cells scale
+    // with the corpus (see scaledCells) so within-cell pair cost stays
+    // linear in n — the SemDeDup regime (~100k cells at 100M points), not
+    // a fixed-cell count whose cells grow quadratic.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, nCells = scaledCells(emb, 16), threshold = 0.44)
+    }),
 
     "similarity_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), nQueries = 10, k = 5)),
@@ -312,6 +318,19 @@ object ExtQueries extends QueryPack {
   }
 
   /** The fixed retrieval query set shared by the BM25 and hybrid queries. */
+  /** SemDeDup cell-count policy: ~1000 vectors per cell, floored. Cells
+    * MUST grow with the corpus — with a fixed cell count, per-cell size
+    * grows linearly and the within-cell pair join quadratically (the sf10
+    * bench measured 20x wall on 10x data at fixed 16 cells); at c = n/1000
+    * the assignment stays n·c·d (metadata-sized centroid broadcast) and
+    * the pair join is n·1000·d = linear in n. SemDeDup (Abbas et al. 2023)
+    * runs the same regime: ~100k cells at 100M points. The count() is a
+    * one-scalar planner probe, and the oracle replays the same formula as
+    * `greatest(floor, count(*)//1000)`.
+    */
+  private def scaledCells(emb: DataFrame, floor: Int): Int =
+    math.max(floor, (emb.count() / 1000L).toInt)
+
   private def bm25Queries(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -421,7 +440,7 @@ object ExtQueries extends QueryPack {
     * NULL) so the fold's winner algebra never touches engine null
     * semantics; the delete winner's text is discarded anyway.
     */
-  private[ext] def docsChangelog(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsChangelog(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.when
     val d0 = table(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 13 === 0,
@@ -748,12 +767,17 @@ object ExtQueries extends QueryPack {
          |  ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
          |GROUP BY 1, 2, 3, 4""".stripMargin,
 
-    // same LSH candidate pairs, then connected components as a recursive
-    // CTE: labels flood along undirected edges, min per node = the
-    // component's minimum doc_id — exactly what the iterative min-label
-    // propagation in Dedup.clusterAssign converges to
+    // same LSH candidate pairs, then connected components as a STAGED
+    // unroll of the exact iteration Dedup.clusterAssign runs: per round a
+    // node's label becomes min(own, neighbors' labels, label-of-label).
+    // Work per round is linear in |V|+|E| (the earlier recursive-CTE form
+    // flooded (node, label) PAIRS — quadratic in clique components, which
+    // is what timed out at sf1 on the ~3k-member planted families).
+    // 8 rounds: pointer jumping halves label-chain depth per round, and
+    // the LSH fixtures converge in ≤5 (measured at sf10); non-convergence
+    // would surface as a hash mismatch, never silently
     "dedup_cluster_assign" ->
-      s"""${shingleHashSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      s"""$shingleHashSql,
          |fam AS (SELECT doc_id, t.i AS i, hu, CAST(t.i AS UBIGINT) AS iu
          |        FROM h CROSS JOIN range(32) t(i)),
          |mins AS (SELECT doc_id, i, min(${toSignedSql("zf")}) AS m
@@ -764,13 +788,22 @@ object ExtQueries extends QueryPack {
          |          FROM bands x JOIN bands y
          |            ON x.band_id = y.band_id AND x.sig = y.sig AND x.doc_id < y.doc_id
          |          GROUP BY 1, 2),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(id, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
-         |lbl AS (SELECT id, min(lab) AS keeper_id FROM reach GROUP BY id),
+         |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM documents),
+         |${(1 to 8).map { k =>
+             // MATERIALIZED is load-bearing: each round references the
+             // previous one 3x, so inlining would expand 3^8 scan copies
+             s"""l$k AS MATERIALIZED (
+                |  SELECT p.id,
+                |         least(p.lab, coalesce(nm.m, p.lab), lp.lab) AS lab
+                |  FROM l${k - 1} p
+                |  LEFT JOIN (SELECT e.dst AS id, min(pl.lab) AS m
+                |             FROM edges e JOIN l${k - 1} pl ON pl.id = e.src
+                |             GROUP BY e.dst) nm ON nm.id = p.id
+                |  JOIN l${k - 1} lp ON lp.id = p.lab)""".stripMargin
+           }.mkString(",\n")},
+         |lbl AS (SELECT id, lab AS keeper_id FROM l8),
          |sz AS (SELECT keeper_id, count(*) AS cluster_size FROM lbl GROUP BY keeper_id)
          |SELECT l.id AS doc_id, l.keeper_id, s.cluster_size
          |FROM lbl l JOIN sz s ON l.keeper_id = s.keeper_id""".stripMargin,
@@ -860,13 +893,16 @@ object ExtQueries extends QueryPack {
     // within-cell self-join instead of the probe join
     "dedup_semantic" ->
       s"""$normedEmbSql,
+         |ncells AS (SELECT greatest(16, count(*) // 1000) AS c FROM e),
          |mx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,
          |          ${Similarity.IvfSeedSalt}::UBIGINT AS iu FROM e),
          |mxs AS (SELECT vec_id, ${toSignedSql("zf")} AS mix
          |        FROM ${mixChainSql("mx0", "vec_id")}),
-         |seeds AS (SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm
-         |          FROM mxs JOIN e ON mxs.vec_id = e.vec_id
-         |          ORDER BY mxs.mix, e.vec_id LIMIT 16),
+         |seeds AS (SELECT cell, cv, cnrm FROM (
+         |            SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm,
+         |              row_number() OVER (ORDER BY mxs.mix, e.vec_id) AS srn
+         |            FROM mxs JOIN e ON mxs.vec_id = e.vec_id)
+         |          WHERE srn <= (SELECT c FROM ncells)),
          |cs AS (SELECT e.vec_id, e.embedding, e.nrm, s.cell,
          |         ${dotSql("e.embedding", "s.cv")} / (e.nrm * s.cnrm) AS csim
          |       FROM e CROSS JOIN seeds s),
@@ -971,17 +1007,20 @@ object ExtQueries extends QueryPack {
          |       5 AS k, coalesce(h.n_hits, 0) / 5.0 AS recall
          |FROM qs LEFT JOIN hits h ON qs.qid = h.qid""".stripMargin,
 
-    // same seed/assignment replication as dedup_semantic (8 cells), with
+    // same seed/assignment replication as dedup_semantic (floor 8), with
     // the pair join on BOTH the given label and the assigned cell
     "dedup_embedding_cosine" ->
       s"""$normedEmbSql,
+         |ncells AS (SELECT greatest(8, count(*) // 1000) AS c FROM e),
          |mx0 AS (SELECT vec_id, CAST(vec_id AS UBIGINT) AS hu,
          |          ${Similarity.IvfSeedSalt}::UBIGINT AS iu FROM e),
          |mxs AS (SELECT vec_id, ${toSignedSql("zf")} AS mix
          |        FROM ${mixChainSql("mx0", "vec_id")}),
-         |seeds AS (SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm
-         |          FROM mxs JOIN e ON mxs.vec_id = e.vec_id
-         |          ORDER BY mxs.mix, e.vec_id LIMIT 8),
+         |seeds AS (SELECT cell, cv, cnrm FROM (
+         |            SELECT e.vec_id AS cell, e.embedding AS cv, e.nrm AS cnrm,
+         |              row_number() OVER (ORDER BY mxs.mix, e.vec_id) AS srn
+         |            FROM mxs JOIN e ON mxs.vec_id = e.vec_id)
+         |          WHERE srn <= (SELECT c FROM ncells)),
          |cs AS (SELECT e.vec_id, e.label, e.embedding, e.nrm, s.cell,
          |         ${dotSql("e.embedding", "s.cv")} / (e.nrm * s.cnrm) AS csim
          |       FROM e CROSS JOIN seeds s),

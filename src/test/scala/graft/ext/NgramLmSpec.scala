@@ -13,18 +13,25 @@ class NgramLmSpec extends SparkTestBase {
     (4L, "c c c a")
   ).toDF("doc_id", "text")
 
-  /** Plain-Scala replay: same counts, same position-ordered double fold. */
+  /** Plain-Scala replay: same counts, same fixed-point integer quotient
+    * per term ((cb+1)·10^15 div (cu+V)) and exact integer sum — the
+    * order-free arithmetic the engine uses, so the match is bit-exact
+    * without pinning any addition order.
+    */
   private def replay(texts: Map[Long, String]): Map[Long, (Long, Double, Double)] = {
     val toks = texts.view.mapValues(_.split(" ", -1).toSeq).toMap
     val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val bi = toks.values.flatMap(w => w.zip(w.tail))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val v = uni.size.toLong
+    val scale = BigInt(10).pow(15)
     toks.collect { case (id, w) if w.length >= 2 =>
-      var acc = 0.0
-      val terms = w.zip(w.tail).map { p => (bi(p) + 1.0) / (uni(p._1) + v) }
-      terms.foreach(t => acc += t) // position order, like the engine's fold
-      id -> (terms.length.toLong, acc, acc / terms.length)
+      val terms = w.zip(w.tail).map { p =>
+        (BigInt(bi(p) + 1L) * scale) / BigInt(uni(p._1) + v)
+      }
+      val sumQ = terms.sum
+      val sumProb = sumQ.toDouble / 1e15
+      id -> (terms.length.toLong, sumProb, sumProb / terms.length)
     }
   }
 
