@@ -85,9 +85,21 @@ object TestDecodingScan {
     def mapOf(cond: Int => Boolean): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
       val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
       val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val seen = scala.collection.mutable.HashSet.empty[UTF8String]
       var i = 0
       while (i < fieldIdx.length) {
-        if (cond(fieldIdx(i))) { ks += names(i); vs += vals(i) }
+        if (cond(fieldIdx(i))) {
+          // fail loud on a duplicate column name, matching the replaced
+          // map_from_arrays formulation (default EXCEPTION dedup policy):
+          // real test_decoding never repeats a column inside one image, so
+          // a repeat means malformed/hostile wire input, and building the
+          // map directly (bypassing Spark's policy) would otherwise make
+          // it a silent first-key-wins lookup
+          if (!seen.add(names(i)))
+            throw new IllegalArgumentException(
+              s"duplicate column name '${names(i)}' in test_decoding image")
+          ks += names(i); vs += vals(i)
+        }
         i += 1
       }
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(

@@ -215,6 +215,25 @@ object SelfCheck {
             when(op === "c", col("o_orderstatus")).as("o_orderstatus"))
         }),
 
+      // the fused CDC→training pipeline at 100x: whole-log LWW fold vs the
+      // log split by doc parity, folded independently, unioned, and
+      // epoch-cut. LWW is a per-doc fold, so the two half-folds must reach
+      // the same live corpus — and the digest-grouped dedup gate and the
+      // sharded packing run over the UNION, exercising the cross-half
+      // duplicate collapse the split cannot see locally
+      // (TrainingPipelineSpec proves the same law at sf0.01)
+      ("training_pipeline_whole_vs_split",
+        () => q("pipeline_cdc_training_batches")(spark, sfDir),
+        () => {
+          val log = graft.ext.ExtQueries.docsChangelog(spark, sfDir)
+          val live = graft.ext.TrainingPipeline
+            .liveCorpus(log.where(col("doc_id") % 2 === 0))
+            .unionByName(graft.ext.TrainingPipeline
+              .liveCorpus(log.where(col("doc_id") % 2 === 1)))
+          graft.ext.TrainingPipeline.epochCut(live, minWords = 3,
+            repLimit = 2, seqLen = 128L, nShards = 4)
+        }),
+
       ("oceanbase_logproxy_decode_vs_arith",
         () => q("oceanbase_logproxy_decode")(spark, sfDir),
         () => {

@@ -189,4 +189,31 @@ class TestDecodingScanSpec extends SparkTestBase {
     assert(ex.getMessage.contains("unparseable") ||
       Option(ex.getCause).exists(_.getMessage.contains("unparseable")))
   }
+
+  test("a duplicate column name inside one image fails loud (map dedup policy parity)") {
+    // real test_decoding never repeats a column within one tuple image, so
+    // a repeat is malformed/hostile wire input; the native scanner must
+    // RAISE like the replaced map_from_arrays formulation did under the
+    // default EXCEPTION dedup policy — not silently build a
+    // first-key-wins map
+    val sess = s; import sess.implicits._
+    val dup = Seq(("INSERT", "a[text]:'x' a[text]:'y'")).toDF("verb", "payload")
+    val ex = intercept[Exception] {
+      dup.select(call_function("graft_testdecoding_images",
+        col("verb"), col("payload"))).collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("duplicate column name"))
+        || mentions(t.getCause))
+    assert(mentions(ex), s"expected duplicate-name failure, got: ${ex.getMessage}")
+    // the same name on BOTH sides of an UPDATE is two separate maps — legal
+    val ok = Seq(("UPDATE", "old-key: a[text]:'x' new-tuple: a[text]:'y'"))
+      .toDF("verb", "payload")
+      .select(call_function("graft_testdecoding_images",
+        col("verb"), col("payload")).as("im"))
+      .select(expr("element_at(im.before_map, 'a')").as("b"),
+        expr("element_at(im.after_map, 'a')").as("a"))
+      .head()
+    assert(ok.getString(0) == "x" && ok.getString(1) == "y")
+  }
 }
