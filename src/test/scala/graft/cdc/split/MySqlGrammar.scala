@@ -5,10 +5,14 @@ package graft.cdc.split
   * Reference Manual: §13.2.13 "SELECT Statement" for the
   * `LIMIT {[offset,] row_count | row_count OFFSET offset}` production and
   * the absence of ANSI `OFFSET ... ROWS` / `FETCH`; §12.11 "Cast Functions"
-  * for the unary `BINARY expr` operator; §9.2 identifiers incl. backtick
-  * quoting with doubled backticks; §9.1.1 string literals with doubled
-  * single quotes; default sql_mode where a DOUBLE-quoted token is a string
-  * literal, not an identifier).
+  * for the unary `BINARY expr` operator; the "COLLATE Clause" section for
+  * the postfix `expr COLLATE collation_name` (collation_name an
+  * identifier, never a string literal); §9.1.3.3 "Character Set
+  * Introducers" for `_charset 'str'` / `_binary X'4D'`; §9.1.1.2/§9.1.1.3
+  * hex (`X'1A'`, `0x1A`) and bit (`B'01'`) literals; §9.2 identifiers
+  * incl. backtick quoting with doubled backticks; §9.1.1 string literals
+  * with doubled single quotes; default sql_mode where a DOUBLE-quoted
+  * token is a string literal, not an identifier).
   *
   * No MySQL server or MySQL-grammar engine exists in this sandbox, so the
   * emitted probe/predicate strings (ChunkPlanner's SqlDialect.MySql face)
@@ -86,6 +90,31 @@ object MySqlGrammar {
         if (!closed) return err("unterminated quoted identifier")
         if (sb.isEmpty) return err("empty quoted identifier")
         out += Ident(sb.toString)
+      } else if ((c == 'X' || c == 'x' || c == 'B' || c == 'b')
+          && i + 1 < n && sql.charAt(i + 1) == '\'') {
+        // hex literal X'1AF' / bit literal B'01' (§9.1.1.2/§9.1.1.3) —
+        // quoted digit body, NO doubling escape (the body has no quotes)
+        val isHex = c == 'X' || c == 'x'
+        val start = i
+        i += 2
+        while (i < n && sql.charAt(i) != '\'') i += 1
+        if (i >= n) return err("unterminated hex/bit literal")
+        val body = sql.substring(start + 2, i)
+        i += 1
+        val ok = body.nonEmpty && (
+          if (isHex) body.forall(ch => ch.isDigit || ('a' <= ch.toLower && ch.toLower <= 'f'))
+          else body.forall(ch => ch == '0' || ch == '1'))
+        if (!ok) return err(s"malformed ${if (isHex) "hex" else "bit"} literal body [$body]")
+        out += Num(sql.substring(start, i))
+      } else if (c == '0' && i + 1 < n
+          && (sql.charAt(i + 1) == 'x' || sql.charAt(i + 1) == 'X')) {
+        // 0x1AF hex literal form (§9.1.1.2)
+        val start = i
+        i += 2
+        while (i < n && (sql.charAt(i).isDigit
+          || ('a' <= sql.charAt(i).toLower && sql.charAt(i).toLower <= 'f'))) i += 1
+        if (i == start + 2) return err("malformed 0x hex literal")
+        out += Num(sql.substring(start, i))
       } else if (c.isDigit) {
         val start = i
         while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
@@ -110,6 +139,7 @@ object MySqlGrammar {
   private final class P(toks: Vector[Tok], sql: String) {
     private var pos = 0
     def peek: Tok = toks(pos)
+    def peek2: Tok = if (pos + 1 < toks.length) toks(pos + 1) else End
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def fail(m: String): Nothing =
       throw ParseError(s"$m (at token ${toks(pos)}) in [$sql]")
@@ -194,10 +224,40 @@ object MySqlGrammar {
       }
     }
 
-    // simple_expr := BINARY simple_expr (§12.11 cast operator)
-    //              | literal | ? | ident[(args)] | qualified ident | (expr)
-    private def simpleExpr(): Unit = peek match {
+    // simple_expr := primary [COLLATE collation_name]... — the COLLATE
+    // clause (§8.0 "COLLATE Clause", expr COLLATE collation_name) binds as
+    // a postfix on the expression; collation_name is an (unquoted or
+    // backtick-quoted) identifier, plus the reserved word `binary` which
+    // doubles as a collation name in 8.0
+    private def simpleExpr(): Unit = {
+      primaryExpr()
+      while (eatKw("COLLATE")) collationName()
+    }
+
+    private def collationName(): Unit = next() match {
+      case Ident(_) => ()
+      case Kw("BINARY") => () // SELECT ... COLLATE binary
+      case t => fail(s"expected collation name, got $t")
+    }
+
+    // primary := BINARY simple_expr (§12.11 cast operator)
+    //          | _charset introducer + string/hex literal (§9.1.3.3)
+    //          | literal | ? | ident[(args)] | qualified ident | (expr)
+    private def primaryExpr(): Unit = peek match {
       case Kw("BINARY") => next(); simpleExpr()
+      case Ident(s) if s.startsWith("_") && (peek2 match {
+            case Str(_) | Num(_) => true; case _ => false }) =>
+        // charset introducer: `_binary 'abc'`, `_utf8mb4 X'4D'` — the
+        // introducer must be DIRECTLY followed by a string/hex/bit literal
+        next()
+        peek match {
+          case Str(_) => next(); ()
+          case Num(n2) if n2.length > 1 && (n2.charAt(0) match {
+                case 'X' | 'x' | 'B' | 'b' => true
+                case '0' => n2.charAt(1) == 'x' || n2.charAt(1) == 'X'
+                case _ => false }) => next(); ()
+          case t => fail(s"charset introducer requires a string/hex/bit literal, got $t")
+        }
       case Str(_) | Num(_) => next(); ()
       case Sym("?") => next(); ()
       case Sym("(") => next(); expr(); expectSym(")")

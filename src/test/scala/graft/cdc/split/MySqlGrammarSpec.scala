@@ -12,7 +12,9 @@ import graft.cdc.split.ChunkPlanner.{SqlCollation, SqlDialect}
   * target: MySqlConnectorITCase runs these statements on live MySQL; no
   * MySQL engine exists in this sandbox (no mysqld, no H2 jar in the
   * offline cache), so parse-validation against the published grammar is
-  * the strongest executable check available here.
+  * the strongest executable check available here. Feasibility re-checked
+  * 2026-08: still no mysqld/mariadbd binary and no MySQL/MariaDB/H2/HSQLDB
+  * jar under /opt/spark/jars or the coursier cache.
   */
 class MySqlGrammarSpec extends AnyFunSuite {
 
@@ -75,15 +77,60 @@ class MySqlGrammarSpec extends AnyFunSuite {
     rejected(ChunkPlanner.firstBoundarySql("t", "k", 50, SqlDialect.Ansi))
     rejected(ChunkPlanner.boundaryProbeSql("t", "k", 100, SqlDialect.Postgres))
     rejected(ChunkPlanner.maxKeySql("t", "k", SqlDialect.Postgres))
-    // the Postgres collation face: COLLATE is outside the emitted-MySQL
-    // subset this parser implements (MySQL's own COLLATE production would
-    // tokenize "C" as a STRING under default sql_mode), so the subset
-    // parser rejects it — subset-incompleteness rejection, documented as
-    // distinct from the true grammar divergence above
+    // the Postgres collation face: under default sql_mode "C" tokenizes as
+    // a STRING literal, and MySQL's COLLATE production takes a collation
+    // NAME (identifier), so the Postgres spelling stays a parse error even
+    // now that the subset implements COLLATE
     rejected("""SELECT k FROM t WHERE k COLLATE "C" > 'm' LIMIT 1""")
     // malformed inputs don't slip through the tokenizer
     rejected("SELECT k FROM t WHERE k > 'unterminated")
     rejected("SELECT k FROM t LIMIT 1, 2, 3")
     rejected("SELECT k FROM (SELECT k FROM t)") // derived table needs alias
+  }
+
+  test("COLLATE clause and charset introducers: the productions the planner may emit next") {
+    // postfix COLLATE with identifier / backticked / reserved-word names
+    accepted("SELECT k FROM t WHERE k COLLATE utf8mb4_bin > 'm' LIMIT 1")
+    accepted("SELECT k COLLATE `utf8mb4_0900_as_cs` FROM t ORDER BY BINARY k LIMIT 1")
+    accepted("SELECT k FROM t WHERE k COLLATE binary > 'm'")
+    assert(MySqlGrammar.parsePredicate("k COLLATE utf8mb4_bin <= 'm'").isRight)
+    // charset introducers directly prefixing string / hex / bit literals
+    accepted("SELECT k FROM t WHERE k > _binary 'm'")
+    accepted("SELECT k FROM t WHERE k > _binary'm'")
+    accepted("SELECT k FROM t WHERE k > _binary X'4DFF'")
+    accepted("SELECT k FROM t WHERE k > _utf8mb4 'm' AND k <= _latin1 X'00'")
+    accepted("SELECT k FROM t WHERE k > 0x1A AND k > B'0101' LIMIT 1")
+    // malformed forms stay parse errors
+    rejected("SELECT k FROM t WHERE k > _binary k") // introducer needs a literal
+    rejected("SELECT k FROM t WHERE k > X'G1'")     // non-hex digit
+    rejected("SELECT k FROM t WHERE k > X''")       // empty literal body
+    rejected("SELECT k FROM t WHERE k > 0x")        // dangling 0x
+    rejected("SELECT k FROM t WHERE k COLLATE 'utf8mb4_bin' > 'm'") // string name
+    rejected("SELECT k FROM t WHERE k COLLATE > 'm'")
+  }
+
+  test("tokenizer property: doubled-escape round-trips for identifiers and strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // identifier bodies: any printable chars incl. backticks and spaces
+    val identBody = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('`', ' ', '$', '_', '\'', '"')))
+      .map(_.mkString)
+    // string bodies: any printable chars incl. both quote kinds
+    val strBody = Gen.listOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\'', '"', '`', ' ', ',', '%')))
+      .map(_.mkString)
+    def qi(s: String) = "`" + s.replace("`", "``") + "`"
+    def qs(s: String) = "'" + s.replace("'", "''") + "'"
+    val p = Prop.forAll(identBody, strBody) { (id, s) =>
+      MySqlGrammar.parse(s"SELECT ${qi(id)} FROM t WHERE ${qi(id)} > ${qs(s)} LIMIT 1").isRight &&
+        MySqlGrammar.parsePredicate(s"BINARY ${qi(id)} <= ${qs(s)}").isRight
+    } && Prop.forAll(identBody) { id =>
+      // unterminated forms (chop the closing quote) must be rejected
+      MySqlGrammar.parse(s"SELECT `${id.replace("`", "``")} FROM t").isLeft
+    } && Prop.forAll(strBody) { s =>
+      MySqlGrammar.parse(s"SELECT k FROM t WHERE k > '${s.replace("'", "''")}").isLeft
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(r.passed, r.status.toString)
   }
 }
