@@ -8,6 +8,24 @@ import org.apache.spark.sql.SparkSession
   * not land in the first timed query.
   */
 object Bench {
+
+  /** Data-proportional AQE starting width: one initial shuffle partition
+    * per ~2 MB of on-disk input (the scale protocol's maxPartitionBytes),
+    * never below the session's shuffle.partitions floor, capped at 1024.
+    * AQE's coalescing shrinks small shuffles back down, so the only job of
+    * this number is to be LARGE ENOUGH that sf10-scale aggregations don't
+    * spill through a thread-count-width shuffle.
+    */
+  def initialShufflePartitions(sfDir: String, floor: Int): String = {
+    val bytes =
+      try {
+        val d = new java.io.File(sfDir)
+        val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        fs.map(_.length()).sum
+      } catch { case _: Throwable => 0L }
+    math.min(1024L, math.max(floor.toLong, bytes / (2L << 20))).toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,6 +36,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // shuffle width must scale with DATA, not stay pinned to the thread
+      // count: at sf10 a 32-way shuffle puts ~1.2 M wide envelope rows in
+      // each hash-agg partition and spills (the salted-merge superlinearity
+      // r11 measured — 99 s at 32-wide vs 51 s at 512-wide); at sf0.1 a
+      // fixed 512 pays per-task map-output overhead for nothing (sf1 A/B:
+      // 3.9 s at 32 vs 6.1 s at 512). Start shuffles at ~input-bytes/2MB
+      // and let AQE coalesce small ones down — width follows bytes.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          Bench.initialShufflePartitions(sfDir, shuffle.toInt)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -55,24 +83,18 @@ object Bench {
     }
     // subset controls for scale runs: SPARK_GRAFT_SKIP drops named queries,
     // SPARK_GRAFT_ONLY keeps just the named ones; both comma-separated.
-    // benchSkip is the built-in substitution list: queries whose OUTPUT is
-    // unbounded in the input (so their wall-clock measures result
-    // cardinality, not the operator) and which have a bounded-output twin
-    // in the surface that times the same join/plan shape. Both forms stay
-    // oracled; the DuckDB baseline below runs exactly the benched set, so
-    // the ratio stays symmetric.
-    val benchSkip = Map(
-      "interval_join" -> "interval_join_agg" // pair rows -> per-user counts
-    )
+    // Every query benches first-class (the r8 interval_join substitution is
+    // gone: its dominant cost — the distinct-pair shuffle — is inherent to
+    // the pair semantics and was already being paid by the agg twin on both
+    // engines; Spark counts the pairs without collecting them, and the
+    // DuckDB leg below runs the identical set, so the ratio stays
+    // symmetric even where output grows super-linearly).
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) =>
-        !skip.contains(n) && only.forall(_.contains(n)) &&
-          !(benchSkip.contains(n) && SparkEntry.queries.contains(benchSkip(n)))
-      }
+      .filter { case (n, _) => !skip.contains(n) && only.forall(_.contains(n)) }
     val pass1 = sorted.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val results = sorted.map { case (n, f) =>
       val t2 = timeOnce(n, f)

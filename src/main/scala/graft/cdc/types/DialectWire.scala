@@ -7,15 +7,26 @@ import graft.cdc.model.RowImage
 import graft.cdc.model.RowImage.DeclaredTable
 
 /** Runtime for the native `test_decoding` scanners ([[GraftExpressions]]
-  * `graft_testdecoding_images` / `graft_testdecoding_header`): the SAME
-  * compiled java.util.regex patterns the Column formulation used, but ONE
-  * matcher pass per row — the Column form paid three `regexp_extract_all`
-  * scans for the payload tokens plus per-index array-HOF routing, and
-  * four `regexp_extract` scans for the header, i.e. 7 full regex passes
-  * over every change line. At sf10 (6 M wire lines × 2 bench passes) that
-  * was the single most expensive query on the board; one pass per
-  * pattern with fused routing is the floor without abandoning the shared
-  * grammar (TestDecodingScanSpec pins observational equality).
+  * `graft_testdecoding_images` / `graft_testdecoding_header`): hand-rolled
+  * BYTE-level scanners of the same fixed grammar the regex patterns
+  * ([[DialectWire.TestDecodingToken]] / [[DialectWire.TestDecodingHeader]],
+  * still the oracle's and the Column formulation's form) describe. The
+  * regex form paid a `java.util.regex` state machine plus a
+  * UTF8String->String decode per change line; the grammar is delimited
+  * entirely by ASCII bytes (space, quote, bracket, colon), and UTF-8
+  * continuation bytes can never equal an ASCII byte, so a single
+  * left-to-right byte sweep over the raw UTF8String bytes tokenizes any
+  * payload — including multi-byte text inside values — with zero decode,
+  * zero Pattern machinery, and slice-only (no-copy) token extraction.
+  * The sweep reproduces the regex's find() semantics exactly (ordered
+  * alternation marker-before-field, advance-by-one on a failed match
+  * start, greedy quoted-value scan with the single backtrack step a
+  * dangling doubled-quote run forces); TestDecodingScanSpec runs BOTH
+  * formulations over adversarial and generated payloads and pins
+  * cell-level equality. The header keeps the compiled regex as a
+  * fallback for lines containing line-terminator characters, where Java's
+  * `^`/`$`/`.` semantics are the contract and a byte scan would have to
+  * re-implement them for inputs the wire never produces.
   */
 object TestDecodingScan {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -29,14 +40,79 @@ object TestDecodingScan {
     StructField("verb", StringType),
     StructField("payload", StringType)))
 
-  private val TokenPattern =
-    java.util.regex.Pattern.compile(DialectWire.TestDecodingToken)
   private val HeaderPattern =
     java.util.regex.Pattern.compile(DialectWire.TestDecodingHeader)
 
   val imagesType: StructType = StructType(Seq(
     StructField("before_map", MapType(StringType, StringType, valueContainsNull = true)),
     StructField("after_map", MapType(StringType, StringType, valueContainsNull = true))))
+
+  private final val QuoteB = '\''.toByte
+  private final val SpaceB = ' '.toByte
+  private final val OldKeyBytes = "old-key:".getBytes("UTF-8")
+  private final val NewTupleBytes = "new-tuple:".getBytes("UTF-8")
+  private final val NullBytes = "null".getBytes("UTF-8")
+  private final val VerbInsert = UTF8String.fromString("INSERT")
+  private final val VerbUpdate = UTF8String.fromString("UPDATE")
+  private final val VerbDelete = UTF8String.fromString("DELETE")
+
+  /** `[\w$]` of the grammar's Java regex: ASCII word chars plus `$` (the
+    * default, non-UNICODE_CHARACTER_CLASS `\w`). Multi-byte UTF-8 bytes are
+    * all >= 0x80 and sign-negative here, so they fall out of every range.
+    */
+  @inline private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_' || b == '$'
+
+  @inline private def regionMatches(
+      bytes: Array[Byte], pos: Int, pat: Array[Byte]): Boolean = {
+    if (pos + pat.length > bytes.length) return false
+    var i = 0
+    while (i < pat.length) {
+      if (bytes(pos + i) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Normalize one raw field-value token (bytes [from, until)) exactly like
+    * the Column form's
+    * `when(startsWith('), regexp_replace(substr(2, len-2), "''", "'"))
+    *  .when(=== "null", NULL).otherwise(raw)`:
+    * outer quotes stripped (a degenerate lone-quote token strips to ""),
+    * doubled quotes folded left-to-right non-overlapping, bare `null` ->
+    * SQL NULL, anything else verbatim (slice, no copy).
+    */
+  private def normalizeValue(
+      bytes: Array[Byte], from: Int, until: Int): UTF8String = {
+    val len = until - from
+    if (len > 0 && bytes(from) == QuoteB) {
+      // substr(2, len-2): content is [from+1, max(from+1, until-1))
+      val end = math.max(from + 1, until - 1)
+      // fold '' -> ' only when a doubled quote exists; verbatim slice else
+      var i = from + 1
+      var pairs = 0
+      while (i < end) {
+        if (bytes(i) == QuoteB && i + 1 < end && bytes(i + 1) == QuoteB) {
+          pairs += 1; i += 2
+        } else i += 1
+      }
+      if (pairs == 0) UTF8String.fromBytes(bytes, from + 1, end - (from + 1))
+      else {
+        val out = new Array[Byte](end - (from + 1) - pairs)
+        var o = 0
+        i = from + 1
+        while (i < end) {
+          if (bytes(i) == QuoteB && i + 1 < end && bytes(i + 1) == QuoteB) {
+            out(o) = QuoteB; o += 1; i += 2
+          } else { out(o) = bytes(i); o += 1; i += 1 }
+        }
+        UTF8String.fromBytes(out)
+      }
+    } else if (len == NullBytes.length && regionMatches(bytes, from, NullBytes)) {
+      null
+    } else UTF8String.fromBytes(bytes, from, len)
+  }
 
   /** The whole token-scan + image-routing pipeline in ONE native pass:
     * scan the payload's tokens left-to-right, normalize each field value
@@ -52,7 +128,8 @@ object TestDecodingScan {
     * intermediate struct copy.
     */
   def images(verb: UTF8String, payload: UTF8String): InternalRow = {
-    val m = TokenPattern.matcher(payload.toString)
+    val bytes = payload.getBytes
+    val n = bytes.length
     val names = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val vals = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     // token index (1-based over ALL tokens) of each field, the first
@@ -61,25 +138,70 @@ object TestDecodingScan {
     var tokIdx = 0
     var newAt = 0
     var hasOld = false
-    while (m.find()) {
-      tokIdx += 1
-      val mark = m.group(1)
-      if (mark != null) {
-        if (mark == "new-tuple:" && newAt == 0) newAt = tokIdx
-        if (mark == "old-key:" && tokIdx == 1) hasOld = true
+    // the find() loop of the token grammar, byte-for-byte: at each scan
+    // position try the marker alternation first, then a field token; a
+    // failed attempt advances ONE byte (never to where the attempt died),
+    // a match resumes at its own end — exactly java.util.regex.find()
+    var pos = 0
+    while (pos < n) {
+      if (regionMatches(bytes, pos, OldKeyBytes)) {
+        tokIdx += 1
+        if (tokIdx == 1) hasOld = true
+        pos += OldKeyBytes.length
+      } else if (regionMatches(bytes, pos, NewTupleBytes)) {
+        tokIdx += 1
+        if (newAt == 0) newAt = tokIdx
+        pos += NewTupleBytes.length
       } else {
-        val raw = m.group(3)
-        // quote strip mirrors the Column form's substr(2, len-2): a
-        // degenerate lone-quote bare token (len 1) strips to "" too
-        val v =
-          if (raw.charAt(0) == '\'')
-            UTF8String.fromString(
-              raw.substring(1, math.max(1, raw.length - 1)).replace("''", "'"))
-          else if (raw == "null") null
-          else UTF8String.fromString(raw)
-        names += UTF8String.fromString(m.group(2))
-        vals += v
-        fieldIdx += tokIdx
+        // field token `name[type]:value`: each sub-part is a maximal run
+        // followed by a forced literal, so the scan is deterministic (the
+        // regex cannot usefully backtrack into [\w$]+ or [^\]]+)
+        var i = pos
+        while (i < n && isWordByte(bytes(i))) i += 1
+        val nameEnd = i
+        var ok = nameEnd > pos && i < n && bytes(i) == '['
+        if (ok) {
+          i += 1
+          val typeStart = i
+          while (i < n && bytes(i) != ']') i += 1
+          ok = i > typeStart && i + 1 < n && bytes(i + 1) == ':'
+          if (ok) {
+            i += 2 // past "]:"
+            val vStart = i
+            var vEnd = -1
+            if (i < n && bytes(i) == QuoteB) {
+              // quoted value '...''...': greedy pair-consuming scan; a run
+              // that ends dangling (pairs consumed, no closing quote)
+              // backtracks ONE step, reusing the last pair's first quote as
+              // the closing — the regex's minimal-backtrack repair
+              var j = i + 1
+              var lastPairAt = -1
+              var closing = -1
+              while (closing < 0 && j < n) {
+                if (bytes(j) == QuoteB) {
+                  if (j + 1 < n && bytes(j + 1) == QuoteB) { lastPairAt = j; j += 2 }
+                  else closing = j
+                } else j += 1
+              }
+              if (closing < 0 && lastPairAt >= 0) closing = lastPairAt
+              if (closing >= 0) vEnd = closing + 1
+            }
+            if (vEnd < 0) {
+              // bare value [^ ]+ (tried when the quoted branch fails)
+              var j = vStart
+              while (j < n && bytes(j) != SpaceB) j += 1
+              if (j > vStart) vEnd = j
+            }
+            if (vEnd >= 0) {
+              tokIdx += 1
+              names += UTF8String.fromBytes(bytes, pos, nameEnd - pos)
+              vals += normalizeValue(bytes, vStart, vEnd)
+              fieldIdx += tokIdx
+              pos = vEnd
+            } else ok = false
+          }
+        }
+        if (!ok) pos += 1
       }
     }
     def mapOf(cond: Int => Boolean): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
@@ -105,32 +227,95 @@ object TestDecodingScan {
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         new GenericArrayData(ks.toArray), new GenericArrayData(vs.toArray))
     }
-    val v = verb.toString
+    val isUpdate = VerbUpdate.equals(verb)
     // a tokenless UPDATE payload (degenerate; the grammar never emits one)
     // routes BOTH images to NULL — the Column formulation's `hasOld` was
     // an out-of-bounds `get` there (SQL NULL), so neither the hasOld nor
     // the !hasOld branch fired; the DuckDB oracle pins the same semantics
-    val degenerate = v == "UPDATE" && tokIdx == 0
+    val degenerate = isUpdate && tokIdx == 0
     val before =
-      if (v == "DELETE") mapOf(_ => true)
-      else if (v == "UPDATE" && hasOld) mapOf(_ < newAt)
+      if (VerbDelete.equals(verb)) mapOf(_ => true)
+      else if (isUpdate && hasOld) mapOf(_ < newAt)
       else null
     val after =
-      if (v == "INSERT") mapOf(_ => true)
+      if (VerbInsert.equals(verb)) mapOf(_ => true)
       else if (degenerate) null
-      else if (v == "UPDATE" && hasOld) mapOf(_ > newAt)
-      else if (v == "UPDATE") mapOf(_ => true)
+      else if (isUpdate && hasOld) mapOf(_ > newAt)
+      else if (isUpdate) mapOf(_ => true)
       else null
     new GenericInternalRow(Array[Any](before, after))
   }
 
-  /** One find() sweep of the header grammar; all four fields come back NULL
-    * when the grammar does not match (the caller raises — an unparseable
-    * `table ...` line must not become silent data loss).
+  private final val TableSpaceBytes = "table ".getBytes("UTF-8")
+  private final val InsertBytes = "INSERT".getBytes("UTF-8")
+  private final val UpdateBytes = "UPDATE".getBytes("UTF-8")
+  private final val DeleteBytes = "DELETE".getBytes("UTF-8")
+  // fresh per call: eval results may be retained by consumers (Spark's
+  // retain-requires-copy contract notwithstanding, a shared row is a
+  // needless aliasing hazard for 4 null slots)
+  private def NoHeader: InternalRow =
+    new GenericInternalRow(Array[Any](null, null, null, null))
+
+  /** Any of Java regex's default line-terminator characters, as UTF-8 byte
+    * sequences: \n, \r, U+0085 (C2 85), U+2028/U+2029 (E2 80 A8/A9). Lines
+    * containing one fall back to the compiled regex, whose `^`/`$`/`.`
+    * handling of terminators is the pinned contract.
+    */
+  private def hasLineTerminator(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 0x0a || b == 0x0d) return true
+      if (b == 0xc2.toByte && i + 1 < n && bytes(i + 1) == 0x85.toByte) return true
+      if (b == 0xe2.toByte && i + 2 < n && bytes(i + 1) == 0x80.toByte &&
+        (bytes(i + 2) == 0xa8.toByte || bytes(i + 2) == 0xa9.toByte)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** One byte sweep of the header grammar
+    * `^table ([^.]+)\.([^:]+): (INSERT|UPDATE|DELETE): (.*)$`: every group
+    * is a maximal run up to a forced one-byte literal (first `.`, first
+    * `:`), so the parse is deterministic — the regex has no viable
+    * backtracks. All four fields come back NULL when the grammar does not
+    * match (the caller raises — an unparseable `table ...` line must not
+    * become silent data loss). Lines containing a line-terminator char
+    * (never produced by the wire) take the original regex, whose
+    * terminator semantics are the contract.
     */
   def header(line: UTF8String): InternalRow = {
+    val bytes = line.getBytes
+    val n = bytes.length
+    if (hasLineTerminator(bytes)) return headerRegex(line)
+    if (!regionMatches(bytes, 0, TableSpaceBytes)) return NoHeader
+    // schema: [^.]+ up to the first '.'
+    var dot = TableSpaceBytes.length
+    while (dot < n && bytes(dot) != '.') dot += 1
+    if (dot == TableSpaceBytes.length || dot >= n) return NoHeader
+    // table: [^:]+ up to the first ':', then a forced ": "
+    var colon = dot + 1
+    while (colon < n && bytes(colon) != ':') colon += 1
+    if (colon == dot + 1 || colon + 1 >= n || bytes(colon + 1) != ' ')
+      return NoHeader
+    val v = colon + 2
+    if (!(regionMatches(bytes, v, InsertBytes) ||
+        regionMatches(bytes, v, UpdateBytes) ||
+        regionMatches(bytes, v, DeleteBytes))) return NoHeader
+    val pStart = v + InsertBytes.length + 2
+    if (pStart > n || bytes(v + InsertBytes.length) != ':' ||
+      bytes(pStart - 1) != ' ') return NoHeader
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(bytes, TableSpaceBytes.length, dot - TableSpaceBytes.length),
+      UTF8String.fromBytes(bytes, dot + 1, colon - (dot + 1)),
+      UTF8String.fromBytes(bytes, v, InsertBytes.length),
+      UTF8String.fromBytes(bytes, pStart, n - pStart)))
+  }
+
+  private def headerRegex(line: UTF8String): InternalRow = {
     val m = HeaderPattern.matcher(line.toString)
-    if (!m.find()) new GenericInternalRow(Array[Any](null, null, null, null))
+    if (!m.find()) NoHeader
     else new GenericInternalRow(Array[Any](
       UTF8String.fromString(m.group(1)), UTF8String.fromString(m.group(2)),
       UTF8String.fromString(m.group(3)), UTF8String.fromString(m.group(4))))

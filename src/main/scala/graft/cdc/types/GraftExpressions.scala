@@ -540,6 +540,69 @@ case class TestDecodingImages(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bigrams(text) -> array<string>`: all single-space word bigrams
+  * as ZERO-COPY byte spans of the input
+  * ([[graft.ext.TextAnalysis.bigramSpans]]) — replaces the
+  * split + `transform(sequence, slice/concat_ws)` HOF pipeline, which
+  * materialized the word array plus one sliced pair array per bigram
+  * outside whole-stage codegen. Fewer than two words -> empty array, so
+  * `explode` reproduces the old `size >= 2` filter.
+  */
+case class Bigrams(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bigrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ext.TextAnalysis.bigramSpans(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextAnalysis.bigramSpans($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
+/** `graft_jl_project(embedding array<float>, outDim, seed) ->
+  * array<double>`: signed (±1) JL projection in one compiled loop
+  * ([[graft.ext.Similarity.jlProject]]); sign(j,i) regenerates from
+  * mix64(j*4096+i, seed) cell-by-cell exactly like the
+  * `transform(...aggregate...)` HOF form it replaces, with the same
+  * i-ascending double fold, so each coordinate hash-matches the DuckDB
+  * replay. outDim and seed are the model shape — foldable only.
+  */
+case class JlProject(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_jl_project"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.FloatType, _),
+          org.apache.spark.sql.types.IntegerType,
+          LongType) if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, foldable int outDim, foldable " +
+          s"long seed), got ${first.dataType.catalogString}, " +
+          s"${second.dataType.catalogString}, ${third.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(e: Any, d: Any, s: Any): Any =
+    graft.ext.Similarity.jlProject(
+      e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      d.asInstanceOf[Int], s.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.ext.Similarity.jlProject($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): JlProject =
+    copy(first = f, second = s, third = t)
+}
+
 object GraftFunctions {
 
   private def unary(name: String)(build: Expression => Expression)
@@ -648,6 +711,17 @@ object GraftFunctions {
         case children =>
           throw new IllegalArgumentException(
             s"graft_gtid_contains expects exactly 2 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_bigrams"),
+      new ExpressionInfo(classOf[Bigrams].getName, "graft_bigrams"),
+      unary("graft_bigrams")(Bigrams)),
+    (FunctionIdentifier("graft_jl_project"),
+      new ExpressionInfo(classOf[JlProject].getName, "graft_jl_project"),
+      {
+        case Seq(a, b, c) => JlProject(a, b, c)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_jl_project expects exactly 3 arguments, got ${children.length}")
       })
   )
 

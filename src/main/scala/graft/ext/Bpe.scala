@@ -130,7 +130,15 @@ object Bpe {
     if (parts < base.getNumPartitions) base = base.coalesce(parts)
     // (freq desc, left asc, right asc) — the same total tie-break as the
     // SQL `ORDER BY freq DESC, l, r LIMIT 1`; associative + commutative,
-    // so the distributed fold below is order-insensitive and exact
+    // so the distributed fold below is order-insensitive and exact.
+    // Symbol order is UTF-8 BYTE order (UTF8String.compareTo) — what both
+    // Spark's ORDER BY and the DuckDB oracle apply to strings; Java
+    // String '<' would compare UTF-16 code units, which diverges on
+    // frequency ties between supplementary symbols and chars in
+    // U+E000..U+FFFF
+    def u8cmp(x: String, y: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     def better(
         a: Option[((String, String), Long)],
         b: Option[((String, String), Long)]): Option[((String, String), Long)] =
@@ -139,8 +147,11 @@ object Bpe {
         case (x, None) => x
         case (Some(((al, ar), af)), Some(((bl, br), bf))) =>
           if (af != bf) { if (af > bf) a else b }
-          else if (al != bl) { if (al < bl) a else b }
-          else if (ar <= br) a else b
+          else {
+            val cl = u8cmp(al, bl)
+            if (cl != 0) { if (cl < 0) a else b }
+            else if (u8cmp(ar, br) <= 0) a else b
+          }
       }
     // merges accepted since the last checkpoint, applied in-row per round
     var pending = Vector.empty[(String, String)]

@@ -578,7 +578,19 @@ object Curation {
     *
     * @param budgets (source, budget_tokens) rows — the mix recipe
     */
-  def tokenBudgetMix(docs: DataFrame, budgets: DataFrame, score: Column): DataFrame = {
+  def tokenBudgetMix(docs: DataFrame, budgets: DataFrame, score: Column): DataFrame =
+    sourceCumulative(docs, score)
+      .join(broadcast(budgets), Seq("source"))
+      .where(col("cum_toks") <= col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
+
+  /** The shared prefix of the budget mixes: per-doc token counts with each
+    * source's within-source cumulative (`cum_toks`, ordered score desc).
+    * The running sum's localCheckpoint pins the tokenized corpus, so
+    * downstream aggregates (budgets, totals) read the checkpoint instead
+    * of re-scanning and re-splitting the text.
+    */
+  private def sourceCumulative(docs: DataFrame, score: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"), score.as("score"),
       size(split(col("text"), " ")).cast("long").as("n_toks"))
     val ordered = Seq(col("source").asc, col("score").desc, col("doc_id").asc)
@@ -587,10 +599,7 @@ object Curation {
     val bases = summed.groupBy(col("source"))
       .agg(min(col("g_cum") - col("n_toks")).as("base"))
     summed.join(broadcast(bases), Seq("source"))
-      .join(broadcast(budgets), Seq("source"))
       .withColumn("cum_toks", col("g_cum") - col("base"))
-      .where(col("cum_toks") <= col("budget_tokens"))
-      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
   }
 
   /** Leakage-safe train/holdout split: the assignment key is the
@@ -1034,16 +1043,23 @@ object Curation {
       score: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val totals = docs.where(col("text").isNotNull)
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
-      .groupBy(col("lang")).agg(sum(col("n")).as("n"))
+    // ONE tokenization pass: the cumulative frame's checkpoint serves both
+    // the per-language totals probe (language-cardinality collect, the
+    // justified driver-probe shape) and the final budget filter — the
+    // previous form paid a second full corpus scan + split just for the
+    // totals. n_toks is NULL exactly when text is NULL, so the null filter
+    // reproduces the old `text IS NOT NULL` totals semantics.
+    val cum = sourceCumulative(
+      docs.drop("source").withColumn("source", col("lang")), score)
+    val totals = cum.where(col("n_toks").isNotNull)
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val budgets = unimaxBudgets(totals, budgetOf(totals), epochCap)
       .toDF("source", "budget_tokens")
-    tokenBudgetMix(
-      docs.drop("source").withColumn("source", col("lang")), budgets, score)
-      .withColumnRenamed("source", "lang")
-      .join(broadcast(budgets.withColumnRenamed("source", "lang")), Seq("lang"))
+    cum.join(broadcast(budgets), Seq("source"))
+      .where(col("cum_toks") <= col("budget_tokens"))
+      .select(col("doc_id"), col("source").as("lang"), col("n_toks"),
+        col("cum_toks"), col("budget_tokens"))
   }
 
   /** Train a linear quality probe IN the engine: hashed-bigram features

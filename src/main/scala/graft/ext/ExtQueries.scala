@@ -774,8 +774,9 @@ object ExtQueries extends QueryPack {
     // flooded (node, label) PAIRS — quadratic in clique components, which
     // is what timed out at sf1 on the ~3k-member planted families).
     // 8 rounds: pointer jumping halves label-chain depth per round, and
-    // the LSH fixtures converge in ≤5 (measured at sf10); non-convergence
-    // would surface as a hash mismatch, never silently
+    // the LSH fixtures converge in ≤5 (measured at sf10); the chk CTE
+    // turns non-convergence at a future scale into an explicit
+    // 'oracle unconverged' error() instead of a bare hash mismatch
     "dedup_cluster_assign" ->
       s"""$shingleHashSql,
          |fam AS (SELECT doc_id, t.i AS i, hu, CAST(t.i AS UBIGINT) AS iu
@@ -803,7 +804,12 @@ object ExtQueries extends QueryPack {
                 |             GROUP BY e.dst) nm ON nm.id = p.id
                 |  JOIN l${k - 1} lp ON lp.id = p.lab)""".stripMargin
            }.mkString(",\n")},
-         |lbl AS (SELECT id, lab AS keeper_id FROM l8),
+         |chk AS (SELECT count(*) AS n_unconv
+         |        FROM l8 a JOIN l7 b ON a.id = b.id AND a.lab <> b.lab),
+         |lbl AS (SELECT id,
+         |          CASE WHEN (SELECT n_unconv FROM chk) > 0
+         |               THEN error('dedup_cluster_assign oracle unconverged: 8 pointer-jumping rounds did not reach a fixpoint at this scale — raise the unroll depth')
+         |               ELSE lab END AS keeper_id FROM l8),
          |sz AS (SELECT keeper_id, count(*) AS cluster_size FROM lbl GROUP BY keeper_id)
          |SELECT l.id AS doc_id, l.keeper_id, s.cluster_size
          |FROM lbl l JOIN sz s ON l.keeper_id = s.keeper_id""".stripMargin,

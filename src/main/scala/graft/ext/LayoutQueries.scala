@@ -64,14 +64,23 @@ object LayoutQueries extends QueryPack {
       val k = stageKey(dir)
       val liT = s"graft_bk_li_$k"
       val ordT = s"graft_bk_ord_$k"
+      // bucket count scales with the LARGER side (one metadata-cheap count
+      // probe — parquet footers, no data read): planned bucketed writes
+      // hash-repartition into exactly `buckets` sort tasks, so a fixed
+      // count makes per-task sort volume grow linearly with the corpus
+      // (the 100 TB scale-killer); ~1 M rows per bucket keeps each sorted
+      // write in memory at any SF. Both sides share the count so the join
+      // stays bucket-to-bucket with no exchange.
+      val buckets = math.max(8L,
+        table(s, dir, "lineitem").count() / 1000000L).toInt
       Layout.stageBucketed(
         table(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice")),
-        liT, buckets = 8, key = "l_orderkey")
+        liT, buckets = buckets, key = "l_orderkey")
       Layout.stageBucketed(
         table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")),
-        ordT, buckets = 8, key = "o_orderkey")
+        ordT, buckets = buckets, key = "o_orderkey")
       s.table(liT)
         .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

@@ -749,16 +749,44 @@ object Similarity {
       seed: Long = 7L): DataFrame = {
     require(outDim >= 1 && outDim <= 4096, s"outDim in [1,4096], got $outDim")
     graft.cdc.types.GraftFunctions.register(emb.sparkSession)
-    emb.select(col("vec_id"), explode(expr(
-      s"""transform(sequence(0, ${outDim - 1}), j -> named_struct(
-         |  'j', CAST(j AS BIGINT),
-         |  'value', aggregate(sequence(0, size(embedding) - 1),
-         |     CAST(0.0 AS DOUBLE),
-         |     (acc, i) -> acc + CASE
-         |        WHEN graft_mix64(CAST(j AS BIGINT) * 4096 + i, ${seed}L) < 0
-         |        THEN -CAST(element_at(embedding, i + 1) AS DOUBLE)
-         |        ELSE  CAST(element_at(embedding, i + 1) AS DOUBLE) END)))"""
-        .stripMargin)).as("p"))
-      .select(col("vec_id"), col("p.j").as("j"), col("p.value").as("value"))
+    // the whole outDim x dim sign-fold runs in the native graft_jl_project
+    // expression (one compiled loop; [[jlProject]]) — the transform/
+    // aggregate HOF formulation it replaces evaluated ~dim lambda frames
+    // per output coordinate outside whole-stage codegen. Same mix64 sign
+    // matrix, same i-ascending double fold, so every coordinate still
+    // hash-matches the DuckDB replay.
+    emb.select(col("vec_id"), posexplode(call_function("graft_jl_project",
+        col("embedding"), lit(outDim), lit(seed))))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("value"))
+  }
+
+  /** Runtime of `graft_jl_project`: signed (±1) JL projection of one
+    * float vector to `outDim` doubles; sign(j,i) from mix64(j*4096+i,
+    * seed) exactly like the HOF form, terms added in ascending i (the
+    * order the oracle replays). A null element poisons that coordinate to
+    * NULL, mirroring SQL `acc + NULL`.
+    */
+  def jlProject(emb: org.apache.spark.sql.catalyst.util.ArrayData,
+      outDim: Int, seed: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var poisoned = false
+      var i = 0
+      while (i < n) {
+        if (emb.isNullAt(i)) poisoned = true
+        else {
+          val v = emb.getFloat(i).toDouble
+          acc += (if (Hashing.mix64(j.toLong * 4096L + i, seed) < 0) -v else v)
+        }
+        i += 1
+      }
+      out(j) = if (poisoned) null else acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

@@ -161,16 +161,54 @@ object TextAnalysis {
   /** Corpus-level bigram frequencies — the n-gram statistics a data-quality
     * pipeline tracks. Explode + hash aggregation, partial-aggregated map-side.
     */
-  def bigramFreq(docs: DataFrame, minCount: Long): DataFrame =
+  def bigramFreq(docs: DataFrame, minCount: Long): DataFrame = {
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
     docs
-      .select(split(col("text"), " ").as("ws"))
-      .where(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', slice(ws, i + 1, 2)))"
-      )).as("bigram"))
+      // one native pass emits every bigram as a zero-copy byte span of the
+      // text ([[bigramSpans]]; <2 words -> empty array ≡ the old size
+      // filter); the explode feeds the partial hash agg in-stage
+      .select(explode(call_function("graft_bigrams", col("text"))).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
+  }
+
+  /** Runtime of the `graft_bigrams` codegen expression: all word bigrams
+    * of `text` under single-space splitting, as ZERO-COPY byte spans of the
+    * input. Observationally equal to
+    * `split(text,' ')` -> size>=2 filter -> `transform(sequence, i ->
+    * concat_ws(' ', slice(ws, i+1, 2)))` (the HOF formulation this
+    * replaces): because the separator is exactly one space byte, bigram k
+    * IS the input's byte range from the start of word k to the end of word
+    * k+1 — empty words from leading/trailing/doubled spaces included —
+    * so no per-bigram string building happens at all. A text with fewer
+    * than two words returns an empty array (explode ≡ the size filter).
+    */
+  def bigramSpans(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = text.getBytes
+    val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    if (spaces == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val sp = new Array[Int](spaces)
+    var j = 0
+    i = 0
+    while (i < n) { if (bytes(i) == ' ') { sp(j) = i; j += 1 }; i += 1 }
+    val out = new Array[Any](spaces)
+    var k = 0
+    while (k < spaces) {
+      val s = if (k == 0) 0 else sp(k - 1) + 1
+      val e = if (k + 1 < spaces) sp(k + 1) else n
+      out(k) = UTF8String.fromBytes(bytes, s, e - s)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** FNV-1a 64-bit over UTF-8 bytes — stable document fingerprint. The
     * byte-array form is the codegen entry point: UTF8String already holds

@@ -10,6 +10,11 @@ object ProbeMain {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // match Bench's data-proportional shuffle width (AQE coalesces)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          graft.Bench.initialShufflePartitions(
+            args.headOption.getOrElse("/root/testdata/sf0.1"), 32)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

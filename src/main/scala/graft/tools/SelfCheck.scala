@@ -44,6 +44,12 @@ object SelfCheck {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same data-proportional shuffle width as Bench: start wide enough
+      // for the data, let AQE coalesce (a 32-way shuffle spills at sf10's
+      // envelope row counts)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          graft.Bench.initialShufflePartitions(sfDir, cpus.toInt)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

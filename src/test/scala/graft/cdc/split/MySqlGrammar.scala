@@ -35,6 +35,11 @@ object MySqlGrammar {
   private case class Ident(s: String) extends Tok // plain or `quoted`
   private case class Str(s: String) extends Tok // '...' or "..." (default mode)
   private case class Num(s: String) extends Tok
+  // hex/bit literals are DISTINCT token kinds: legal as expression
+  // primaries and charset-introducer bodies, but NOT where the grammar
+  // requires an integer constant (LIMIT/OFFSET reject X'4D' in MySQL)
+  private case class HexLit(s: String) extends Tok
+  private case class BitLit(s: String) extends Tok
   private case class Sym(s: String) extends Tok // operators & punctuation
   private case object End extends Tok
 
@@ -105,7 +110,8 @@ object MySqlGrammar {
           if (isHex) body.forall(ch => ch.isDigit || ('a' <= ch.toLower && ch.toLower <= 'f'))
           else body.forall(ch => ch == '0' || ch == '1'))
         if (!ok) return err(s"malformed ${if (isHex) "hex" else "bit"} literal body [$body]")
-        out += Num(sql.substring(start, i))
+        out += (if (isHex) HexLit(sql.substring(start, i))
+                else BitLit(sql.substring(start, i)))
       } else if (c == '0' && i + 1 < n
           && (sql.charAt(i + 1) == 'x' || sql.charAt(i + 1) == 'X')) {
         // 0x1AF hex literal form (§9.1.1.2)
@@ -114,7 +120,7 @@ object MySqlGrammar {
         while (i < n && (sql.charAt(i).isDigit
           || ('a' <= sql.charAt(i).toLower && sql.charAt(i).toLower <= 'f'))) i += 1
         if (i == start + 2) return err("malformed 0x hex literal")
-        out += Num(sql.substring(start, i))
+        out += HexLit(sql.substring(start, i))
       } else if (c.isDigit) {
         val start = i
         while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
@@ -178,8 +184,11 @@ object MySqlGrammar {
       }
     }
 
+    // LIMIT/OFFSET operands: §13.2.13 requires a nonnegative INTEGER
+    // constant (or a placeholder) — hex/bit literals and decimals are
+    // parse errors in real MySQL here, so they are rejected, not Num'd
     private def number(): Unit = next() match {
-      case Num(_) => ()
+      case Num(d) if d.forall(_.isDigit) => ()
       case Sym("?") => () // prepared-statement placeholder is legal here in 8.0
       case t => fail(s"expected integer, got $t")
     }
@@ -246,19 +255,15 @@ object MySqlGrammar {
     private def primaryExpr(): Unit = peek match {
       case Kw("BINARY") => next(); simpleExpr()
       case Ident(s) if s.startsWith("_") && (peek2 match {
-            case Str(_) | Num(_) => true; case _ => false }) =>
+            case Str(_) | HexLit(_) | BitLit(_) => true; case _ => false }) =>
         // charset introducer: `_binary 'abc'`, `_utf8mb4 X'4D'` — the
         // introducer must be DIRECTLY followed by a string/hex/bit literal
         next()
         peek match {
-          case Str(_) => next(); ()
-          case Num(n2) if n2.length > 1 && (n2.charAt(0) match {
-                case 'X' | 'x' | 'B' | 'b' => true
-                case '0' => n2.charAt(1) == 'x' || n2.charAt(1) == 'X'
-                case _ => false }) => next(); ()
+          case Str(_) | HexLit(_) | BitLit(_) => next(); ()
           case t => fail(s"charset introducer requires a string/hex/bit literal, got $t")
         }
-      case Str(_) | Num(_) => next(); ()
+      case Str(_) | Num(_) | HexLit(_) | BitLit(_) => next(); ()
       case Sym("?") => next(); ()
       case Sym("(") => next(); expr(); expectSym(")")
       case Ident(_) =>

@@ -107,6 +107,14 @@ class MySqlGrammarSpec extends AnyFunSuite {
     rejected("SELECT k FROM t WHERE k > 0x")        // dangling 0x
     rejected("SELECT k FROM t WHERE k COLLATE 'utf8mb4_bin' > 'm'") // string name
     rejected("SELECT k FROM t WHERE k COLLATE > 'm'")
+    // hex/bit literals are expression literals ONLY: §13.2.13's LIMIT
+    // production takes an integer constant, so real MySQL rejects these —
+    // the subset must not over-accept them as numbers
+    rejected("SELECT k FROM t LIMIT X'4D'")
+    rejected("SELECT k FROM t LIMIT 0x1A")
+    rejected("SELECT k FROM t LIMIT B'01'")
+    rejected("SELECT k FROM t LIMIT 1, X'4D'")
+    rejected("SELECT k FROM t LIMIT 1.5") // decimal is not an integer constant
   }
 
   test("tokenizer property: doubled-escape round-trips for identifiers and strings") {

@@ -36,7 +36,18 @@ class BpeSpec extends SparkTestBase {
       val counts = scala.collection.mutable.Map[(String, String), Long]()
       for ((syms, cnt) <- vocab; Seq(a, b) <- syms.sliding(2) if syms.size >= 2)
         counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
-      val best = counts.toSeq.sortBy { case ((a, b), f) => (-f, a, b) }.headOption
+      // UTF-8 byte order on symbols — the collation the engine fold and
+      // the DuckDB oracle's ORDER BY apply (Java String order would
+      // diverge on non-BMP tie cases)
+      def u8(x: String): org.apache.spark.unsafe.types.UTF8String =
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      val best = counts.toSeq.sortWith { case (((al, ar), af), ((bl, br), bf)) =>
+        if (af != bf) af > bf
+        else {
+          val cl = u8(al).compareTo(u8(bl))
+          if (cl != 0) cl < 0 else u8(ar).compareTo(u8(br)) < 0
+        }
+      }.headOption
       best match {
         case Some(((l, r), f)) if f >= 2L =>
           merges += ((l, r, f))
