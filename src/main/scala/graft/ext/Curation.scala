@@ -591,8 +591,16 @@ object Curation {
     * of re-scanning and re-splitting the text.
     */
   private def sourceCumulative(docs: DataFrame, score: Column): DataFrame = {
+    // space-count arithmetic, not size(split(...)): single-space splitting
+    // always yields spaces+1 elements (empties included), so the count
+    // needs no per-row array materialization — and this projection is
+    // evaluated twice (the range partitioner samples it before the
+    // shuffle), so the saving lands twice
+    val nToks = (length(col("text"))
+      - length(call_function("replace", col("text"), lit(" "), lit("")))
+      + lit(1)).cast("long")
     val toks = docs.select(col("doc_id"), col("source"), score.as("score"),
-      size(split(col("text"), " ")).cast("long").as("n_toks"))
+      nToks.as("n_toks"))
     val ordered = Seq(col("source").asc, col("score").desc, col("doc_id").asc)
     val summed = graft.cdc.split.DistributedRank
       .withGlobalRunningSum(toks, "g_cum", col("n_toks"), ordered)
