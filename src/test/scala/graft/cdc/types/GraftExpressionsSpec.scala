@@ -155,4 +155,61 @@ class GraftExpressionsSpec extends SparkTestBase {
     // containing the expression must carry it
     assert(plan.toString.linesIterator.next().trim.startsWith("*("))
   }
+
+  test("graft_bigrams equals the split+HOF formulation on adversarial and corpus text") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // the HOF pipeline graft_bigrams replaced (TextAnalysis.bigramFreq's
+    // old body), kept as the reference semantics: NULL when size < 2
+    // (filter form), else the transform/slice/concat_ws bigram array
+    val ref = "CASE WHEN size(split(text, ' ')) >= 2 THEN " +
+      "transform(sequence(0, size(split(text, ' ')) - 2), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2))) END"
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df
+        .selectExpr("text", s"coalesce($ref, array()) AS want",
+          "graft_bigrams(text) AS got")
+        .where(col("text").isNotNull)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"bigrams diverge on [${r.getString(0)}]")
+      }
+    }
+    check(Seq(
+      "a b c", "one", "", " leading", "trailing ", "a  doubled  space",
+      "   ", "tabs\tdo not\tsplit here", "héllo wörld ünïcode tæst",
+      "a", "a ", " a b ", "x y").toDF("text"))
+    check(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+    // null in, null out (explode then drops the row, like the old filter)
+    assert(spark.sql("SELECT graft_bigrams(CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("graft_jl_project equals the transform/aggregate HOF formulation coordinate-for-coordinate") {
+    GraftFunctions.register(spark)
+    // the HOF form randomProjection used before the native expression;
+    // doubles must match EXACTLY (same mix64 signs, same i-ascending fold)
+    val hof =
+      s"""transform(sequence(0, 15), j ->
+         |  aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),
+         |    (acc, i) -> acc + CASE
+         |       WHEN graft_mix64(CAST(j AS BIGINT) * 4096 + i, 7L) < 0
+         |       THEN -CAST(element_at(embedding, i + 1) AS DOUBLE)
+         |       ELSE  CAST(element_at(embedding, i + 1) AS DOUBLE) END))"""
+        .stripMargin
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", s"$hof AS want",
+        "graft_jl_project(embedding, 16, 7L) AS got")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = r.getSeq[Double](1)
+      val got = r.getSeq[Double](2)
+      assert(want == got, s"projection diverges on vec_id=${r.getLong(0)}")
+    }
+    assert(spark.sql("SELECT graft_jl_project(CAST(NULL AS ARRAY<FLOAT>), 16, 7L)")
+      .collect()(0).isNullAt(0))
+  }
 }
