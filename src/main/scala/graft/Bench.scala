@@ -17,13 +17,18 @@ object Bench {
     * spill through a thread-count-width shuffle.
     */
   def initialShufflePartitions(sfDir: String, floor: Int): String = {
-    val bytes =
-      try {
-        val d = new java.io.File(sfDir)
-        val fs = Option(d.listFiles()).getOrElse(Array.empty)
-        fs.map(_.length()).sum
-      } catch { case _: Throwable => 0L }
-    math.min(1024L, math.max(floor.toLong, bytes / (2L << 20))).toString
+    // recursive: directory-style parquet tables (Spark-written) hold their
+    // bytes one level down; a flat listFiles() would sum ~4KB per dir and
+    // silently collapse the width to the floor at sf10
+    def walkBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walkBytes).sum
+      else f.length()
+    val bytes = try walkBytes(new java.io.File(sfDir)) catch { case _: Throwable => 0L }
+    val width = math.min(1024L, math.max(floor.toLong, bytes / (2L << 20)))
+    System.err.println(
+      s"[bench] initialPartitionNum=$width (input=${bytes >> 20}MB, floor=$floor)")
+    width.toString
   }
 
   def main(args: Array[String]): Unit = {
@@ -186,7 +191,13 @@ object Bench {
            |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('$sfDir/{t}.parquet')")
            |t0 = time.time()
            |for name, sql in sorted(sqls.items()):
-           |    con.execute(sql).fetchall()
+           |    # count-wrap: the Spark leg consumes every query via
+           |    # .count(), so the baseline must not additionally pay
+           |    # output-proportional row materialization (fetchall) —
+           |    # and must get the same prune-under-count opportunity —
+           |    # or the ratio is asymmetric exactly where output grows
+           |    # super-linearly (interval_join's distinct pairs)
+           |    con.execute("SELECT count(*) FROM (" + sql + ")").fetchall()
            |print("ORACLE_WALL=%.3f" % (time.time() - t0))
            |""".stripMargin
       val pb = new ProcessBuilder("python3", "-c", script)

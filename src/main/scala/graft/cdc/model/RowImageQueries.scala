@@ -84,9 +84,21 @@ object RowImageQueries extends QueryPack {
 
   /** orders -> wire envelope frames, same deterministic derivation style as
     * the lineitem fixture: op from o_orderstatus (F -> d, P -> u, else c),
-    * offset = o_orderkey (unique), before images shifted.
+    * offset = o_orderkey (unique), before images shifted. Checkpoint-cached
+    * like [[envelope]]: a changelog is STORED bytes in any real deployment
+    * (a topic, a landing zone), so the benched decode+validate+merge must
+    * read materialized frames, not re-run the synthesis projection per
+    * pass — the lineitem envelope already gets exactly this treatment.
     */
-  def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+  def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame =
+    ordersEnvelopeCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+      ordersEnvelopeFrames(s, dir).localCheckpoint()
+    })
+
+  private val ordersEnvelopeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ordersEnvelopeFrames(spark: SparkSession, sfDir: String): DataFrame = {
     def image(priceShift: Int, status: Column): Column = struct(
       col("o_custkey"),
       col("o_orderkey"),

@@ -23,10 +23,9 @@ import graft.cdc.model.RowImage.DeclaredTable
   * start, greedy quoted-value scan with the single backtrack step a
   * dangling doubled-quote run forces); TestDecodingScanSpec runs BOTH
   * formulations over adversarial and generated payloads and pins
-  * cell-level equality. The header keeps the compiled regex as a
-  * fallback for lines containing line-terminator characters, where Java's
-  * `^`/`$`/`.` semantics are the contract and a byte scan would have to
-  * re-implement them for inputs the wire never produces.
+  * cell-level equality. The header sweeps Java's `^`/`$`/`.`
+  * line-terminator semantics explicitly (see [[TestDecodingScan.header]]),
+  * so no line — terminator-bearing or not — touches java.util.regex.
   */
 object TestDecodingScan {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -39,9 +38,6 @@ object TestDecodingScan {
     StructField("table_name", StringType),
     StructField("verb", StringType),
     StructField("payload", StringType)))
-
-  private val HeaderPattern =
-    java.util.regex.Pattern.compile(DialectWire.TestDecodingHeader)
 
   val imagesType: StructType = StructType(Seq(
     StructField("before_map", MapType(StringType, StringType, valueContainsNull = true)),
@@ -256,69 +252,72 @@ object TestDecodingScan {
   private def NoHeader: InternalRow =
     new GenericInternalRow(Array[Any](null, null, null, null))
 
-  /** Any of Java regex's default line-terminator characters, as UTF-8 byte
-    * sequences: \n, \r, U+0085 (C2 85), U+2028/U+2029 (E2 80 A8/A9). Lines
-    * containing one fall back to the compiled regex, whose `^`/`$`/`.`
-    * handling of terminators is the pinned contract.
-    */
-  private def hasLineTerminator(bytes: Array[Byte]): Boolean = {
-    var i = 0
-    val n = bytes.length
-    while (i < n) {
-      val b = bytes(i)
-      if (b == 0x0a || b == 0x0d) return true
-      if (b == 0xc2.toByte && i + 1 < n && bytes(i + 1) == 0x85.toByte) return true
-      if (b == 0xe2.toByte && i + 2 < n && bytes(i + 1) == 0x80.toByte &&
-        (bytes(i + 2) == 0xa8.toByte || bytes(i + 2) == 0xa9.toByte)) return true
-      i += 1
-    }
-    false
-  }
-
   /** One byte sweep of the header grammar
     * `^table ([^.]+)\.([^:]+): (INSERT|UPDATE|DELETE): (.*)$`: every group
     * is a maximal run up to a forced one-byte literal (first `.`, first
     * `:`), so the parse is deterministic — the regex has no viable
     * backtracks. All four fields come back NULL when the grammar does not
     * match (the caller raises — an unparseable `table ...` line must not
-    * become silent data loss). Lines containing a line-terminator char
-    * (never produced by the wire) take the original regex, whose
-    * terminator semantics are the contract.
+    * become silent data loss).
+    *
+    * Line-terminator semantics (never produced by the wire, pinned by
+    * TestDecodingScanSpec's dual-formulation equality on terminator-bearing
+    * lines) are swept explicitly rather than routed to java.util.regex —
+    * the old fallback cost a full terminator pre-scan of EVERY line to
+    * decide a branch the wire never takes. Java's contract, restated in
+    * bytes: `^` anchors at input start; the negated classes `[^.]`/`[^:]`
+    * accept terminator chars (only `.` excludes them), so schema/table
+    * runs need no special handling; `$` may sit before ONE final
+    * terminator sequence (\r\n as a unit, else \n \r U+0085 U+2028
+    * U+2029), so the effective end strips exactly that; and the payload
+    * `(.*)` rejects any terminator char strictly inside it.
     */
   def header(line: UTF8String): InternalRow = {
     val bytes = line.getBytes
     val n = bytes.length
-    if (hasLineTerminator(bytes)) return headerRegex(line)
+    // `$`: effective end of input, one final terminator sequence stripped
+    val e =
+      if (n >= 2 && bytes(n - 2) == 0x0d && bytes(n - 1) == 0x0a) n - 2
+      else if (n >= 1 && (bytes(n - 1) == 0x0a || bytes(n - 1) == 0x0d)) n - 1
+      else if (n >= 2 && bytes(n - 2) == 0xc2.toByte && bytes(n - 1) == 0x85.toByte) n - 2
+      else if (n >= 3 && bytes(n - 3) == 0xe2.toByte && bytes(n - 2) == 0x80.toByte &&
+        (bytes(n - 1) == 0xa8.toByte || bytes(n - 1) == 0xa9.toByte)) n - 3
+      else n
     if (!regionMatches(bytes, 0, TableSpaceBytes)) return NoHeader
     // schema: [^.]+ up to the first '.'
     var dot = TableSpaceBytes.length
-    while (dot < n && bytes(dot) != '.') dot += 1
-    if (dot == TableSpaceBytes.length || dot >= n) return NoHeader
+    while (dot < e && bytes(dot) != '.') dot += 1
+    if (dot == TableSpaceBytes.length || dot >= e) return NoHeader
     // table: [^:]+ up to the first ':', then a forced ": "
     var colon = dot + 1
-    while (colon < n && bytes(colon) != ':') colon += 1
-    if (colon == dot + 1 || colon + 1 >= n || bytes(colon + 1) != ' ')
+    while (colon < e && bytes(colon) != ':') colon += 1
+    if (colon == dot + 1 || colon + 1 >= e || bytes(colon + 1) != ' ')
       return NoHeader
     val v = colon + 2
     if (!(regionMatches(bytes, v, InsertBytes) ||
         regionMatches(bytes, v, UpdateBytes) ||
         regionMatches(bytes, v, DeleteBytes))) return NoHeader
     val pStart = v + InsertBytes.length + 2
-    if (pStart > n || bytes(v + InsertBytes.length) != ':' ||
+    if (pStart > e || bytes(v + InsertBytes.length) != ':' ||
       bytes(pStart - 1) != ' ') return NoHeader
+    // payload `(.*)`: `.` matches no terminator char, so any terminator
+    // byte sequence strictly inside [pStart, e) kills the whole match
+    var i = pStart
+    while (i < e) {
+      val b = bytes(i)
+      if (b == 0x0a || b == 0x0d) return NoHeader
+      if (b == 0xc2.toByte && i + 1 < e && bytes(i + 1) == 0x85.toByte)
+        return NoHeader
+      if (b == 0xe2.toByte && i + 2 < e && bytes(i + 1) == 0x80.toByte &&
+        (bytes(i + 2) == 0xa8.toByte || bytes(i + 2) == 0xa9.toByte))
+        return NoHeader
+      i += 1
+    }
     new GenericInternalRow(Array[Any](
       UTF8String.fromBytes(bytes, TableSpaceBytes.length, dot - TableSpaceBytes.length),
       UTF8String.fromBytes(bytes, dot + 1, colon - (dot + 1)),
       UTF8String.fromBytes(bytes, v, InsertBytes.length),
-      UTF8String.fromBytes(bytes, pStart, n - pStart)))
-  }
-
-  private def headerRegex(line: UTF8String): InternalRow = {
-    val m = HeaderPattern.matcher(line.toString)
-    if (!m.find()) NoHeader
-    else new GenericInternalRow(Array[Any](
-      UTF8String.fromString(m.group(1)), UTF8String.fromString(m.group(2)),
-      UTF8String.fromString(m.group(3)), UTF8String.fromString(m.group(4))))
+      UTF8String.fromBytes(bytes, pStart, e - pStart)))
   }
 }
 

@@ -17,6 +17,13 @@ object ExtQueries extends QueryPack {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), 0.5)),
 
+    // the 100 TB path of word-set Jaccard: hot words past a constant
+    // per-word candidate budget leave the inverted index before the
+    // pair join (see Dedup.DefaultMaxDf for the measured policy)
+    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccard(table(s, dir, "documents"), 0.5,
+        maxDf = Dedup.DefaultMaxDf)),
+
     // the 100 TB path of exact dedup: group by a 32-byte digest instead of
     // shuffling full document texts
     "dedup_exact_hash" -> ((s, dir) =>
@@ -1141,6 +1148,29 @@ object ExtQueries extends QueryPack {
         |FROM p JOIN s sa ON p.doc_a = sa.doc_id
         |       JOIN s sb ON p.doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    // identical chain with the df-capped inverted index (sizes stay
+    // uncapped, so the estimate can only shrink — subset of the above)
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         unnest(list_distinct(string_split(text, ' '))) AS word
+         |  FROM documents),
+         |s AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+         |keepw AS (SELECT lang, n_chars, word FROM w
+         |          GROUP BY 1, 2, 3 HAVING count(*) <= ${Dedup.DefaultMaxDf}),
+         |wf AS (SELECT w.doc_id, w.lang, w.n_chars, w.word
+         |       FROM w JOIN keepw USING (lang, n_chars, word)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM wf a JOIN wf b
+         |        ON a.lang = b.lang AND a.n_chars = b.n_chars
+         |       AND a.word = b.word AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM p JOIN s sa ON p.doc_a = sa.doc_id
+         |       JOIN s sb ON p.doc_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
 
     "dedup_exact_hash" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,

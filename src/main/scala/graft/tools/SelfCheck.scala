@@ -163,6 +163,19 @@ object SelfCheck {
                 - col("span_start")).as("span_toks"))
         }),
 
+      // the df-capped inverted index can only DROP pairs: the capped pair
+      // set semi-joined against the unbounded pair set must equal the
+      // capped set itself (ExtOpsSpec pins the same subset law at toy
+      // scale; this runs it at 100x, where the cap actually bites)
+      ("ngram_jaccard_capped_subset",
+        () => q("dedup_ngram_jaccard_capped")(spark, sfDir)
+          .select(col("doc_a"), col("doc_b")),
+        () => q("dedup_ngram_jaccard_capped")(spark, sfDir)
+          .select(col("doc_a"), col("doc_b"))
+          .join(q("dedup_ngram_jaccard")(spark, sfDir)
+              .select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_semi")),
+
       // text-grouped vs digest-grouped exact dedup state the same groups
       ("exact_dedup_text_vs_digest",
         () => q("dedup_exact")(spark, sfDir).select(col("keep_id"), col("dup_cnt")),

@@ -147,7 +147,27 @@ class TestDecodingScanSpec extends SparkTestBase {
     "table public.orders: TRUNCATE: (no-flags)",
     "table public.\"odd name\": INSERT: id[bigint]:1",
     "BEGIN 123",
-    "COMMIT 123 (at 2024-01-01 00:00:01+00)")
+    "COMMIT 123 (at 2024-01-01 00:00:01+00)",
+    // line-terminator semantics, swept byte-wise since r13 (the wire never
+    // emits these; Java regex `^`/`$`/`.` behavior is the pinned contract):
+    // `$` tolerates exactly one FINAL terminator sequence...
+    "table public.orders: INSERT: id[bigint]:1\n",
+    "table public.orders: INSERT: id[bigint]:1\r\n",
+    "table public.orders: INSERT: id[bigint]:1\r",
+    "table public.orders: INSERT: id[bigint]:1\u0085",
+    "table public.orders: INSERT: id[bigint]:1\u2028",
+    "table public.orders: INSERT: id[bigint]:1\u2029",
+    "table public.orders: INSERT: \n", // empty payload + final terminator
+    // ...but `.` rejects a terminator strictly inside the payload,
+    // including a doubled trailing one
+    "table public.orders: INSERT: id[bigint]:1\nid[bigint]:2",
+    "table public.orders: INSERT: id[bigint]:1\n\n",
+    "table public.orders: INSERT: id[bigint]:1\u0085\n",
+    "table public.orders: INSERT: id[bigint]:1\r\r\n",
+    // while the negated classes [^.]/[^:] ACCEPT terminators inside the
+    // schema/table groups
+    "table pub\nlic.orders: INSERT: id[bigint]:1",
+    "table public.ord\rers: INSERT: id[bigint]:1")
 
   test("header scan equals the regexp_extract formulation line by line") {
     val sess = s; import sess.implicits._
