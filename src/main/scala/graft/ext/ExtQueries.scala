@@ -17,12 +17,24 @@ object ExtQueries extends QueryPack {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), 0.5)),
 
-    // the 100 TB path of word-set Jaccard: hot words past a constant
-    // per-word candidate budget leave the inverted index before the
-    // pair join (see Dedup.DefaultMaxDf for the measured policy)
+    // the bounded-recall policy knob: hot words past a constant per-word
+    // candidate budget leave the inverted index before the pair join.
+    // NOT the exact scale path — a clone group larger than the cap pushes
+    // its own shared words past maxDf and sheds real duplicate pairs
+    // (measured at sf10: 27% of J>=0.9 pairs survive df<=64); use
+    // dedup_ngram_jaccard_prefix when the full pair set is required
     "dedup_ngram_jaccard_capped" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), 0.5,
         maxDf = Dedup.DefaultMaxDf)),
+
+    // the EXACT 100 TB path of word-set Jaccard: AllPairs prefix filtering
+    // — only each doc's |d|-ceil(t|d|)+1 globally-rarest words enter the
+    // inverted index (zero false negatives by the prefix-filtering lemma),
+    // so hot boilerplate words never join; verification intersects the two
+    // word ARRAYS in-row per candidate. Output hash-equal to the unbounded
+    // dedup_ngram_jaccard (same oracle SQL; sf10 self-check pair)
+    "dedup_ngram_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefix(table(s, dir, "documents"), 0.5)),
 
     // the 100 TB path of exact dedup: group by a 32-byte digest instead of
     // shuffling full document texts
@@ -1133,6 +1145,27 @@ object ExtQueries extends QueryPack {
         |FROM documents GROUP BY text""".stripMargin,
 
     "dedup_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents),
+        |s AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM w a JOIN w b
+        |        ON a.lang = b.lang AND a.n_chars = b.n_chars
+        |       AND a.word = b.word AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+        |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM p JOIN s sa ON p.doc_a = sa.doc_id
+        |       JOIN s sb ON p.doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    // the prefix-filtered form is EXACT — same result set as the unbounded
+    // inverted-index chain, so the oracle is the same SQL verbatim (the
+    // independent engine restates the whole pair set; Spark must reproduce
+    // it through the prefix index + in-row array intersection)
+    "dedup_ngram_jaccard_prefix" ->
       """WITH w AS (
         |  SELECT doc_id, lang, n_chars,
         |         unnest(list_distinct(string_split(text, ' '))) AS word

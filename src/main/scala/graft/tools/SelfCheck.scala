@@ -163,6 +163,14 @@ object SelfCheck {
                 - col("span_start")).as("span_toks"))
         }),
 
+      // prefix filtering is EXACT: the AllPairs prefix index + in-row
+      // array intersection must reproduce the unbounded inverted-index
+      // pair set bit-for-bit at 100x, where the prefix actually prunes
+      // (ExtOpsSpec pins the same equality on adversarial toy corpora)
+      ("ngram_jaccard_prefix_exact",
+        () => q("dedup_ngram_jaccard")(spark, sfDir),
+        () => q("dedup_ngram_jaccard_prefix")(spark, sfDir)),
+
       // the df-capped inverted index can only DROP pairs: the capped pair
       // set semi-joined against the unbounded pair set must equal the
       // capped set itself (ExtOpsSpec pins the same subset law at toy

@@ -174,6 +174,34 @@ class ExtOpsSpec extends SparkTestBase {
     assert(cut.subsetOf(exact))
   }
 
+  test("prefix-filtered jaccard equals the unbounded form cell-for-cell") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+    // the corpus table, plus an adversarial toy corpus: a hot boilerplate
+    // word in every doc (prefix filtering MUST still pair through it when
+    // a doc has nothing rarer), single-word docs, df ties, and a clone
+    // group bigger than any constant df cap
+    val toy = (
+      (1L to 40L).map(i => (i, "the common boiler plate words here", "en", "s", 10L)) ++
+      Seq(
+        (41L, "the", "en", "s", 10L),
+        (42L, "the", "en", "s", 10L),
+        (43L, "the rare1 rare2", "en", "s", 10L),
+        (44L, "the rare1 rare2 rare3", "en", "s", 10L),
+        (45L, "zeta", "en", "s", 10L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (docs <- Seq(table(spark, sfDir, "documents"), toy);
+         t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = rows(Dedup.ngramJaccard(docs, t))
+      val prefix = rows(Dedup.ngramJaccardPrefix(docs, t))
+      assert(prefix == exact && exact.nonEmpty,
+        s"threshold $t: prefix form diverged from the unbounded form")
+    }
+  }
+
   test("embedding-cosine near-dup matches naive within-label pairs") {
     val emb = table(spark, sfDir, "embeddings")
     val got = Dedup.embeddingCosine(emb, 0.35)

@@ -29,7 +29,11 @@ def main() -> None:
     t_all = time.time()
     for name in sorted(sqls):
         t0 = time.time()
-        con.execute(sqls[name]).fetchall()
+        # count-wrap: the Spark leg consumes every query via .count(), so
+        # the baseline must not additionally pay output-proportional row
+        # materialization (fetchall of raw rows) — matches the in-bench
+        # duckDbOracleWall leg (Bench.scala)
+        con.execute("SELECT count(*) FROM (" + sqls[name] + ")").fetchall()
         per[name] = round(time.time() - t0, 3)
         print(f"ORACLE {name} {per[name]}s", flush=True)
     line = json.dumps({"oracle_wall_s": round(time.time() - t_all, 3),
