@@ -38,7 +38,7 @@ bash tools/run_sf1.sh
 echo "=== 3. sf10 full bench ==="
 bash tools/run_sf10_full.sh
 
-echo "=== 4. sf10 self-check (16 pairs) ==="
+echo "=== 4. sf10 self-check (17 pairs) ==="
 bash tools/run_selfcheck_sf10.sh
 
-echo "=== r12 artifact chain done ==="
+echo "=== r13 artifact chain done ==="
