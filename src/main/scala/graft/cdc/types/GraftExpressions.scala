@@ -603,6 +603,86 @@ case class JlProject(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** Flattened PQ codebooks for [[PqArgmin]]: `codes` are the (shared) code
+  * ids of every subspace in ascending order; `cvs` is the sub-major,
+  * code-major, dim-minor flattening of the centroid vectors; `cvvs` the
+  * matching self-dots. Built once on the driver from a collected codebook
+  * table and shipped to codegen as a reference object.
+  */
+case class PqBooksLit(
+    codes: Array[Long],
+    cvs: Array[Double],
+    cvvs: Array[Double]) {
+  val kEff: Int = codes.length
+  val dsub: Int = if (cvvs.length == 0) 0 else cvs.length / cvvs.length
+
+  /** Argmin over this row's subspace codebook of `pd = cvv - 2*sv.cv` with
+    * ties to the smallest code id — the same candidate score and the same
+    * (pd, code) lexicographic minimum as the broadcast-join + min_by
+    * formulation (`pd` is never NaN or -0.0 for finite inputs: cvv >= 0 and
+    * IEEE a-b of equal finite values is +0.0), and the same ascending-i
+    * sequential dot fold as [[DotProduct]]. Requires non-null `sv` elements
+    * (subvectors are arithmetic on non-null floats by construction).
+    */
+  def argmin(sub: Int, sv: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var best = Double.PositiveInfinity
+    var bestCode = Long.MaxValue
+    var j = 0
+    while (j < kEff) {
+      val c = sub * kEff + j
+      val off = c * dsub
+      var dot = 0.0
+      var i = 0
+      while (i < dsub) { dot += sv.getDouble(i) * cvs(off + i); i += 1 }
+      val pd = cvvs(c) - 2.0 * dot
+      if (pd < best || (pd == best && codes(j) < bestCode)) {
+        best = pd
+        bestCode = codes(j)
+      }
+      j += 1
+    }
+    bestCode
+  }
+}
+
+/** `graft_pq_argmin(sub, sv, codes, cvs, cvvs) -> bigint`: the PQ code
+  * assignment argmin as ONE compiled per-row loop over literal codebooks —
+  * replacing the broadcast-join row blowup (k candidate rows per subvector)
+  * plus a min_by aggregation whose struct/array buffers are barred from
+  * HashAggregate (they fall to object/sort aggregation). Bit-identical to
+  * that formulation: same `cvv - 2*graft_dot(sv, cv)` score, same
+  * (pd, code) lexicographic tie-break (see [[PqBooksLit.argmin]]). The
+  * codebook arguments must be foldable array literals; the builder folds
+  * them into a [[PqBooksLit]] at plan time.
+  */
+case class PqArgmin(left: Expression, right: Expression, books: PqBooksLit)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_argmin"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.IntegerType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int sub, array<double> sv), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(sub: Any, sv: Any): Any =
+    books.argmin(sub.asInstanceOf[Int],
+      sv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, classOf[PqBooksLit].getName)
+    defineCodeGen(ctx, ev, (s, v) => s"$ref.argmin($s, $v)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqArgmin =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   private def unary(name: String)(build: Expression => Expression)
@@ -722,6 +802,21 @@ object GraftFunctions {
         case children =>
           throw new IllegalArgumentException(
             s"graft_jl_project expects exactly 3 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_pq_argmin"),
+      new ExpressionInfo(classOf[PqArgmin].getName, "graft_pq_argmin"),
+      {
+        case Seq(sub, sv, codes, cvs, cvvs)
+            if codes.foldable && cvs.foldable && cvvs.foldable =>
+          def arr(e: Expression): org.apache.spark.sql.catalyst.util.ArrayData =
+            e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          PqArgmin(sub, sv,
+            PqBooksLit(arr(codes).toLongArray(), arr(cvs).toDoubleArray(),
+              arr(cvvs).toDoubleArray()))
+        case children =>
+          throw new IllegalArgumentException(
+            "graft_pq_argmin expects (sub, sv, foldable codes, foldable cvs, " +
+              s"foldable cvvs), got ${children.length} arguments")
       })
   )
 

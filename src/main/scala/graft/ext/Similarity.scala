@@ -273,13 +273,42 @@ object Similarity {
     * the input with a deterministic filter first). The shuffle-order
     * [[kmeansRefine]] remains the corpus-scale path; ExtOpsSpec pins the
     * two to agree within float tolerance.
+    *
+    * Centroid state lives on the DRIVER between iterations — nCells rows of
+    * dim doubles, a size fixed by the algorithm's constants at ANY corpus
+    * scale (a fitted model artifact, not data; the same bounded-state class
+    * as Bpe's merge table). Each iteration is then ONE distributed
+    * aggregate over the corpus (broadcast literal centroids -> argmax
+    * assign -> ordered-fold means) collected back, instead of an
+    * assign+means+join plan localCheckpoint'ed and re-broadcast per
+    * iteration. The means expression is unchanged and `cnrm` is the same
+    * sequential fold [[graft.cdc.types.DotProduct]] compiles, so the fitted
+    * centroids are bit-identical to the join/checkpoint formulation.
     */
   def kmeansRefineExact(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
     val base = normed(emb).localCheckpoint()
-    var centroids = seedCentroids(base, nCells).localCheckpoint()
+    var centroids: Array[(Long, Array[Double])] =
+      seedCentroids(base, nCells).select(col("cell"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def centroidsDf(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        centroids.toSeq.map { case (cell, cv) =>
+          org.apache.spark.sql.Row(cell, cv.toSeq, math.sqrt(selfDot(cv)))
+        }.asJava
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("cnrm",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    }
     for (_ <- 0 until iters) {
-      val assigned = assignCells(cellSimilaritiesWith(base, centroids))
-      val means = assigned
+      val means = assignCells(cellSimilaritiesWith(base, centroidsDf()))
         .select(col("cell"), col("vec_id"), posexplode(col("vd")))
         .groupBy(col("cell"), col("pos"))
         .agg(
@@ -289,15 +318,23 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, s / n))), x -> x.col2)")
           .as("cv"))
-        .withColumn("cnrm", norm(col("cv")))
-      centroids = centroids.as("old")
-        .join(means.as("new"), Seq("cell"), "left")
-        .select(col("cell"),
-          coalesce(col("new.cv"), col("old.cv")).as("cv"),
-          coalesce(col("new.cnrm"), col("old.cnrm")).as("cnrm"))
-        .localCheckpoint()
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty-cell handling unchanged: a cell with no members this round
+      // keeps its previous position (the old left-join coalesce)
+      centroids = centroids.map { case (cell, cv) => (cell, means.getOrElse(cell, cv)) }
     }
-    centroids
+    centroidsDf()
+  }
+
+  /** Sequential self-dot — the same fold [[graft.cdc.types.DotProduct]]
+    * compiles, run on the driver over a collected centroid/codebook row so
+    * recomputed `cnrm`/`cvv` values stay bit-identical to the cluster path.
+    */
+  private def selfDot(v: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    acc
   }
 
   /** [[ivfTopK]] against an externally fitted centroid table (cell, cv,
@@ -423,13 +460,76 @@ object Similarity {
       subs: DataFrame,
       books: DataFrame,
       keepSv: Boolean = false
+  ): DataFrame = localBooks(books) match {
+    // Driver-literal codebooks (the exact-fit queries): ONE compiled
+    // argmin per row — no k-way join blowup, no min_by aggregation (whose
+    // struct/array buffers are barred from HashAggregate and fall to
+    // object/sort aggregation), no shuffle. Bit-identical by construction
+    // (see PqArgmin) and pinned to the join path in ExtOpsSpec.
+    case Some(lit) => assignCodesLit(subs, lit, keepSv)
+    case None =>
+      val g = subs.join(broadcast(books), Seq("sub"))
+        .withColumn("pd", col("cvv") - lit(2.0) * dot(col("sv"), col("cv")))
+        .groupBy(col("vec_id"), col("sub"))
+      val codeAgg = min_by(col("code"), struct(col("pd"), col("code"))).as("code")
+      if (keepSv) g.agg(codeAgg, first(col("sv")).as("sv"))
+      else g.agg(codeAgg)
+  }
+
+  /** The codebooks as a [[graft.cdc.types.PqBooksLit]] when `books` is a
+    * driver-local relation (the [[pqCodebooksExact]] output) whose code ids
+    * are uniform across subspaces — the layout [[assignCodesLit]] flattens.
+    * Any other shape (cluster-side codebooks, ragged subspaces) returns
+    * None and keeps the broadcast-join path.
+    */
+  private[ext] def localBooks(books: DataFrame): Option[graft.cdc.types.PqBooksLit] =
+    books.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.output.map(_.name) == Seq("sub", "code", "cv", "cvv") =>
+        val rows = lr.data.map(r =>
+          (r.getInt(0), r.getLong(1), r.getArray(2).toDoubleArray(), r.getDouble(3)))
+        val bySub = rows.groupBy(_._1)
+        val m = bySub.size
+        val perSub = (0 until m).map(s => bySub.getOrElse(s, Seq.empty).sortBy(_._2))
+        if (perSub.exists(_.isEmpty)) None
+        else {
+          val codes = perSub.head.map(_._2).toArray
+          val uniform = perSub.forall(a =>
+            java.util.Arrays.equals(a.map(_._2).toArray, codes))
+          val dsub = perSub.head.head._3.length
+          if (!uniform || dsub == 0 ||
+            perSub.exists(_.exists(_._3.length != dsub))) None
+          else {
+            val k = codes.length
+            val cvs = new Array[Double](m * k * dsub)
+            val cvvs = new Array[Double](m * k)
+            for (s <- 0 until m; j <- 0 until k) {
+              val (_, _, cv, cvv) = perSub(s)(j)
+              cvvs(s * k + j) = cvv
+              System.arraycopy(cv, 0, cvs, (s * k + j) * dsub, dsub)
+            }
+            Some(graft.cdc.types.PqBooksLit(codes, cvs, cvvs))
+          }
+        }
+      case _ => None
+    }
+
+  /** Map-only code assignment against driver-literal codebooks — the
+    * FAISS-encode shape at 100 TB: every subvector row computes its argmin
+    * in one codegen'd loop; the corpus neither joins nor shuffles.
+    */
+  private def assignCodesLit(
+      subs: DataFrame,
+      books: graft.cdc.types.PqBooksLit,
+      keepSv: Boolean
   ): DataFrame = {
-    val g = subs.join(broadcast(books), Seq("sub"))
-      .withColumn("pd", col("cvv") - lit(2.0) * dot(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("sub"))
-    val codeAgg = min_by(col("code"), struct(col("pd"), col("code"))).as("code")
-    if (keepSv) g.agg(codeAgg, first(col("sv")).as("sv"))
-    else g.agg(codeAgg)
+    graft.cdc.types.GraftFunctions.register(subs.sparkSession)
+    val codeCol = call_function("graft_pq_argmin", col("sub"), col("sv"),
+      typedlit(books.codes.toSeq), typedlit(books.cvs.toSeq),
+      typedlit(books.cvvs.toSeq))
+    if (keepSv)
+      subs.select(col("vec_id"), col("sub"), codeCol.as("code"), col("sv"))
+    else subs.select(col("vec_id"), col("sub"), codeCol.as("code"))
   }
 
   /** Product-quantization codebook fit — per-subspace Lloyd's k-means, all
@@ -470,13 +570,40 @@ object Similarity {
     * (collect_list state per group is member-count-sized); the
     * shuffle-order [[pqCodebooks]] is the corpus-scale path and ExtOpsSpec
     * pins the two to agree within float tolerance.
+    *
+    * Like [[kmeansRefineExact]], the m x k codebook rows live on the DRIVER
+    * between iterations (algorithm-constant size — a model artifact), so
+    * each iteration is ONE distributed aggregate collected back instead of
+    * an assign+means+join plan localCheckpoint'ed and re-broadcast. The
+    * means expression is unchanged and `cvv` is the same sequential
+    * [[graft.cdc.types.DotProduct]] fold, so the books are bit-identical.
     */
   def pqCodebooksExact(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
     val subs = subVectors(normed(emb), m).localCheckpoint()
-    var books = seedBooks(subs, k).localCheckpoint()
+    var books: Array[(Int, Long, Array[Double])] =
+      seedBooks(subs, k).select(col("sub"), col("code"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def booksDf(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        books.toSeq.map { case (sub, code, cv) =>
+          org.apache.spark.sql.Row(sub, code, cv.toSeq, selfDot(cv))
+        }.asJava
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("cvv",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    }
     for (_ <- 0 until iters) {
-      val assigned = assignCodes(subs, books, keepSv = true)
-      val means = assigned
+      val means = assignCodes(subs, booksDf(), keepSv = true)
         .select(col("sub"), col("code"), col("vec_id"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(
@@ -486,14 +613,13 @@ object Similarity {
         .groupBy(col("sub"), col("code"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, s / n))), x -> x.col2)")
           .as("cv"))
-      books = books.as("old")
-        .join(means.as("new"), Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"),
-          coalesce(col("new.cv"), col("old.cv")).as("cv"))
-        .withColumn("cvv", dot(col("cv"), col("cv")))
-        .localCheckpoint()
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray)).toMap
+      // empty codes keep their previous centroid (the old left-join coalesce)
+      books = books.map { case (sub, code, cv) =>
+        (sub, code, means.getOrElse((sub, code), cv))
+      }
     }
-    books
+    booksDf()
   }
 
   /** PQ-encode the corpus: (vec_id, sub, code) — `m` small integers per

@@ -361,6 +361,33 @@ class ExtOpsSpec extends SparkTestBase {
         s"book $kk dim $i")
   }
 
+  test("literal-codebook argmin path matches the broadcast-join min_by path") {
+    val emb = table(spark, sfDir, "embeddings")
+    val m = 8
+    val books = Similarity.pqCodebooksExact(emb, m, k = 64, iters = 1)
+    // the exact fit returns a driver-local relation -> the PqArgmin path
+    assert(Similarity.localBooks(books).isDefined)
+    val subs = Similarity.subVectors(Similarity.normed(emb), m)
+    val viaLit = Similarity.assignCodes(subs, books, keepSv = true).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getSeq[Double](3))))
+      .toMap
+    // round-tripping the books through an exchange defeats the local-plan
+    // detection and forces the original broadcast-join + min_by path
+    val booksDist = books.repartition(2)
+    assert(Similarity.localBooks(booksDist).isEmpty)
+    val viaJoin = Similarity.assignCodes(subs, booksDist, keepSv = true).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getSeq[Double](3))))
+      .toMap
+    assert(viaLit.nonEmpty && viaLit.keySet == viaJoin.keySet)
+    for ((k, (code, sv)) <- viaLit) {
+      assert(viaJoin(k)._1 == code, s"code mismatch at $k")
+      assert(viaJoin(k)._2 == sv, s"sv mismatch at $k")
+    }
+    // keepSv = false column shape preserved too
+    val slim = Similarity.assignCodes(subs, books).columns.toSeq
+    assert(slim == Seq("vec_id", "sub", "code"))
+  }
+
   test("PQ encode matches a driver-side argmin replay; ADC top-k has real recall") {
     val emb = table(spark, sfDir, "embeddings")
     val m = 8; val kCodes = 64
