@@ -80,11 +80,27 @@ object IvmQueries extends QueryPack {
         col("f.after").as("after"))
   }
 
+  /** Per-session materialization of the two join-fixture changelogs — the
+    * same treatment as [[RowImageQueries.envelope]] / `ordersEnvelope`: a
+    * changelog is STORED bytes in any real deployment, and the Δ(A⋈B)
+    * algebra legitimately reads each log in more than one plan subtree
+    * (deltas of A against the state of B and vice versa), so a per-scan
+    * re-rendered fixture times the JSON renderer several times over
+    * instead of the incremental-join operator.
+    */
+  private val envelopeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** customer changelog: AUTOMOBILE rows are inserted then deleted,
     * BUILDING rows inserted as a shifted image then updated to their real
     * one, the rest are plain inserts. Offsets 4000·c+1 (odd).
     */
-  def customerEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+  def customerEnvelope(spark: SparkSession, sfDir: String): DataFrame =
+    envelopeCache.computeIfAbsent((spark, sfDir, "customer"), { case (s, dir, _) =>
+      customerEnvelopeFrames(s, dir).localCheckpoint()
+    })
+
+  private def customerEnvelopeFrames(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Changelog.table(spark, sfDir, "customer")
       .repartition(col("c_custkey"))
     val img1 = struct(col("c_custkey"), col("c_name"),
@@ -101,7 +117,12 @@ object IvmQueries extends QueryPack {
     * the BEFORE image pointing at o_custkey+1, so the update is a
     * join-group MOVE — otherwise plain insert. Offsets 100·o+50 (even).
     */
-  def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+  def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame =
+    envelopeCache.computeIfAbsent((spark, sfDir, "orders"), { case (s, dir, _) =>
+      ordersEnvelopeFrames(s, dir).localCheckpoint()
+    })
+
+  private def ordersEnvelopeFrames(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Changelog.table(spark, sfDir, "orders")
       .repartition(col("o_orderkey"))
     val img1 = struct(col("o_orderkey"), col("o_custkey"),
