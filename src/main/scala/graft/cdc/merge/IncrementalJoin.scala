@@ -130,8 +130,11 @@ object IncrementalJoin {
   def materializeJoin(
       envA: DataFrame, tableA: DeclaredTable, joinA: String,
       envB: DataFrame, tableB: DeclaredTable, joinB: String): DataFrame = {
-    val irA = RowImage.decodeEnvelope(envA, tableA)
-    val irB = RowImage.decodeEnvelope(envB, tableB)
+    // each side's decoded IR feeds BOTH delta and version-interval roles —
+    // pin the decode once (localCheckpoint) instead of JSON-parsing the
+    // whole log twice per side
+    val irA = RowImage.decodeEnvelope(envA, tableA).localCheckpoint()
+    val irB = RowImage.decodeEnvelope(envB, tableB).localCheckpoint()
     foldDeltas(joinDeltas(irA, joinA, irB, joinB))
   }
 
@@ -149,8 +152,9 @@ object IncrementalJoin {
       envA: DataFrame, tableA: DeclaredTable, joinA: String,
       envB: DataFrame, tableB: DeclaredTable, joinB: String,
       valueField: String): DataFrame = {
-    val irA = RowImage.decodeEnvelope(envA, tableA)
-    val irB = RowImage.decodeEnvelope(envB, tableB)
+    // decode pinned once per side, as in materializeJoin
+    val irA = RowImage.decodeEnvelope(envA, tableA).localCheckpoint()
+    val irB = RowImage.decodeEnvelope(envB, tableB).localCheckpoint()
     joinDeltas(irA, joinA, irB, joinB)
       .groupBy(col(s"a_img.$joinA").as(joinA))
       .agg(

@@ -91,10 +91,15 @@ object KeyedChunkPlanner {
     // (DistributedRank dedup) — no single-partition window over the
     // key set; only the ~cnt/chunkSize boundary rows below flow through the
     // tiny lag window
+    // ~cnt/chunkSize boundary rows, materialized once: both consumers below
+    // (the lag chain and the last-split aggregate) would otherwise each
+    // re-run the full-key-set rank join + filter — the sf0.1 composite plan
+    // carried the whole subtree twice (20 Exchanges)
     val boundaries = DistributedRank
       .withGlobalRowNumber(keyTuples, "rn", Seq(col("kt")), dedup = true)
       .where(col("rn") % chunkSize === 0)
       .select(col("kt").as("boundary"), expr(s"rn div $chunkSize").as("bid"))
+      .localCheckpoint()
     val wb = Window.orderBy(col("bid"))
     val bounded = boundaries
       .withColumn("split_start", lag(col("boundary"), 1).over(wb))

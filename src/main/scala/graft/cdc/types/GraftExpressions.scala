@@ -564,6 +564,39 @@ case class Bigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_ngrams(text, n) -> array<string>`: [[Bigrams]] generalized to any
+  * foldable n >= 1 ([[graft.ext.TextAnalysis.ngramSpans]]) — all word
+  * n-grams under single-space splitting as zero-copy byte spans,
+  * byte-identical to the `split`/`transform`/`concat_ws(' ', slice(...))`
+  * HOF pipeline it replaces, with fewer-than-n-words yielding an empty
+  * array (≡ the old size filter once exploded).
+  */
+case class NgramSpans(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, org.apache.spark.sql.types.IntegerType)
+          if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable int n), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    graft.ext.TextAnalysis.ngramSpans(
+      text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.ext.TextAnalysis.ngramSpans($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramSpans =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_jl_project(embedding array<float>, outDim, seed) ->
   * array<double>`: signed (±1) JL projection in one compiled loop
   * ([[graft.ext.Similarity.jlProject]]); sign(j,i) regenerates from
@@ -643,6 +676,79 @@ case class PqBooksLit(
     }
     bestCode
   }
+}
+
+/** `graft_sorted_fold(array<struct<k, v:double>>) -> double`: the
+  * order-deterministic sum `aggregate(sort_array(collect_list(struct(k,
+  * v))), 0D, (acc, x) -> acc + x.v)` as ONE compiled sort+fold — the
+  * pattern every hash-exact fit/score in this engine uses to pin its IEEE
+  * summation order. The HOF form interprets the struct comparator and the
+  * fold lambda per element; this sorts primitive key/value arrays and sums
+  * in a tight loop, with the same ordering semantics: k ascending
+  * (int/long/string — strings by binary UTF-8 like Spark), ties by v under
+  * Spark's SQL double ordering (`SQLOrderingUtil.compareDoubles`), seed
+  * 0.0, left-to-right `acc + v`. A null v nulls the whole fold (null
+  * poisons the HOF's sum the same way at any position). Null keys are NOT
+  * supported (sort_array and array_sort disagree on null placement; no
+  * caller produces one — keys are group keys, positions or hashes).
+  */
+case class SortedFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sorted_fold"
+
+  private def kvTypes: Option[(DataType, DataType)] = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 2 => Some((fields(0).dataType, fields(1).dataType))
+    case _ => None
+  }
+
+  /** Key kind dispatched to the runtime: 0=int, 1=long, 2=string, 3=double. */
+  private lazy val kKind: Int = kvTypes.get._1 match {
+    case org.apache.spark.sql.types.IntegerType => 0
+    case LongType => 1
+    case StringType => 2
+    case DoubleType => 3
+    case dt => throw new IllegalStateException(s"unsupported key type $dt")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = kvTypes match {
+    case Some((k, DoubleType)) if Seq(
+        org.apache.spark.sql.types.IntegerType, LongType, StringType,
+        DoubleType).contains(k) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<k: int|bigint|string|double, " +
+        s"v: double>>, got ${child.dataType.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ext.TextAnalysis.sortedFoldKV(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kKind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kk = kKind
+    val arr = child.genCode(ctx)
+    val res = ctx.freshName("sortedFoldRes")
+    ev.copy(code =
+      code"""
+        ${arr.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${arr.isNull}) {
+          java.lang.Double $res =
+            graft.ext.TextAnalysis.sortedFoldKV(${arr.value}, $kk);
+          if ($res != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $res.doubleValue();
+          }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedFold =
+    copy(child = newChild)
 }
 
 /** `graft_pq_argmin(sub, sv, codes, cvs, cvvs) -> bigint`: the PQ code
@@ -803,6 +909,17 @@ object GraftFunctions {
           throw new IllegalArgumentException(
             s"graft_jl_project expects exactly 3 arguments, got ${children.length}")
       }),
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NgramSpans].getName, "graft_ngrams"),
+      {
+        case Seq(a, b) => NgramSpans(a, b)
+        case children =>
+          throw new IllegalArgumentException(
+            s"graft_ngrams expects exactly 2 arguments, got ${children.length}")
+      }),
+    (FunctionIdentifier("graft_sorted_fold"),
+      new ExpressionInfo(classOf[SortedFold].getName, "graft_sorted_fold"),
+      unary("graft_sorted_fold")(SortedFold)),
     (FunctionIdentifier("graft_pq_argmin"),
       new ExpressionInfo(classOf[PqArgmin].getName, "graft_pq_argmin"),
       {

@@ -668,11 +668,12 @@ object Curation {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
     graft.cdc.types.GraftFunctions.register(docs.sparkSession)
     val isTarget = col("source") === lit(targetSource)
+    // graft_bigrams: one native pass, zero-copy byte spans — pinned equal
+    // to the split/transform/concat HOF it replaces (<2 words -> no rows,
+    // same as the old size filter)
     val grams = docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 2)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("g"))
+      .select(col("doc_id"), col("source"),
+        explode(call_function("graft_bigrams", col("text"))).as("g"))
       .select(col("doc_id"), col("source"),
         pmod(call_function("graft_fnv64", col("g")), lit(dim.toLong)).as("bucket"))
     val docFeat = grams
@@ -704,10 +705,9 @@ object Curation {
       .groupBy(col("doc_id"), col("source"))
       .agg(
         count(lit(1)).as("n_feats"),
-        aggregate(
-          sort_array(collect_list(struct(col("bucket"), col("term")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("term")).as("score"))
+        // compiled sort+fold, same values as the HOF (spec-pinned)
+        call_function("graft_sorted_fold",
+          collect_list(struct(col("bucket"), col("term")))).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -905,13 +905,11 @@ object Curation {
     */
   def shingleOccurrences(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1)
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    // graft_ngrams: zero-copy byte spans, byte-identical to the old
+    // split/transform/concat_ws pipeline (incl. the <n-words empty case)
     docs.where(col("text").isNotNull)
-      .withColumn("ws", split(col("text"), " "))
-      .select(explode(expr(
-        s"""case when size(ws) >= $n
-           |     then transform(sequence(0, size(ws) - $n),
-           |                    i -> concat_ws(' ', slice(ws, i + 1, $n)))
-           |     else slice(ws, 1, 0) end""".stripMargin)).as("g"))
+      .select(explode(call_function("graft_ngrams", col("text"), lit(n))).as("g"))
   }
 
   /** Count-min sketch counters (Cormode & Muthukrishnan 2005) over an item
@@ -992,9 +990,28 @@ object Curation {
     */
   def cmsHeavyHitters(docs: DataFrame, n: Int = 3, minCount: Long = 5L,
       wBits: Int = 12, d: Int = 4): DataFrame = {
-    val grams = shingleOccurrences(docs, n)
-    val exact = grams.groupBy(col("g")).agg(count(lit(1)).as("exact_cnt"))
-    cmsEstimate(cmsCounters(grams, wBits, d), exact.select(col("g")), wBits, d)
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    val w = 1L << wBits
+    // the corpus is shingled ONCE: the exact per-gram counts (vocabulary-
+    // scale, pinned) serve both legs, and the sketch cells derive from them
+    // by the CMS mergeability identity — a cell's occurrence count IS the
+    // sum of the counts of the grams hashing into it (cell-wise sum is the
+    // sketch's own merge operation), so the counters are bit-identical to
+    // cmsCounters over the raw occurrence stream (CurationSpec pins this)
+    val exact = shingleOccurrences(docs, n)
+      .groupBy(col("g")).agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint()
+    val counters = exact
+      .withColumn("h", call_function("graft_fnv64", col("g")))
+      .select(col("exact_cnt"), explode(expr(
+        s"""transform(sequence(0, ${d - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS i,
+           |              pmod(graft_mix64(h, CAST(i AS BIGINT)), ${w}L) AS pos))"""
+          .stripMargin)).as("cell"))
+      .select(col("exact_cnt"), col("cell.i").as("i"), col("cell.pos").as("pos"))
+      .groupBy(col("i"), col("pos"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
+    cmsEstimate(counters, exact.select(col("g")), wBits, d)
       .join(exact, Seq("g"))
       .where(col("cms_est") >= minCount)
       .select(col("g"), col("exact_cnt"), col("cms_est"),
@@ -1111,21 +1128,20 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.cdc.types.GraftFunctions.register(spark)
+    // graft_bigrams: native pass, pinned equal to the HOF form (dsirSelect)
     val feats = docs.select(col("doc_id"),
         when(col("source") === lit(targetSource), lit(1.0)).otherwise(lit(0.0)).as("y"),
-        split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 2)
-      .select(col("doc_id"), col("y"), explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("g"))
+        explode(call_function("graft_bigrams", col("text"))).as("g"))
       .select(col("doc_id"), col("y"),
         pmod(call_function("graft_fnv64", col("g")), lit(dim.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("y"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val nDocs = feats.select(col("doc_id")).distinct().count()
+    // compiled sort+fold, same values as the sort_array HOF (spec-pinned)
     def orderedFold(key: Column, term: Column) =
-      aggregate(sort_array(collect_list(struct(key, term))), lit(0.0),
-        (acc, x) => acc + x.getField("term"))
+      call_function("graft_sorted_fold",
+        collect_list(struct(key.as("k"), term.as("term"))))
     val w = Array.fill(dim)(0.0)
     for (_ <- 0 until iters) {
       val wDf = w.toIndexedSeq.zipWithIndex

@@ -312,8 +312,10 @@ object Similarity {
         .select(col("cell"), col("vec_id"), posexplode(col("vd")))
         .groupBy(col("cell"), col("pos"))
         .agg(
-          expr("aggregate(array_sort(collect_list(struct(vec_id, col))), 0D, (acc, x) -> acc + x.col)")
-            .as("s"),
+          // graft_sorted_fold == the aggregate(array_sort(collect_list))
+          // HOF (GraftExpressionsSpec pin), compiled instead of interpreted
+          call_function("graft_sorted_fold",
+            collect_list(struct(col("vec_id"), col("col")))).as("s"),
           count(lit(1)).as("n"))
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, s / n))), x -> x.col2)")
@@ -607,8 +609,10 @@ object Similarity {
         .select(col("sub"), col("code"), col("vec_id"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(
-          expr("aggregate(array_sort(collect_list(struct(vec_id, col))), 0D, (acc, x) -> acc + x.col)")
-            .as("s"),
+          // graft_sorted_fold == the aggregate(array_sort(collect_list))
+          // HOF (GraftExpressionsSpec pin), compiled instead of interpreted
+          call_function("graft_sorted_fold",
+            collect_list(struct(col("vec_id"), col("col")))).as("s"),
           count(lit(1)).as("n"))
         .groupBy(col("sub"), col("code"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, s / n))), x -> x.col2)")
@@ -635,8 +639,8 @@ object Similarity {
     * independent of shuffle arrival order (bit-deterministic).
     */
   private val adcFold: Column =
-    expr("aggregate(array_sort(collect_list(struct(sub, pdist))), 0D, (acc, x) -> acc + x.pdist)")
-      .as("adc")
+    call_function("graft_sorted_fold",
+      collect_list(struct(col("sub"), col("pdist")))).as("adc")
 
   /** Asymmetric-distance (ADC) top-k: exact query subvectors against the
     * corpus' PQ codes. The query x codebook lookup table — nQueries x m x
@@ -772,7 +776,18 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = normed(emb)
-    val cellSims = cellSimilarities(base, nCells)
+    // the seed centroids (nCells rows) collected once to a literal relation:
+    // cellSims feeds TWO subtrees below (corpus assignment + query probes),
+    // and each would otherwise re-run the TakeOrdered seed job — same
+    // bounded driver-state shape as the exact fits' model rows, values
+    // copied verbatim so every downstream double is unchanged
+    val seedRows = seedCentroids(base, nCells).collect()
+    val cents = {
+      import scala.jdk.CollectionConverters._
+      base.sparkSession.createDataFrame(
+        seedRows.toSeq.asJava, seedCentroids(base, nCells).schema)
+    }
+    val cellSims = cellSimilaritiesWith(base, cents)
     val assigned = assignCells(cellSims).select(col("vec_id"), col("cell"))
     val probes = cellSims.where(col("vec_id") < nQueries)
       .withColumn("crank", row_number().over(

@@ -184,26 +184,82 @@ object TextAnalysis {
     * so no per-bigram string building happens at all. A text with fewer
     * than two words returns an empty array (explode ≡ the size filter).
     */
+  /** Runtime of `graft_sorted_fold` ([[graft.cdc.types.SortedFold]]): sum
+    * the `v` field of (k, v) structs in (k asc, v asc) order — k compared
+    * by its natural primitive/binary order, v (and double keys) by Spark's
+    * SQL double ordering — seed 0.0, left-to-right. Returns null when any
+    * element or any `v` is null, the same poisoning the HOF fold applies.
+    */
+  def sortedFoldKV(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      kKind: Int): java.lang.Double = {
+    import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+    val n = arr.numElements()
+    if (n == 0) return java.lang.Double.valueOf(0.0)
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+    val vs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val r = arr.getStruct(i, 2)
+      if (r.isNullAt(1)) return null
+      rows(i) = r
+      vs(i) = r.getDouble(1)
+      i += 1
+    }
+    val idx = new Array[Integer](n)
+    i = 0
+    while (i < n) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val ra = rows(a.intValue()); val rb = rows(b.intValue())
+        val c = kKind match {
+          case 0 => java.lang.Integer.compare(ra.getInt(0), rb.getInt(0))
+          case 1 => java.lang.Long.compare(ra.getLong(0), rb.getLong(0))
+          case 2 => ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+          case _ => SQLOrderingUtil.compareDoubles(ra.getDouble(0), rb.getDouble(0))
+        }
+        if (c != 0) c
+        else SQLOrderingUtil.compareDoubles(vs(a.intValue()), vs(b.intValue()))
+      }
+    })
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += vs(idx(i).intValue()); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
   def bigramSpans(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = ngramSpans(text, 2)
+
+  /** Runtime of `graft_ngrams` — [[bigramSpans]] generalized to any n >= 1:
+    * all word n-grams of `text` under single-space splitting, as ZERO-COPY
+    * byte spans (n-gram k IS the input's byte range from the start of word
+    * k to the end of word k+n-1, separators included — byte-identical to
+    * `concat_ws(' ', slice(split(text, ' '), k+1, n))`, empty words from
+    * doubled/leading/trailing spaces included). Fewer than n words returns
+    * an empty array (explode ≡ the old `size(split(...)) >= n` filter).
+    */
+  def ngramSpans(text: org.apache.spark.unsafe.types.UTF8String, n: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
     val bytes = text.getBytes
-    val n = bytes.length
+    val nb = bytes.length
     var spaces = 0
     var i = 0
-    while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
-    if (spaces == 0)
+    while (i < nb) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val count = spaces + 1 - n + 1 // words - n + 1
+    if (count <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Any])
     val sp = new Array[Int](spaces)
     var j = 0
     i = 0
-    while (i < n) { if (bytes(i) == ' ') { sp(j) = i; j += 1 }; i += 1 }
-    val out = new Array[Any](spaces)
+    while (i < nb) { if (bytes(i) == ' ') { sp(j) = i; j += 1 }; i += 1 }
+    val out = new Array[Any](count)
     var k = 0
-    while (k < spaces) {
+    while (k < count) {
       val s = if (k == 0) 0 else sp(k - 1) + 1
-      val e = if (k + 1 < spaces) sp(k + 1) else n
+      val e = if (k + n - 1 < spaces) sp(k + n - 1) else nb
       out(k) = UTF8String.fromBytes(bytes, s, e - s)
       k += 1
     }
@@ -321,10 +377,9 @@ object TextAnalysis {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
           .as("term_score"))
     val scored = terms.groupBy(col("qid"), col("doc_id"))
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("pos"), col("term_score")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("term_score")).as("score"))
+      // compiled sort+fold, same values as the sort_array HOF (spec-pinned)
+      .agg(call_function("graft_sorted_fold",
+        collect_list(struct(col("pos"), col("term_score")))).as("score"))
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))

@@ -26,6 +26,8 @@ object ProbeR13 {
     args.drop(1).foreach {
       case "pq" => pqStages(s, dir)
       case "pqfit" => graft.ext.ProbeExt.pqFitSteps(s, dir)
+      case "probefit" => graft.ext.ProbeExt.probeFitSteps(s, dir)
+      case "kmfold" => graft.ext.ProbeExt.kmFoldAb(s, dir)
       case "ivm" => ivmStages(s, dir)
       case "q" => () // bare session warmup
       case n =>

@@ -187,6 +187,76 @@ class GraftExpressionsSpec extends SparkTestBase {
       .collect()(0).isNullAt(0))
   }
 
+  test("graft_ngrams equals the split+slice+concat_ws HOF for n in {1,3,8}") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def ref(n: Int) =
+      s"CASE WHEN size(split(text, ' ')) >= $n THEN " +
+        s"transform(sequence(0, size(split(text, ' ')) - $n), " +
+        s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    def check(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val rows = df
+        .selectExpr("text", s"${ref(n)} AS want", s"graft_ngrams(text, $n) AS got")
+        .where(col("text").isNotNull)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"$n-grams diverge on [${r.getString(0)}]")
+      }
+    }
+    val adversarial = Seq(
+      "a b c d e f g h i j", "one", "", " leading", "trailing ",
+      "a  doubled  space", "   ", "exactly three words",
+      "héllo wörld ünïcode tæst wéird", "a ", " a b ").toDF("text")
+    for (n <- Seq(1, 3, 8)) {
+      check(adversarial, n)
+      check(spark.read.parquet(s"$sfDir/documents.parquet").select("text"), n)
+    }
+    assert(spark.sql("SELECT graft_ngrams(CAST(NULL AS STRING), 3)")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("graft_sorted_fold equals the sort_array+aggregate HOF bit-for-bit") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // generated (k, v) multisets: duplicate keys, negative/denormal-ish
+    // values, singleton and large groups — the fold must match the HOF's
+    // IEEE sequence exactly (same sort order, same left fold)
+    val rows = (0 until 50000).map { i =>
+      val g = i % 257                            // group
+      val k = ((i * 2654435761L) % 1000) - 500   // colliding long keys
+      val v = math.sin(i.toDouble) * math.pow(10, (i % 13) - 6)
+      (g, k, v)
+    }
+    val df = rows.toDF("g", "k", "v")
+    def hof(kt: String) =
+      s"aggregate(sort_array(collect_list(struct(CAST(k AS $kt) AS k, v))), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)"
+    def fold(kt: String) =
+      s"graft_sorted_fold(collect_list(struct(CAST(k AS $kt) AS k, v)))"
+    for (kt <- Seq("BIGINT", "INT", "STRING", "DOUBLE")) {
+      val out = df.groupBy(col("g"))
+        .agg(expr(hof(kt)).as("want"), expr(fold(kt)).as("got"))
+        .collect()
+      assert(out.length == 257)
+      out.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          s"fold diverges for key type $kt at g=${r.getInt(0)}")
+      }
+    }
+    // empty array folds to the seed; null v poisons like the HOF
+    assert(spark.sql(
+      "SELECT graft_sorted_fold(CAST(array() AS ARRAY<STRUCT<k: BIGINT, v: DOUBLE>>))")
+      .collect()(0).getDouble(0) == 0.0)
+    assert(spark.sql(
+      "SELECT graft_sorted_fold(array(struct(1L AS k, CAST(NULL AS DOUBLE) AS v), " +
+        "struct(2L AS k, 3.0D AS v)))")
+      .collect()(0).isNullAt(0))
+  }
+
   test("graft_jl_project equals the transform/aggregate HOF formulation coordinate-for-coordinate") {
     GraftFunctions.register(spark)
     // the HOF form randomProjection used before the native expression;
