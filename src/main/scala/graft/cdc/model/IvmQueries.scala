@@ -88,17 +88,14 @@ object IvmQueries extends QueryPack {
     * re-rendered fixture times the JSON renderer several times over
     * instead of the incremental-join operator.
     */
-  private val envelopeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-
   /** customer changelog: AUTOMOBILE rows are inserted then deleted,
     * BUILDING rows inserted as a shifted image then updated to their real
     * one, the rest are plain inserts. Offsets 4000·c+1 (odd).
     */
   def customerEnvelope(spark: SparkSession, sfDir: String): DataFrame =
-    envelopeCache.computeIfAbsent((spark, sfDir, "customer"), { case (s, dir, _) =>
-      customerEnvelopeFrames(s, dir).localCheckpoint()
-    })
+    graft.SessionCache.getOrCompute(spark, s"ivm_customer_envelope:$sfDir") {
+      customerEnvelopeFrames(spark, sfDir).localCheckpoint()
+    }
 
   private def customerEnvelopeFrames(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Changelog.table(spark, sfDir, "customer")
@@ -118,9 +115,9 @@ object IvmQueries extends QueryPack {
     * join-group MOVE — otherwise plain insert. Offsets 100·o+50 (even).
     */
   def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame =
-    envelopeCache.computeIfAbsent((spark, sfDir, "orders"), { case (s, dir, _) =>
-      ordersEnvelopeFrames(s, dir).localCheckpoint()
-    })
+    graft.SessionCache.getOrCompute(spark, s"ivm_orders_envelope:$sfDir") {
+      ordersEnvelopeFrames(spark, sfDir).localCheckpoint()
+    }
 
   private def ordersEnvelopeFrames(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Changelog.table(spark, sfDir, "orders")

@@ -91,12 +91,9 @@ object RowImageQueries extends QueryPack {
     * pass — the lineitem envelope already gets exactly this treatment.
     */
   def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame =
-    ordersEnvelopeCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
-      ordersEnvelopeFrames(s, dir).localCheckpoint()
-    })
-
-  private val ordersEnvelopeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.SessionCache.getOrCompute(spark, s"orders_envelope:$sfDir") {
+      ordersEnvelopeFrames(spark, sfDir).localCheckpoint()
+    }
 
   private def ordersEnvelopeFrames(spark: SparkSession, sfDir: String): DataFrame = {
     def image(priceShift: Int, status: Column): Column = struct(
@@ -204,12 +201,9 @@ object RowImageQueries extends QueryPack {
     * fixture) makes the bench measure operators, not fixture setup.
     */
   def envelope(spark: SparkSession, sfDir: String): DataFrame =
-    envelopeCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
-      envelopeFrom(Changelog.table(s, dir, "lineitem")).localCheckpoint()
-    })
-
-  private val envelopeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.SessionCache.getOrCompute(spark, s"lineitem_envelope:$sfDir") {
+      envelopeFrom(Changelog.table(spark, sfDir, "lineitem")).localCheckpoint()
+    }
 
   /** Envelope frames derived from an (optionally filtered) lineitem frame. */
   def envelopeFrom(lineitem: DataFrame): DataFrame =
@@ -541,7 +535,10 @@ object RowImageQueries extends QueryPack {
         .map { case ((_, (op, ts, tbl, b, a)), i) => (i.toLong, op, ts, tbl, b, a) }
       val stageKey = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_env1_$stageKey"
+      // per-JVM scratch (never java.io.tmpdir): a staged change table must
+      // not survive across runs — within a run it is the external database
+      // the stream tails, across runs it would be forbidden precomputation
+      val base = s"${graft.FixtureStaging.jvmScratch}/graft_env1_$stageKey"
       val url = s"jdbc:derby:$base/logdb;create=true"
       // content verification like the scalar staging: count + max seq
       val staged = try {

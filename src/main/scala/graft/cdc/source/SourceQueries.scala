@@ -63,7 +63,10 @@ object SourceQueries extends QueryPack {
         .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
       // v2: the change-table layout grew a TBL column — a new staging root
       // so a pre-existing 5-column stage from an older JVM is never reused
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_mb2_$stageKey"
+      // per-JVM scratch (never java.io.tmpdir): a staged change table must
+      // not survive across runs — within a run it is the external database
+      // the stream tails, across runs it would be forbidden precomputation
+      val base = s"${graft.FixtureStaging.jvmScratch}/graft_mb2_$stageKey"
       val url = s"jdbc:derby:$base/logdb;create=true"
       // content verification, not just row count: a partial stage from a
       // killed JVM must fail BOTH the count and the max-seq probe to be

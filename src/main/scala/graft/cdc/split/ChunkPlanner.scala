@@ -106,22 +106,26 @@ object ChunkPlanner {
     * Planning metadata only — output is ~cnt/chunkSize rows.
     */
   def unevenChunkRanges(df: DataFrame, key: String, chunkSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // distinct + distributed global rank in one shuffle (DistributedRank) —
-    // the key set never drains through one partition; only the boundary rows
-    // hit the lag window
+    // the key set never drains through one partition. The ~cnt/chunkSize
+    // boundary rows are materialized once (both consumers below would
+    // otherwise each re-run the full-key-set rank), and the predecessor
+    // chain is a broadcast self-join on the DENSE bid (bid = rn div
+    // chunkSize over rn = 1..cnt covers every integer 1..k, so bid-1 IS
+    // lag(1) in bid order) — no partition-less Window node anywhere.
     val boundaries = DistributedRank
       .withGlobalRowNumber(df.select(col(key).as("k")), "rn", Seq(col("k")),
         dedup = true)
       .where(col("rn") % chunkSize === 0)
       .select(col("k").as("boundary"), expr(s"rn div $chunkSize").as("bid"))
-    val wb = Window.orderBy(col("bid"))
-    val bounded = boundaries
-      .withColumn("split_start", lag(col("boundary"), 1).over(wb))
+      .localCheckpoint()
+    val bounded = boundaries.as("cur")
+      .join(broadcast(boundaries.as("prev")),
+        col("prev.bid") === col("cur.bid") - 1, "left")
       .select(
-        (col("bid") - 1).as("split_id"),
-        col("split_start"),
-        col("boundary").as("split_end")
+        (col("cur.bid") - 1).as("split_id"),
+        col("prev.boundary").as("split_start"),
+        col("cur.boundary").as("split_end")
       )
     // the trailing unbounded split: keys past the last boundary must belong
     // to a chunk too (covering semantics; with no boundaries at all the
@@ -517,14 +521,29 @@ object ChunkPlanner {
       if (parts.isEmpty) "1 = 1" else parts.mkString(" AND ")
     }.toArray
 
-  /** W2 — Mongo-style equi-depth buckets via ntile (SampleBucketSplitStrategy
-    * .java:67-168). ntile over a global order; the production-scale variant
+  /** W2 — Mongo-style equi-depth buckets (SampleBucketSplitStrategy
+    * .java:67-168), ntile semantics replayed over the DISTRIBUTED rank:
+    * `ntile(n) OVER (ORDER BY k)` would drain every row through one
+    * partition (the single-partition-window scale killer and the WARN the
+    * smoke logs flagged); instead the global rank comes from
+    * [[DistributedRank]] (range partition + in-partition decode, no Window
+    * node) and the bucket is ntile's exact fill arithmetic on that rank —
+    * the first cnt%n buckets hold ceil(cnt/n) rows, the rest floor — the
+    * same replay [[sampleRateBuckets]] already uses. The row count is a
+    * 1-row planner probe like [[analyze]]. The production-scale variant
     * samples first (`df.sample`) exactly like the reference's `$sample`.
     */
   def sampleBuckets(df: DataFrame, key: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.select(col(key).as("k"))
-      .withColumn("bucket", ntile(n).over(Window.orderBy(col("k"))))
+    val keyed = df.select(col(key).as("k"))
+    val cnt = keyed.count()
+    val q = cnt / n
+    val r = cnt % n
+    DistributedRank.withGlobalRowNumber(keyed, "rn", Seq(col("k")))
+      .withColumn("bucket",
+        when(col("rn") <= lit((q + 1) * r), (col("rn") - 1) / lit(q + 1) + 1)
+          .otherwise(lit(r) + (col("rn") - lit((q + 1) * r) - 1)
+            / lit(math.max(q, 1L)) + 1)
+          .cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("lo"), max(col("k")).as("hi"))
   }

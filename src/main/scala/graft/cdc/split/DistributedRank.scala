@@ -91,15 +91,17 @@ object DistributedRank {
     * would otherwise execute as a single-partition Window.
     *
     * Same decomposition as [[withGlobalRowNumber]]: range-partition on the
-    * key, per-partition prefix sums (a Window partitioned by the derived
-    * partition id — partition-PARALLEL, never global), and per-partition
-    * base offsets from the tiny totals aggregate broadcast back. The
-    * per-pid Window costs one extra hash exchange (Catalyst cannot prove
-    * the range partitioning already clusters by `__pid`), so callers
-    * should project down to (key, value) width first — the intended use is
-    * prefix sums over per-key scalars (token budgets, byte offsets), not
-    * wide rows. Unlike the row-number path there is no window-free `__mid`
-    * shortcut: a prefix SUM needs the per-row fold, not just the position.
+    * key, per-partition prefix sums, and per-partition base offsets from
+    * the tiny totals aggregate broadcast back. The per-partition fold is
+    * the compiled `graft_running_sum` expression evaluated above an
+    * explicit partition-local sort — the Window form it replaces
+    * (`sum OVER (PARTITION BY __pid ...)`) paid a full extra hash Exchange
+    * plus Sort, because Catalyst cannot prove the range exchange already
+    * clusters by the derived partition id. Callers should still project
+    * down to (key, value) width first — the intended use is prefix sums
+    * over per-key scalars (token budgets, byte offsets), not wide rows.
+    * Unlike the row-number path there is no fold-free `__mid` shortcut: a
+    * prefix SUM needs the per-row fold, not just the position.
     *
     * `orderCols` must form a total order; `valueCol` must be integral
     * (sums stay in the long domain, so results are engine-exact).
@@ -119,22 +121,24 @@ object DistributedRank {
       valueCol: Column,
       orderCols: Seq[Column]
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // same single-evaluation barrier as withGlobalRowNumber: __pid is task
-    // identity, meaningful only for one materialized evaluation
+    graft.cdc.types.GraftFunctions.register(df.sparkSession)
+    // same single-evaluation barrier as withGlobalRowNumber: __pid AND the
+    // per-partition running fold are task identity/state, meaningful only
+    // for one materialized evaluation. The fold is pinned above the sort
+    // because, like monotonically_increasing_id, it is nondeterministic —
+    // the optimizer may not reorder, duplicate or push it past the Sort.
     val parted = df.repartitionByRange(numShufflePartitions(df), orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .withColumn("__v", valueCol.cast("long"))
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__run", call_function("graft_running_sum", col("__v")))
       .localCheckpoint()
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = parted.withColumn("__run", sum(col("__v")).over(w))
     val sums = parted.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
     val bases = sums.as("a")
       .join(broadcast(sums.as("b")), col("b.__pid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
       .agg(coalesce(sum(col("b.__s")), lit(0L)).as("__base"))
-    run.join(broadcast(bases), Seq("__pid"))
+    parted.join(broadcast(bases), Seq("__pid"))
       .withColumn(sumCol, col("__base") + col("__run"))
       .drop("__pid", "__v", "__run", "__base")
   }

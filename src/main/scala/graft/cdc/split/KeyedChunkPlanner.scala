@@ -84,7 +84,6 @@ object KeyedChunkPlanner {
     * metadata only — ~cnt/chunkSize output rows.
     */
   def unevenChunkRanges(df: DataFrame, keys: Seq[String], chunkSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keyTuples = df.select(struct(keys.map(col): _*).as("kt"))
     val ktType = keyTuples.schema("kt").dataType
     // distinct + distributed global rank fused into ONE shuffle
@@ -100,13 +99,18 @@ object KeyedChunkPlanner {
       .where(col("rn") % chunkSize === 0)
       .select(col("kt").as("boundary"), expr(s"rn div $chunkSize").as("bid"))
       .localCheckpoint()
-    val wb = Window.orderBy(col("bid"))
-    val bounded = boundaries
-      .withColumn("split_start", lag(col("boundary"), 1).over(wb))
+    // predecessor chain via a broadcast self-join on the DENSE bid (bid =
+    // rn div chunkSize over rn = 1..cnt covers every integer 1..k, so
+    // bid-1 IS lag(1) in bid order) — the lag form planned a partition-less
+    // Window (a single-partition exchange and the one warning class the
+    // scale audit hunts), for no benefit on checkpointed planner metadata
+    val bounded = boundaries.as("cur")
+      .join(broadcast(boundaries.as("prev")),
+        col("prev.bid") === col("cur.bid") - 1, "left")
       .select(
-        (col("bid") - 1).as("split_id"),
-        col("split_start"),
-        col("boundary").as("split_end")
+        (col("cur.bid") - 1).as("split_id"),
+        col("prev.boundary").as("split_start"),
+        col("cur.boundary").as("split_end")
       )
     val last = boundaries.agg(
       count(lit(1)).as("split_id"),

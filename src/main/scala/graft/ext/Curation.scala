@@ -382,10 +382,16 @@ object Curation {
           |    'prev', x),
           |  acc -> acc.cnt)""".stripMargin).as("top_cnt"),
       TextAnalysis.langGuess.as("lang_guess"))
-    val keepers = docs
-      .groupBy(sha2(col("text"), 256).as("sha"))
-      .agg(min(col("doc_id")).as("keep_id"))
-    stats.join(keepers, "sha")
+    // keeper = min(doc_id) OVER the digest, on the single digest exchange:
+    // the old aggregate+join form evaluated the whole stats projection —
+    // including the per-doc sorted-runs fold — twice (once under the
+    // keeper aggregate, once as the join's stats side) and shuffled text
+    // by sha a second time for the join. Same keep set (min per group),
+    // one evaluation, one exchange.
+    import org.apache.spark.sql.expressions.Window
+    stats
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("sha"))))
       .where(col("doc_id") === col("keep_id")
         && col("n_words") >= minWords
         && col("top_cnt") * repLimit <= col("n_words"))
@@ -521,35 +527,40 @@ object Curation {
     * no bigrams and drop out, stated behavior.
     */
   def ngramLmScore(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    // (doc_id, w1, w2) token-transition rows. The size guard matters:
-    // Spark's sequence(1, 0) DESCENDS, so a single-token doc would index
-    // w[1] out of bounds instead of dropping
-    val bi = toks.where(size(col("w")) >= 2).select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .repartition(col("w1"), col("w2"))
-    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    graft.cdc.types.GraftFunctions.register(docs.sparkSession)
+    // (doc_id, "w1 w2") token-transition rows through the COMPILED
+    // zero-copy span expression (byte-identical to the old interpreted
+    // `transform(sequence(...), i -> struct(w[i-1], w[i]))` pipeline,
+    // spec-pinned; <2 words -> empty array ≡ the old size guard). The
+    // bigram rides as ONE string key — words cannot contain the space
+    // separator, so string equality IS pair equality — which halves the
+    // corpus-side key width and keeps w1 derivation at vocabulary scale.
+    val bi = docs.select(col("doc_id"),
+        explode(call_function("graft_bigrams", col("text"))).as("g"))
+      .repartition(col("g"))
+    val biCounts = bi.groupBy(col("g")).agg(count(lit(1)).as("cb"))
     // unigram counts: direct map-side-combined corpus aggregate — the
     // shuffle carries vocabulary-scale partials only; keeping this
     // independent of biCounts leaves the (heavier) bigram aggregation
     // with exactly one consumer, so it is computed once
-    val uniCounts = toks.select(explode(col("w")).as("w1"))
+    val uniCounts = docs
+      .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val vocabV = uniCounts.agg(count(lit(1)).as("v"))
-    // per-(w1,w2) fixed-point term, joined back to the corpus rows on the
-    // partitioning they already have — no corpus exchange for the join
+    // per-bigram fixed-point term at bigram-vocabulary scale: w1 = the
+    // prefix before the first space (w1 itself never contains one)
     val termTable = biCounts
+      .withColumn("w1", substring_index(col("g"), " ", 1))
       .join(uniCounts.hint("shuffle_hash"), Seq("w1"))
       .crossJoin(broadcast(vocabV))
-      .select(col("w1"), col("w2"),
+      .select(col("g"),
         expr("CAST(cb + 1 AS DECIMAL(38,0)) * 1000000000000000 DIV (cu + v)")
           .cast("decimal(20,0)").as("term_q"))
-    // shuffle_hash: both sides already hash-partitioned on (w1,w2); a
-    // sort-merge join would add two corpus-scale sorts for no benefit
-    // (the term table builds a hash map instead)
-    bi.join(termTable.hint("shuffle_hash"), Seq("w1", "w2"))
+    // shuffle_hash: the corpus side is already hash-partitioned on g (the
+    // repartition exchange above is shared with the bigram count via
+    // exchange reuse); a sort-merge join would add a corpus-scale sort for
+    // no benefit (the term table builds a hash map instead)
+    bi.join(termTable.hint("shuffle_hash"), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term_q")).as("sum_q"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -1136,6 +1147,14 @@ object Curation {
         pmod(call_function("graft_fnv64", col("g")), lit(dim.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("y"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      // pin the checkpoint CLUSTERED BY doc_id (LogicalRDD preserves the
+      // partitioning): every iteration's prediction aggregate
+      // (groupBy(doc_id, y) — doc_id clustering satisfies it), the
+      // error-join (both sides doc_id-partitioned) and the nDocs distinct
+      // then plan with ZERO exchanges — the loop's only shuffle left is the
+      // bucket-scale gradient aggregate. One extra exchange here at build
+      // time buys 3 exchange-free stages per iteration.
+      .repartition(col("doc_id"))
       .localCheckpoint()
     val nDocs = feats.select(col("doc_id")).distinct().count()
     // compiled sort+fold, same values as the sort_array HOF (spec-pinned)

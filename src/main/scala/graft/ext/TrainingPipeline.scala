@@ -100,10 +100,78 @@ object TrainingPipeline {
           - greatest(col("cum_start"), col("seq_id") * seqLen)).as("span_toks"))
   }
 
+  /** [[dedupGate]] + the packer's tokenization, fused to scalar width: one
+    * pass over the live corpus computes (digest, n_words, top_cnt), the
+    * keeper is `min(doc_id)` OVER the digest (a full-partition window on
+    * the single digest exchange — same keep set as the aggregate+join
+    * form, but the live-corpus fold is evaluated ONCE and text never
+    * crosses a second shuffle), and the surviving rows carry only
+    * (doc_id, n_toks) into packing — `n_toks` IS the gate's `n_words`
+    * (both are `size(split(text, ' '))`), so the packer never re-splits.
+    * This is the composition's documented 100 TB shape actually achieved:
+    * text crosses exactly the LWW shuffle, everything downstream is
+    * 16-byte scalars, and no materialization barrier is needed because
+    * the whole gate is one linear plan.
+    */
+  private def gateScalars(live: DataFrame, minWords: Int, repLimit: Int): DataFrame = {
+    val stats = live.select(
+      col("doc_id"),
+      sha2(col("text"), 256).as("digest"),
+      size(split(col("text"), " ")).as("n_words"),
+      col("top_cnt"))
+    val byDigest = Window.partitionBy(col("digest"))
+    stats
+      .withColumn("keep_id", min(col("doc_id")).over(byDigest))
+      .where(col("doc_id") === col("keep_id")
+        && col("n_words") >= minWords
+        && col("top_cnt") * repLimit <= col("n_words"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_toks"))
+  }
+
+  /** The in-row word-stat projection shared by [[dedupGate]] and
+    * [[gateScalars]] (the max sorted-run fold = the max word multiplicity).
+    */
+  private def withTopCnt(live: DataFrame): DataFrame =
+    live.withColumn("top_cnt", expr(
+      """aggregate(array_sort(split(text, ' ')),
+        |  named_struct('cnt', 0, 'run', 0, 'prev', cast(null as string)),
+        |  (acc, x) -> named_struct(
+        |    'cnt', greatest(acc.cnt, if(x <=> acc.prev, acc.run + 1, 1)),
+        |    'run', if(x <=> acc.prev, acc.run + 1, 1),
+        |    'prev', x),
+        |  acc -> acc.cnt)""".stripMargin))
+
+  /** [[packManifest]] from pre-tokenized (doc_id, n_toks) scalars — the
+    * fused path of [[fromChangelog]]/[[epochCut]]; identical arithmetic.
+    */
+  private def packCounts(counts: DataFrame, seqLen: Long, nShards: Int,
+      seed: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    graft.cdc.types.GraftFunctions.register(counts.sparkSession)
+    val toks = counts.select(
+      pmod(call_function("graft_mix64", col("doc_id"), lit(seed)),
+        lit(nShards.toLong)).as("shard"),
+      col("doc_id"),
+      col("n_toks"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    toks
+      .withColumn("cum_end", sum(col("n_toks")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_toks"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_start div $seqLen"), expr(s"(cum_end - 1) div $seqLen"))))
+      .select(col("shard"), col("doc_id"), col("seq_id"),
+        (greatest(col("cum_start"), col("seq_id") * seqLen) - col("cum_start"))
+          .as("doc_tok_start"),
+        (greatest(col("cum_start"), col("seq_id") * seqLen)
+          - col("seq_id") * seqLen).as("seq_tok_start"),
+        (least(col("cum_end"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("cum_start"), col("seq_id") * seqLen)).as("span_toks"))
+  }
+
   /** The whole composition: CDC log in, training-batch manifest out. */
   def fromChangelog(changes: DataFrame, minWords: Int = 3, repLimit: Int = 2,
       seqLen: Long = 128L, nShards: Int = 4, seed: Long = 0L): DataFrame =
-    packManifest(dedupGate(liveCorpus(changes), minWords, repLimit),
+    packCounts(gateScalars(withTopCnt(liveCorpus(changes)), minWords, repLimit),
       seqLen, nShards, seed)
 
   /** The EPOCH CUT the streaming form takes: the same gate + packing
@@ -115,5 +183,6 @@ object TrainingPipeline {
     */
   def epochCut(live: DataFrame, minWords: Int = 3, repLimit: Int = 2,
       seqLen: Long = 128L, nShards: Int = 4, seed: Long = 0L): DataFrame =
-    packManifest(dedupGate(live, minWords, repLimit), seqLen, nShards, seed)
+    packCounts(gateScalars(withTopCnt(live), minWords, repLimit),
+      seqLen, nShards, seed)
 }

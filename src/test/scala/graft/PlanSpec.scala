@@ -163,10 +163,11 @@ class PlanSpec extends SparkTestBase {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }).toString
-    assert(s.contains("Window ["), s) // the per-partition prefix-sum window
-    for (l <- s.linesIterator if l.contains("windowspecdefinition"))
-      assert(l.contains("windowspecdefinition(__pid"),
-        s"partition-less Window in corpus_pack_sequences: $l")
+    // the per-partition prefix sum is the compiled graft_running_sum fold
+    // INSIDE the rank's localCheckpoint barrier — the visible plan reads
+    // the stamped frame as data and plans NO Window node anywhere (the old
+    // form paid an Exchange + Sort + Window per cumsum consumer)
+    assert(!s.contains("Window ["), s)
     // the range exchange is inside the running-sum's localCheckpoint
     // barrier (see DistributedRank) — the visible plan reads it as data
     assert(s.contains("ExistingRDD"), s)
@@ -179,11 +180,10 @@ class PlanSpec extends SparkTestBase {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }).toString
-    // every window is the __pid partition-parallel prefix sum — never
-    // partitioned by source (giant sources would serialize)
-    for (l <- s.linesIterator if l.contains("windowspecdefinition"))
-      assert(l.contains("windowspecdefinition(__pid"),
-        s"per-source Window in corpus_token_budget_mix: $l")
+    // the cumsum is the compiled per-partition fold (see DistributedRank)
+    // — never a window, and in particular never partitioned by source
+    // (giant sources would serialize)
+    assert(!s.contains("Window ["), s)
     assert(s.contains("BroadcastHashJoin"), s) // bases + budgets come back broadcast
     assert(!s.contains("CartesianProduct"), s)
   }

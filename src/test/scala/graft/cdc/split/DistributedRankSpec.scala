@@ -110,4 +110,28 @@ class DistributedRankSpec extends SparkTestBase {
     assert(got.maxBy(t => (t._1, t._2))._3 ==
       df.agg(sum($"v")).collect()(0).getLong(0))
   }
+
+  test("withGlobalRunningSum null semantics match the window sum (null until first non-null)") {
+    val s = spark
+    import s.implicits._
+    // nulls at the FRONT of the order (the window sum stays null there) and
+    // interleaved mid-stream (the running sum must hold, not reset)
+    val df = (1 to 400)
+      .map(i => (i, if (i <= 3 || i % 5 == 0) None else Some(i.toLong)))
+      .toDF("tb", "v").repartition(3)
+    val order = Seq(col("tb"))
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val got = pairs(DistributedRank
+      .withGlobalRunningSum(df, "cum", col("v"), order)
+      .select($"tb", $"cum").collect())
+    val want = pairs(df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"tb", $"cum").collect())
+    assert(got == want)
+    // the leading all-null prefix is null, the first non-null row is not
+    assert(got.contains((1, None)) && got.contains((3, None)))
+    assert(got.exists { case (tb, v) => tb == 4 && v.contains(4L) })
+  }
 }
