@@ -382,16 +382,20 @@ object Curation {
           |    'prev', x),
           |  acc -> acc.cnt)""".stripMargin).as("top_cnt"),
       TextAnalysis.langGuess.as("lang_guess"))
-    // keeper = min(doc_id) OVER the digest, on the single digest exchange:
-    // the old aggregate+join form evaluated the whole stats projection —
-    // including the per-doc sorted-runs fold — twice (once under the
-    // keeper aggregate, once as the join's stats side) and shuffled text
-    // by sha a second time for the join. Same keep set (min per group),
-    // one evaluation, one exchange.
-    import org.apache.spark.sql.expressions.Window
-    stats
-      .withColumn("keep_id",
-        min(col("doc_id")).over(Window.partitionBy(col("sha"))))
+    // Keeper as an aggregate + join, NOT a min-over-digest window: the
+    // window form was tried (r14) and measured consistently SLOWER —
+    // corpus_curation_pipeline 1.58 -> 1.97 s at sf0.1 and 4.2 -> 6.7 s at
+    // sf1 — because Catalyst column-prunes this keeper subtree to a bare
+    // scan + sha2 (top_cnt is never computed twice) and AQE broadcasts the
+    // digest-count keeper table, so the join costs one cheap pass and no
+    // stats-side shuffle, while the window pays a full-row exchange + sort.
+    // The keeper table is (sha, min_id) scalars — broadcastable far beyond
+    // any measurable SF; at the corpus size where it stops fitting, the
+    // SMJ fallback is still only a digest-keyed scalar shuffle.
+    val keepers = docs
+      .groupBy(sha2(col("text"), 256).as("sha"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    stats.join(keepers, "sha")
       .where(col("doc_id") === col("keep_id")
         && col("n_words") >= minWords
         && col("top_cnt") * repLimit <= col("n_words"))
@@ -1147,14 +1151,13 @@ object Curation {
         pmod(call_function("graft_fnv64", col("g")), lit(dim.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("y"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      // pin the checkpoint CLUSTERED BY doc_id (LogicalRDD preserves the
-      // partitioning): every iteration's prediction aggregate
-      // (groupBy(doc_id, y) — doc_id clustering satisfies it), the
-      // error-join (both sides doc_id-partitioned) and the nDocs distinct
-      // then plan with ZERO exchanges — the loop's only shuffle left is the
-      // bucket-scale gradient aggregate. One extra exchange here at build
-      // time buys 3 exchange-free stages per iteration.
-      .repartition(col("doc_id"))
+      // NOT re-clustered by doc_id before the checkpoint: that was tried
+      // (r14) to make each iteration's prediction aggregate and error join
+      // exchange-free, and measured a consistent small LOSS (0.95-0.96x at
+      // sf0.1/sf1) — the per-doc error table broadcasts at any measurable
+      // SF, so the join never shuffled the features to begin with, and the
+      // extra build-time exchange is pure cost. Revisit only for corpora
+      // where nDocs outgrows the broadcast threshold.
       .localCheckpoint()
     val nDocs = feats.select(col("doc_id")).distinct().count()
     // compiled sort+fold, same values as the sort_array HOF (spec-pinned)
